@@ -1,38 +1,611 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (cell-encode + PIP join + tiling
+rollup over geometry derived deterministically from the events table).
+``queries()`` exposes each implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
+equivalent over the same parquet views.
+
+Float-determinism rules used throughout (so value hashes match DuckDB):
+- money aggregates go through DECIMAL casts (exact), then cast to double;
+- every trig/geo expression uses the identical IEEE op sequence on DOUBLE
+  columns in both engines (see functions/geo.py, functions/quadkey.py);
+- timestamps stay UTC microseconds end-to-end.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from activity_files_spark.functions.geo import haversine_m, haversine_sql
+from activity_files_spark.functions.quadkey import (
+    quadkey_col,
+    quadkey_digits_sql,
+    tile_xy_col,
+    tile_xy_sql,
+)
+from activity_files_spark.operators.asof import asof_join
+from activity_files_spark.operators.windows import sessionize_gap, smooth
+
+# ------------------------------------------------------------------ helpers
+
+# Deterministic geometry derived from integer event ids (FIXTURES.md grid):
+# both engines compute int modulo then double multiply -> identical bits.
+LAT_EXPR_SQL = "40.0 + CAST(event_id % 1000 AS DOUBLE) * 0.0005"
+LON_EXPR_SQL = "-105.0 - CAST(event_id % 997 AS DOUBLE) * 0.0005"
+
+
+def _lat_col():
+    return F.lit(40.0) + (F.col("event_id") % 1000).cast("double") * F.lit(0.0005)
+
+
+def _lon_col():
+    return F.lit(-105.0) - (F.col("event_id") % 997).cast("double") * F.lit(0.0005)
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec_sum(col, scale: str = "decimal(22,6)"):
+    """Exact sum: cast each double to decimal first, sum, emit double."""
+    return F.sum(col.cast(scale)).cast("double")
+
+
+# ------------------------------------------------------------------ queries
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy aggregation with pushed filter."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+        _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dec_sum(disc_price).alias("sum_disc_price"),
+        _dec_sum(charge).alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.withColumn("avg_qty", F.col("sum_qty") / F.col("count_order")).withColumn(
+        "avg_price", F.col("sum_base_price") / F.col("count_order")
+    )
+
+
+def _q1_sql() -> str:
+    return """
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
+             COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+           sum_charge, count_order,
+           sum_qty / count_order AS avg_qty,
+           sum_base_price / count_order AS avg_price
+    FROM base
+    """
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective joins + top-10 by exact-decimal revenue.
+
+    Dimension side (customer) broadcasts; lineitem->orders join shuffles on
+    the key. Revenue ties broken by o_orderkey for determinism.
+    """
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "2000-03-15")
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    j = li.join(
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
+        li["l_orderkey"] == orders["o_orderkey"],
+    )
+    rev = j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(22,6)")
+        ).alias("_rev_dec")
+    )
+    return (
+        rev.orderBy(F.col("_rev_dec").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.col("_rev_dec").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+def _q3_sql() -> str:
+    return """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2000-03-15'
+      AND l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) DESC, o_orderkey
+    LIMIT 10
+    """
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join through region/nation (broadcast dims)."""
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    dims = nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(
+            F.broadcast(dims),
+            (cust["c_nationkey"] == dims["n_nationkey"])
+            & (supp["s_nationkey"] == dims["n_nationkey"]),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        _dec_sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue")
+    )
+
+
+def _q5_sql() -> str:
+    return """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """
+
+
+def sort_dedup_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 sortAndDedup: per (user, ts) the last occurrence in input order
+    (event_id) wins — raw_editor.dart:21-67 last-wins semantics."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+
+
+def _sort_dedup_sql() -> str:
+    return """
+    SELECT event_id, user_id, ts, event_type, value FROM (
+      SELECT event_id, user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """
+
+
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/A6 gap sessionization: 30-min gap splits per user; session stats."""
+    ev = _read(spark, sf_dir, "events")
+    s = sessionize_gap(ev, gap_s=1800.0, key="user_id", ts="ts")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        _dec_sum(F.col("value"), "decimal(18,4)").alias("sum_value"),
+    )
+
+
+def _sessionize_sql() -> str:
+    return """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 1000000.0 > 1800.0
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """
+
+
+def smooth_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 smoothHR: centered 5-row moving average, edge-clamped."""
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = smooth(ev, value="value", window=5, key="user_id", ts="ts", out="smoothed")
+    return out.select("event_id", F.round(F.col("smoothed"), 6).alias("smoothed"))
+
+
+def _smooth_sql() -> str:
+    return """
+    SELECT event_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS smoothed
+    FROM events
+    """
+
+
+def cumdist_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 cumulative haversine distance over the derived trackpoint grid."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    step = F.coalesce(
+        haversine_m(F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")),
+        F.lit(0.0),
+    )
+    return (
+        ev.withColumn("_step", step)
+        .withColumn("cum_dist_m", F.round(F.sum("_step").over(wc), 3))
+        .select("event_id", "cum_dist_m")
+    )
+
+
+def _cumdist_sql() -> str:
+    hs = haversine_sql("plat", "plon", "lat", "lon")
+    return f"""
+    WITH pts AS (
+      SELECT event_id, user_id, ts,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ), lagged AS (
+      SELECT event_id, user_id, ts, lat, lon,
+             LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), stepped AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN plat IS NULL THEN 0.0 ELSE {hs} END AS step
+      FROM lagged
+    )
+    SELECT event_id,
+           ROUND(SUM(step) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING), 3) AS cum_dist_m
+    FROM stepped
+    """
+
+
+def quadkey_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial cell encode (res ladder z=12) + per-cell rollup — the tiling
+    histogram. Pure Column expression; scan--'groupBy, one shuffle."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    enc = ev.withColumn("cell", quadkey_col(F.col("lat"), F.col("lon"), 12))
+    return enc.groupBy("cell").agg(
+        F.count("*").alias("n_points"), F.min("event_id").alias("min_event_id")
+    )
+
+
+def _quadkey_sql() -> str:
+    x, y = tile_xy_sql("lat", "lon", 12)
+    digits = quadkey_digits_sql("qx", "qy", 12)
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon FROM events
+    ), tiles AS (
+      SELECT event_id, {x} AS qx, {y} AS qy FROM pts
+    )
+    SELECT {digits} AS cell, COUNT(*) AS n_points, MIN(event_id) AS min_event_id
+    FROM tiles GROUP BY 1
+    """
+
+
+# inclusive-boundary axis-aligned geofences on the derived grid
+GEOFENCES = [
+    ("gf_west", -105.45, -105.30, 40.10, 40.35),
+    ("gf_mid", -105.25, -105.10, 40.05, 40.45),
+    ("gf_east", -105.08, -105.00, 40.00, 40.49),
+]
+
+
+def pip_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 PIP join against a broadcast geofence set (rect fast path: the
+    containment predicate is a pure Column expression; general polygons go
+    through operators/spatial.pip_join's ray-cast kernel)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    gf = spark.createDataFrame(
+        GEOFENCES, "geofence_id string, lon_w double, lon_e double, lat_s double, lat_n double"
+    )
+    j = ev.join(
+        F.broadcast(gf),
+        (F.col("lon") >= F.col("lon_w")) & (F.col("lon") <= F.col("lon_e"))
+        & (F.col("lat") >= F.col("lat_s")) & (F.col("lat") <= F.col("lat_n")),
+    )
+    return j.groupBy("geofence_id").agg(
+        F.count("*").alias("n_points"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+def _pip_sql() -> str:
+    vals = ", ".join(f"('{g}', {w}, {e}, {s}, {n})" for g, w, e, s, n in GEOFENCES)
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon FROM events
+    ), gf(geofence_id, lon_w, lon_e, lat_s, lat_n) AS (VALUES {vals})
+    SELECT geofence_id, COUNT(*) AS n_points,
+           MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+    FROM pts JOIN gf
+      ON lon >= lon_w AND lon <= lon_e AND lat >= lat_s AND lat <= lat_n
+    GROUP BY geofence_id
+    """
+
+
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 tolerance as-of join: for each click, the nearest purchase value
+    by the same user within 60s (smallest |Δt|, earlier wins ties)."""
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks, purchases, key="user_id", ts="ts", value="value",
+        tolerance_s=60.0, out="matched_value",
+    )
+    return out.select("event_id", "matched_value")
+
+
+def _asof_sql() -> str:
+    return """
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, p.value AS matched_value
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND abs(epoch_us(c.ts) - epoch_us(p.ts)) / 1000000.0 <= 60.0
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY c.event_id
+      ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), p.ts
+    ) = 1
+    """
+
+
+def knn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 kNN join: 5 nearest signup-points for each of 20 query points on
+    the derived grid (cell-ring expansion path; oracle is brute force)."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    pts = ev.select(
+        F.col("event_id").alias("point_id"), _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    qs = spark.range(20).select(
+        F.col("id").alias("query_id"),
+        (F.lit(40.0) + (F.col("id") * 37 % 1000).cast("double") * F.lit(0.0005)).alias("lat"),
+        (F.lit(-105.0) - (F.col("id") * 53 % 997).cast("double") * F.lit(0.0005)).alias("lon"),
+    )
+    from activity_files_spark.operators.spatial import knn_join
+
+    out = knn_join(qs, pts, k=5, z=13, q_id="query_id", p_id="point_id")
+    return out.select("query_id", "point_id", "rank")
+
+
+def _knn_sql() -> str:
+    hs = haversine_sql("q.lat", "q.lon", "p.lat", "p.lon")
+    return f"""
+    WITH p AS (
+      SELECT event_id AS point_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events WHERE event_type = 'signup'
+    ), q AS (
+      SELECT i AS query_id,
+             40.0 + CAST((i * 37) % 1000 AS DOUBLE) * 0.0005 AS lat,
+             -105.0 - CAST((i * 53) % 997 AS DOUBLE) * 0.0005 AS lon
+      FROM range(20) t(i)
+    )
+    SELECT query_id, point_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {hs}, point_id) AS rank
+    FROM q JOIN p ON true
+    QUALIFY rank <= 5
+    """
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents: md5-hash groupBy, keep first doc_id."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id")
+    )
+
+
+def _dedup_exact_sql() -> str:
+    return """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+    FROM documents GROUP BY 1
+    """
+
+
+def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace token count + char stats per document."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", ""))).alias("n_spaces"),
+    )
+
+
+def _token_stats_sql() -> str:
+    return r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           length(text) AS len_chars,
+           length(text) - length(replace(text, ' ', '')) AS n_spaces
+    FROM documents
+    """
+
+
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 25 vectors.
+
+    Dot products run as native F.aggregate/zip_with expressions over
+    double-cast arrays — identical left-to-right fold order as DuckDB's
+    list_dot_product on DOUBLE[].
+    """
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qs = emb.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    j = F.broadcast(qs).join(emb, qs["query_id"] != emb["vec_id"])
+    scored = j.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot / (norm("qv") * norm("v"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round(F.col("cos"), 9).alias("cos_sim"))
+    )
+
+
+def _cosine_sql() -> str:
+    return """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 25
+    ), scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+      FROM q JOIN e ON query_id != e.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank,
+           ROUND(cos, 9) AS cos_sim
+    FROM scored
+    QUALIFY rank <= 5
+    """
+
+
+def gap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 gap detection: events whose gap from the user's previous event
+    exceeds 2h (validation.dart:373-384)."""
+    from activity_files_spark.functions.time import ts_seconds
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = ts_seconds(F.col("ts")) - F.lag(ts_seconds(F.col("ts"))).over(w)
+    return (
+        ev.withColumn("gap_s", F.round(gap, 6))
+        .filter(F.col("gap_s") > 7200.0)
+        .select("event_id", "user_id", "gap_s")
+    )
+
+
+def _gap_sql() -> str:
+    return """
+    SELECT event_id, user_id, gap_s FROM (
+      SELECT event_id, user_id,
+             ROUND((epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)))
+                   / 1000000.0, 6) AS gap_s
+      FROM events
+    ) WHERE gap_s > 7200.0
+    """
+
+
+# ------------------------------------------------------------------ contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cell-encode the derived trackpoints at sf0.001, PIP-join the
+    broadcast geofence set, roll up per (geofence, cell) — the core tiling +
+    spatial-join pipeline in one plan."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    gf = spark.createDataFrame(
+        GEOFENCES, "geofence_id string, lon_w double, lon_e double, lat_s double, lat_n double"
+    )
+    enc = ev.withColumn("cell", quadkey_col(F.col("lat"), F.col("lon"), 12))
+    j = enc.join(
+        F.broadcast(gf),
+        (F.col("lon") >= F.col("lon_w")) & (F.col("lon") <= F.col("lon_e"))
+        & (F.col("lat") >= F.col("lat_s")) & (F.col("lat") <= F.col("lat_n")),
+    )
+    return j.groupBy("geofence_id", "cell").agg(F.count("*").alias("n_points"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "sort_dedup_last_wins": sort_dedup_last_wins,
+        "sessionize_users": sessionize_users,
+        "smooth_values": smooth_values,
+        "cumdist_track": cumdist_track,
+        "quadkey_cells": quadkey_cells,
+        "pip_rect_join": pip_rect_join,
+        "asof_click_purchase": asof_click_purchase,
+        "knn_events": knn_events,
+        "dedup_exact_documents": dedup_exact_documents,
+        "token_stats_documents": token_stats_documents,
+        "cosine_topk_embeddings": cosine_topk_embeddings,
+        "gap_events": gap_events,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1_sql(),
+        "q3_shipping_priority": _q3_sql(),
+        "q5_region_revenue": _q5_sql(),
+        "sort_dedup_last_wins": _sort_dedup_sql(),
+        "sessionize_users": _sessionize_sql(),
+        "smooth_values": _smooth_sql(),
+        "cumdist_track": _cumdist_sql(),
+        "quadkey_cells": _quadkey_sql(),
+        "pip_rect_join": _pip_sql(),
+        "asof_click_purchase": _asof_sql(),
+        "knn_events": _knn_sql(),
+        "dedup_exact_documents": _dedup_exact_sql(),
+        "token_stats_documents": _token_stats_sql(),
+        "cosine_topk_embeddings": _cosine_sql(),
+        "gap_events": _gap_sql(),
+    }

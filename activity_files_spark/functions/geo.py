@@ -1,0 +1,106 @@
+"""Geodesic + FIT scalar kernels as native Column expressions (JVM-side,
+whole-stage-codegen) with pure-Python twins for fixtures/goldens.
+
+Semantics pinned to the reference:
+- haversine: spherical earth R=6,371,000 m, atan2 form
+  (reference: lib/src/geo_math.dart:8-22)
+- FIT semicircles -> degrees: v*180/2^31, reject |deg|>180
+  (reference: lib/src/parse/fit_parser.dart:1232-1248)
+- FIT altitude: raw/5 - 500, invalid 0xFFFF (fit_parser.dart:1334-1343)
+- FIT epoch: 1989-12-31T00:00:00Z == unix 631065600 (fit_parser.dart:1213-1230)
+- pace: 1000/speed s/km when speed>0 (lib/src/channel_mapper.dart:147-153)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6_371_000.0
+FIT_EPOCH_UNIX = 631_065_600  # 1989-12-31T00:00:00Z
+FIT_TS_MAX = 1_924_992_000  # plausibility clamp upper bound (fit_parser.dart:1226)
+SEMICIRCLE_DEG = 180.0 / 2_147_483_648.0  # 180 / 2^31
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters — pure Column expression (no UDF).
+
+    Exact composition of the reference's atan2 form (geo_math.dart:8-22):
+    a = sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2); d = 2R·atan2(√a, √(1−a)).
+    """
+    d2r = F.lit(math.pi) / F.lit(180.0)
+    phi1 = lat1 * d2r
+    phi2 = lat2 * d2r
+    dphi = (lat2 - lat1) * d2r
+    dlmb = (lon2 - lon1) * d2r
+    a = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(phi1) * F.cos(phi2) * F.sin(dlmb / 2) * F.sin(dlmb / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.atan2(F.sqrt(a), F.sqrt(F.lit(1.0) - a))
+
+
+def haversine_m_py(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
+    """Pure-Python twin of :func:`haversine_m` for goldens."""
+    d2r = math.pi / 180.0
+    phi1, phi2 = lat1 * d2r, lat2 * d2r
+    dphi = (lat2 - lat1) * d2r
+    dlmb = (lon2 - lon1) * d2r
+    a = math.sin(dphi / 2) ** 2 + math.cos(phi1) * math.cos(phi2) * math.sin(dlmb / 2) ** 2
+    return 2.0 * EARTH_RADIUS_M * math.atan2(math.sqrt(a), math.sqrt(1.0 - a))
+
+
+def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """ANSI-SQL text twin (for DuckDB oracles) of :func:`haversine_m`.
+
+    Uses explicit multiplication (never ``pow``) so the float ops are the
+    exact same IEEE sequence as the Column/Python versions.
+    """
+    d2r = "(pi() / 180.0)"
+    sp = f"sin((({lat2})-({lat1})) * {d2r} / 2)"
+    sl = f"sin((({lon2})-({lon1})) * {d2r} / 2)"
+    a = f"({sp}*{sp} + cos(({lat1}) * {d2r})*cos(({lat2}) * {d2r})*{sl}*{sl})"
+    return f"2.0 * {EARTH_RADIUS_M} * atan2(sqrt({a}), sqrt(1.0 - {a}))"
+
+
+def fit_semicircles_to_deg(raw: Column) -> Column:
+    """FIT semicircle int32 -> degrees; invalid sentinels + out-of-range -> null."""
+    deg = raw.cast("double") * F.lit(SEMICIRCLE_DEG)
+    return (
+        F.when(raw.isNull(), None)
+        .when(raw == 0x7FFFFFFF, None)
+        .when(raw == -0x80000000, None)
+        .when(F.abs(deg) > 180.0, None)
+        .otherwise(deg)
+    )
+
+
+def fit_altitude_m(raw: Column) -> Column:
+    """FIT uint16 altitude -> meters: raw/5 - 500; 0xFFFF invalid."""
+    return F.when(raw.isNull() | (raw == 0xFFFF), None).otherwise(
+        raw.cast("double") / 5.0 - 500.0
+    )
+
+
+def fit_timestamp(raw: Column) -> Column:
+    """FIT uint32 seconds since 1989-12-31Z -> TIMESTAMP; 0/0xFFFFFFFF invalid,
+    plausibility window [1, 1924992000] on the FIT-epoch value."""
+    ok = raw.isNotNull() & (raw >= 1) & (raw <= FIT_TS_MAX) & (raw != 0xFFFFFFFF)
+    return F.when(ok, F.timestamp_seconds(raw.cast("long") + FIT_EPOCH_UNIX))
+
+
+def pace_s_per_km(speed_mps: Column) -> Column:
+    """Pace in s/km from speed m/s; null when speed <= 0."""
+    return F.when(speed_mps > 0, F.lit(1000.0) / speed_mps)
+
+
+def lerp(x0: Column, x1: Column, y0: Column, y1: Column, x: Column) -> Column:
+    """Linear interpolation y(x) between (x0,y0)-(x1,y1); y0 when x1==x0.
+
+    Mirrors transform_utils.dart:140-199 (time-factor lerp).
+    """
+    return F.when(x1 == x0, y0).otherwise(
+        y0 + (y1 - y0) * ((x - x0) / (x1 - x0))
+    )

@@ -1,0 +1,242 @@
+"""Tolerance as-of joins and resampling.
+
+Reference semantics (lib/src/channel_mapper.dart:97-230):
+- for each probe timestamp, the nearest sample within ``tolerance`` wins
+- smallest |Δt| wins; on a tie the EARLIER sample wins (strict ``<`` for the
+  later candidate — channel_mapper.dart:203)
+- per-channel tolerance overrides (encoder_options.dart:22-26)
+
+Two implementations:
+- :func:`asof_join` — native Catalyst plan (union + running last/first over a
+  window). Zero Python; one shuffle on (key, channel); whole-stage codegen.
+  This is the production path at scale.
+- :func:`asof_join_pandas` — Arrow/pandas kernel (numpy searchsorted per
+  activity×channel group) used to cross-check semantics in tests.
+
+Resampling (lib/src/transforms/transform_utils.dart:3-199): fixed-step grid
+from min→max ts (end-inclusive), linear interpolation for continuous values,
+nearest-within-tolerance for discrete ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from activity_files_spark.functions.time import ts_seconds
+
+from activity_files_spark.functions.geo import lerp
+
+DEFAULT_TOLERANCE_S = 5.0  # encoder_options.dart:22
+
+
+def _union_probe_sample(
+    probes: DataFrame,
+    samples: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+) -> DataFrame:
+    """Tag and union probe/sample streams on a common schema."""
+    p = probes.select(
+        F.col(key).alias("_k"),
+        ts_seconds(F.col(ts)).alias("_t"),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(1).alias("_is_probe"),
+        F.col(ts).alias("_probe_ts"),
+    )
+    s = samples.select(
+        F.col(key).alias("_k"),
+        ts_seconds(F.col(ts)).alias("_t"),
+        F.col(value).cast("double").alias("_v"),
+        F.lit(0).alias("_is_probe"),
+        F.lit(None).cast("timestamp").alias("_probe_ts"),
+    )
+    return p.unionByName(s)
+
+
+def asof_join(
+    probes: DataFrame,
+    samples: DataFrame,
+    key: str = "activity_id",
+    ts: str = "ts",
+    value: str = "value",
+    tolerance_s: float = DEFAULT_TOLERANCE_S,
+    out: str = "value",
+) -> DataFrame:
+    """Nearest-within-tolerance as-of join, native Catalyst plan.
+
+    Returns ``probes`` columns + ``out`` (matched sample value or null).
+    Plan shape: union → window(running last before / first after) → join
+    back to probes on (key, ts). Samples at the exact probe ts sort before
+    the probe row (``_is_probe`` ascending) so an equal-ts sample is seen as
+    the "previous" candidate — Δ=0, always wins.
+    """
+    u = _union_probe_sample(probes, samples, key, ts, value)
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_is_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_is_probe").asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    sample_t = F.when(F.col("_is_probe") == 0, F.col("_t"))
+    sample_v = F.when(F.col("_is_probe") == 0, F.col("_v"))
+    enriched = (
+        u.withColumn("_pt", F.last(sample_t, ignorenulls=True).over(wb))
+        .withColumn("_pv", F.last(sample_v, ignorenulls=True).over(wb))
+        .withColumn("_nt", F.first(sample_t, ignorenulls=True).over(wf))
+        .withColumn("_nv", F.first(sample_v, ignorenulls=True).over(wf))
+        .filter(F.col("_is_probe") == 1)
+    )
+    d_prev = F.col("_t") - F.col("_pt")
+    d_next = F.col("_nt") - F.col("_t")
+    pick_prev = F.col("_pt").isNotNull() & (
+        F.col("_nt").isNull() | (d_prev <= d_next)  # earlier wins ties
+    )
+    matched = enriched.withColumn(
+        "_mv",
+        F.when(pick_prev & (d_prev <= tolerance_s), F.col("_pv")).when(
+            ~pick_prev & F.col("_nt").isNotNull() & (d_next <= tolerance_s), F.col("_nv")
+        ),
+    ).select(F.col("_k"), F.col("_probe_ts").alias("_pts"), F.col("_mv"))
+    return probes.join(
+        matched,
+        (probes[key] == matched["_k"]) & (probes[ts] == matched["_pts"]),
+        "left",
+    ).drop("_k", "_pts").withColumnRenamed("_mv", out)
+
+
+def asof_join_pandas(
+    probes: DataFrame,
+    samples: DataFrame,
+    key: str = "activity_id",
+    ts: str = "ts",
+    value: str = "value",
+    tolerance_s: float = DEFAULT_TOLERANCE_S,
+    out: str = "value",
+) -> DataFrame:
+    """Arrow-kernel as-of join: numpy searchsorted per activity group.
+
+    Exact same semantics as :func:`asof_join`; used for cross-checks and as
+    the building block where many channels map to wide columns at once
+    (state never crosses an activity boundary — natural partition key).
+    """
+    import numpy as np
+    import pandas as pd
+
+    p_cols = probes.columns
+    probes_t = probes.withColumn("_side", F.lit(1))
+    samples_t = samples.select(
+        F.col(key), F.col(ts), F.col(value).cast("double").alias("_sval")
+    ).withColumn("_side", F.lit(0))
+    merged = probes_t.unionByName(samples_t, allowMissingColumns=True)
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in probes.schema.fields
+    ) + f", `{out}` double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pr = pdf[pdf["_side"] == 1].sort_values(ts, kind="stable")
+        sm = pdf[pdf["_side"] == 0].sort_values(ts, kind="stable")
+        res = pr[[c for c in p_cols]].copy()
+        if len(sm) == 0 or len(pr) == 0:
+            res[out] = np.nan
+            return res
+        st = sm[ts].values.astype("datetime64[us]").astype("int64") / 1e6
+        sv = sm["_sval"].values
+        pt = pr[ts].values.astype("datetime64[us]").astype("int64") / 1e6
+        idx = np.searchsorted(st, pt, side="right")
+        prev_i = np.clip(idx - 1, 0, len(st) - 1)
+        next_i = np.clip(idx, 0, len(st) - 1)
+        d_prev = np.where(idx - 1 >= 0, pt - st[prev_i], np.inf)
+        d_next = np.where(idx < len(st), st[next_i] - pt, np.inf)
+        take_prev = d_prev <= d_next  # earlier wins ties
+        best_d = np.where(take_prev, d_prev, d_next)
+        best_v = np.where(take_prev, sv[prev_i], sv[next_i])
+        res[out] = np.where(best_d <= tolerance_s, best_v, np.nan)
+        return res
+
+    return merged.groupBy(key).applyInPandas(kernel, schema=out_schema)
+
+
+def exact_ts_join(
+    probes: DataFrame,
+    samples: DataFrame,
+    key: str = "activity_id",
+    ts: str = "ts",
+    value: str = "value",
+    out: str = "value",
+) -> DataFrame:
+    """Exact-timestamp join; last sample wins per (key, ts)
+    (encoder_utils.dart:9-19)."""
+    w = Window.partitionBy(key, ts).orderBy(F.monotonically_increasing_id().desc())
+    dedup = (
+        samples.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key, ts, F.col(value).alias(out))
+    )
+    return probes.join(dedup, [key, ts], "left")
+
+
+def resample_grid(
+    points: DataFrame, step_s: int, key: str = "activity_id", ts: str = "ts"
+) -> DataFrame:
+    """Fixed-step end-inclusive timestamp grid per activity
+    (raw_transforms.dart:19-41): sequence(min_ts, max_ts, step) + explode."""
+    env = points.groupBy(key).agg(F.min(ts).alias("_t0"), F.max(ts).alias("_t1"))
+    return env.select(
+        key,
+        F.explode(
+            F.sequence(
+                F.col("_t0"), F.col("_t1"), F.expr(f"interval {step_s} seconds")
+            )
+        ).alias(ts),
+    )
+
+
+def resample_linear(
+    points: DataFrame,
+    step_s: int,
+    cols: list[str],
+    key: str = "activity_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Resample continuous columns onto a fixed grid with linear interpolation
+    (transform_utils.dart:35-72): bracket [lower, upper] → time-factor lerp.
+
+    Native plan: union grid+points, running last/first per column, lerp.
+    """
+    grid = resample_grid(points, step_s, key, ts)
+    g = grid.withColumn("_is_grid", F.lit(1))
+    p = points.select(key, ts, *cols).withColumn("_is_grid", F.lit(0))
+    u = g.unionByName(p, allowMissingColumns=True).withColumn(
+        "_t", ts_seconds(F.col(ts))
+    )
+    order = [F.col("_t").asc(), F.col("_is_grid").asc()]
+    wb = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.partitionBy(key).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    src_t = F.when(F.col("_is_grid") == 0, F.col("_t"))
+    out = u
+    out = out.withColumn("_pt", F.last(src_t, ignorenulls=True).over(wb)).withColumn(
+        "_nt", F.first(src_t, ignorenulls=True).over(wf)
+    )
+    for c in cols:
+        src_v = F.when(F.col("_is_grid") == 0, F.col(c))
+        out = (
+            out.withColumn("_pv", F.last(src_v, ignorenulls=True).over(wb))
+            .withColumn("_nv", F.first(src_v, ignorenulls=True).over(wf))
+            .withColumn(
+                c,
+                F.when(F.col("_pt").isNull(), F.col("_nv"))
+                .when(F.col("_nt").isNull(), F.col("_pv"))
+                .otherwise(
+                    lerp(F.col("_pt"), F.col("_nt"), F.col("_pv"), F.col("_nv"), F.col("_t"))
+                ),
+            )
+            .drop("_pv", "_nv")
+        )
+    return out.filter(F.col("_is_grid") == 1).select(key, ts, *cols)

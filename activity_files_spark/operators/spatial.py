@@ -1,0 +1,314 @@
+"""Spatial core: res-ladder cell encode, point-in-polygon join, kNN join.
+
+The north-rule operators (BASELINE.json) — not present in the reference
+(which stores polygons from GeoJSON, geojson_parser.dart:278-316, but never
+joins against them). Plan shapes are deliberate:
+
+- **PIP join** = cell-prefix hash join: points carry a quadkey cell column
+  (native expression, codegen'd); the small geofence set is expanded to its
+  covering cell set driver-side and **broadcast**; the equi-join on cell is
+  followed by an exact ray-cast refinement in a vectorized pandas UDF that
+  looks the ring up in a broadcast dict (no per-row Python, no ring column
+  shipped through the shuffle).
+- **kNN join** = cell-ring expansion: candidates are gathered from tile
+  rings of growing chebyshev radius; a query is final once its k-th nearest
+  candidate is provably closer than anything in an unsearched ring
+  (kth_dist <= r * min_tile_ground_dim). The candidate join is an equi-join
+  on cell; the per-query top-k is a window rank.
+
+At 100 TB the points side is partitioned/bucketed by cell so the equi-join
+shuffles only the (tiny) exploded side; skewed dense-urban cells are handled
+by AQE skew-join plus optional salting in `tiling.py`.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from activity_files_spark.functions.geo import haversine_m
+from activity_files_spark.functions.quadkey import (
+    cell_id_col,
+    quadkey_col,
+    quadkey_py,
+    tile_xy_col,
+    tile_xy_py,
+)
+
+EARTH_CIRCUM_M = 40_075_016.686
+
+
+def cell_encode(
+    df: DataFrame, z: int, lat: str = "lat", lon: str = "lon", out: str = "cell"
+) -> DataFrame:
+    """Attach the quadkey cell at zoom ``z`` as a native column expression."""
+    return df.withColumn(out, quadkey_col(F.col(lat), F.col(lon), z))
+
+
+def ring_bbox(ring: list[tuple[float, float]]) -> tuple[float, float, float, float]:
+    """(lon_w, lat_s, lon_e, lat_n) of a (lon, lat) ring."""
+    lons = [p[0] for p in ring]
+    lats = [p[1] for p in ring]
+    return min(lons), min(lats), max(lons), max(lats)
+
+
+def polygon_cover_tiles(ring: list[tuple[float, float]], z: int) -> list[tuple[int, int]]:
+    """Covering (x, y) tiles of a polygon's bbox at zoom ``z``.
+
+    Conservative: every tile intersecting the ring's bbox. Exactness is
+    restored by the ray-cast refinement stage, so a slightly fat cover only
+    costs extra candidate rows, never correctness. For geofence sets the
+    cover count is capped by choosing z from the bbox size (see
+    :func:`auto_cover_zoom`).
+    """
+    lon_w, lat_s, lon_e, lat_n = ring_bbox(ring)
+    x0, y0 = tile_xy_py(lat_n, lon_w, z)  # NW corner -> min x, min y
+    x1, y1 = tile_xy_py(lat_s, lon_e, z)  # SE corner -> max x, max y
+    return [
+        (x, y)
+        for x in range(min(x0, x1), max(x0, x1) + 1)
+        for y in range(min(y0, y1), max(y0, y1) + 1)
+    ]
+
+
+def polygon_cover_cells(ring: list[tuple[float, float]], z: int) -> list[str]:
+    """Covering quadkey strings of a polygon at zoom ``z`` (bbox cover)."""
+    cells = []
+    for x, y in polygon_cover_tiles(ring, z):
+        digits = [str(((x >> (i - 1)) & 1) + 2 * ((y >> (i - 1)) & 1)) for i in range(z, 0, -1)]
+        cells.append("".join(digits))
+    return cells
+
+
+def auto_cover_zoom(ring: list[tuple[float, float]], max_cells: int = 64) -> int:
+    """Finest zoom whose bbox cover stays under ``max_cells``."""
+    for z in range(20, 0, -1):
+        lon_w, lat_s, lon_e, lat_n = ring_bbox(ring)
+        x0, y0 = tile_xy_py(lat_n, lon_w, z)
+        x1, y1 = tile_xy_py(lat_s, lon_e, z)
+        if (abs(x1 - x0) + 1) * (abs(y1 - y0) + 1) <= max_cells:
+            return z
+    return 1
+
+
+def ray_cast_py(lon: float, lat: float, ring: list[tuple[float, float]]) -> bool:
+    """Even-odd ray cast (golden). Boundary convention: the standard
+    half-open crossing rule — a point exactly on a horizontal edge or on the
+    right boundary may be excluded; fixtures pin interior/exterior points."""
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > lat) != (y2 > lat):
+            xin = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+            if lon < xin:
+                inside = not inside
+    return inside
+
+
+def _ray_cast_np(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray cast: points (m,) vs one ring (n, 2)."""
+    x1 = ring[:, 0]
+    y1 = ring[:, 1]
+    x2 = np.roll(ring[:, 0], -1)
+    y2 = np.roll(ring[:, 1], -1)
+    lat_b = lat[:, None]
+    lon_b = lon[:, None]
+    crosses = (y1[None, :] > lat_b) != (y2[None, :] > lat_b)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = (x2 - x1)[None, :] * (lat_b - y1[None, :]) / (y2 - y1)[None, :] + x1[None, :]
+    hits = crosses & (lon_b < xin)
+    return (hits.sum(axis=1) % 2).astype(bool)
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: list[dict],
+    z: int | None = None,
+    lat: str = "lat",
+    lon: str = "lon",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-polygon join against a small geofence set.
+
+    ``polygons``: list of {"geofence_id": str, "ring": [(lon, lat), ...]}
+    (driver-side — geofence sets are small per the north star; at scale they
+    arrive as a collected DataFrame). Returns points columns + geofence_id.
+
+    Plan: points are cell-encoded at zoom ``z`` (auto-chosen from polygon
+    sizes if None) with a native expression; the polygon cover (geofence_id,
+    cell) table is broadcast; after the cell equi-join, the exact ray-cast
+    runs as a vectorized pandas UDF over numpy arrays, grouped by geofence
+    inside each Arrow batch; rings live in a broadcast closure dict.
+    """
+    spark = points.sparkSession
+    if z is None:
+        z = min(auto_cover_zoom(p["ring"]) for p in polygons) if polygons else 12
+
+    cover_rows = []
+    rings: dict[str, list] = {}
+    for p in polygons:
+        rings[p["geofence_id"]] = [(float(a), float(b)) for a, b in p["ring"]]
+        for x, y in polygon_cover_tiles(p["ring"], z):
+            cover_rows.append((p["geofence_id"], (x << z) | y))
+    cover = spark.createDataFrame(cover_rows, "geofence_id string, cell long")
+
+    rings_np = {k: np.asarray(v, dtype=np.float64) for k, v in rings.items()}
+    bc = spark.sparkContext.broadcast(rings_np)
+
+    @F.pandas_udf(BooleanType())
+    def contains(gid: pd.Series, plon: pd.Series, plat: pd.Series) -> pd.Series:
+        ringmap = bc.value
+        out = np.zeros(len(gid), dtype=bool)
+        lon_v = plon.to_numpy(dtype=np.float64)
+        lat_v = plat.to_numpy(dtype=np.float64)
+        for g in gid.unique():
+            m = (gid == g).to_numpy()
+            ring = ringmap.get(g)
+            if ring is None or m.sum() == 0:
+                continue
+            out[m] = _ray_cast_np(lon_v[m], lat_v[m], ring)
+        return pd.Series(out)
+
+    pts = points.withColumn("_cell", cell_id_col(F.col(lat), F.col(lon), z))
+    cand = pts.join(
+        F.broadcast(cover), pts["_cell"] == cover["cell"], "inner"
+    ).drop("cell", "_cell")
+    hit = cand.filter(contains(F.col("geofence_id"), F.col(lon), F.col(lat)))
+    if how == "inner":
+        return hit
+    raise ValueError(f"unsupported how={how}")
+
+
+def _tile_dims_m(lat: float, z: int) -> float:
+    """Conservative minimum ground dimension (m) of a tile at ``lat``."""
+    n = 1 << z
+    width = EARTH_CIRCUM_M * math.cos(math.radians(min(abs(lat) + 1.0, 85.0))) / n
+    # mercator tile ground height near lat ~= width at that latitude; use
+    # the smaller of the two with a 10% safety margin
+    return 0.9 * width
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    z: int = 12,
+    q_id: str = "query_id",
+    p_id: str = "point_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    max_ring: int = 64,
+) -> DataFrame:
+    """k-nearest-neighbor join via cell-ring expansion.
+
+    Both sides are tile-encoded at zoom ``z``. For growing chebyshev radius
+    r, each unresolved query explodes to the tiles of rings 0..r; an
+    equi-join on tile gathers candidates; a window rank keeps the k nearest
+    by haversine. A query is resolved when it has >= k candidates AND its
+    k-th distance <= r * min_tile_ground_dim (nothing in an unsearched ring
+    can be closer), or when max_ring is exhausted.
+
+    Returns (q_id, p_id, dist_m, rank).
+    """
+    qx, qy = tile_xy_col(F.col(lat), F.col(lon), z)
+    q = queries.select(
+        F.col(q_id), F.col(lat).alias("_qlat"), F.col(lon).alias("_qlon"),
+        qx.alias("_qx"), qy.alias("_qy"),
+    )
+    px, py = tile_xy_col(F.col(lat), F.col(lon), z)
+    p = points.select(
+        F.col(p_id), F.col(lat).alias("_plat"), F.col(lon).alias("_plon"),
+        px.alias("_px"), py.alias("_py"),
+    )
+    # packed arithmetic key (multiplication form tolerates out-of-range
+    # ring offsets on the query side — they simply never match)
+    p_keyed = p.withColumn("_pk", F.col("_px") * F.lit(1 << z) + F.col("_py"))
+
+    spark = queries.sparkSession
+    remaining = q
+    resolved_parts: list[DataFrame] = []
+    r = 1
+    while r <= max_ring:
+        # explode rings 0..r for the remaining queries
+        offsets = [(dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)]
+        off_df = spark.createDataFrame(offsets, "dx int, dy int")
+        cand = (
+            remaining.join(F.broadcast(off_df))
+            .withColumn("_pk", (F.col("_qx") + F.col("dx")) * F.lit(1 << z) + F.col("_qy") + F.col("dy"))
+            .join(p_keyed.drop("_px", "_py"), "_pk", "inner")
+            .withColumn(
+                "dist_m",
+                haversine_m(F.col("_qlat"), F.col("_qlon"), F.col("_plat"), F.col("_plon")),
+            )
+        )
+        wk = Window.partitionBy(q_id).orderBy(F.col("dist_m").asc(), F.col(p_id).asc())
+        topk = cand.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
+        # resolution check: k-th distance within the guaranteed radius
+        guard = F.lit(r) * F.lit(EARTH_CIRCUM_M) * F.cos(
+            F.radians(F.least(F.abs(F.col("_qlat")) + 1.0, F.lit(85.0)))
+        ) / F.lit(float(1 << z)) * F.lit(0.9)
+        stats = topk.groupBy(q_id).agg(
+            F.count("*").alias("_n"), F.max("dist_m").alias("_kth"), F.first(guard).alias("_guard")
+        )
+        done_ids = stats.filter(
+            (F.col("_n") >= k) & (F.col("_kth") <= F.col("_guard"))
+        ).select(q_id)
+        if r == max_ring:
+            done_ids = stats.select(q_id)  # accept best-effort at the cap
+        done_ids = done_ids.cache()
+        part = topk.join(F.broadcast(done_ids), q_id, "left_semi").select(
+            q_id, p_id, "dist_m", "rank"
+        )
+        resolved_parts.append(part)
+        remaining = remaining.join(F.broadcast(done_ids), q_id, "left_anti")
+        if remaining.isEmpty():
+            break
+        r *= 2
+
+    out = resolved_parts[0]
+    for extra in resolved_parts[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def knn_join_brute(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    q_id: str = "query_id",
+    p_id: str = "point_id",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Brute-force kNN (cross join + window) — oracle/baseline for tests."""
+    q = queries.select(q_id, F.col(lat).alias("_qlat"), F.col(lon).alias("_qlon"))
+    p = points.select(p_id, F.col(lat).alias("_plat"), F.col(lon).alias("_plon"))
+    cand = q.crossJoin(p).withColumn(
+        "dist_m", haversine_m(F.col("_qlat"), F.col("_qlon"), F.col("_plat"), F.col("_plon"))
+    )
+    wk = Window.partitionBy(q_id).orderBy(F.col("dist_m").asc(), F.col(p_id).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(q_id, p_id, "dist_m", "rank")
+    )
+
+
+__all__ = [
+    "cell_encode",
+    "polygon_cover_tiles",
+    "polygon_cover_cells",
+    "auto_cover_zoom",
+    "ray_cast_py",
+    "pip_join",
+    "knn_join",
+    "knn_join_brute",
+    "quadkey_py",
+]

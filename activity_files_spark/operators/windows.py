@@ -1,0 +1,155 @@
+"""Window-function operators: smoothing, speed/distance recompute, gap
+detection, distance-split sessionization.
+
+All pure window expressions (whole-stage codegen, one shuffle on the
+partition key), matching the reference's edge semantics exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from activity_files_spark.functions.time import ts_seconds
+
+from activity_files_spark.functions.geo import haversine_m
+
+
+def smooth(
+    df: DataFrame,
+    value: str = "value",
+    window: int = 5,
+    key: str = "activity_id",
+    ts: str = "ts",
+    out: str | None = None,
+) -> DataFrame:
+    """Centered moving average, edge-clamped.
+
+    Reference smoothHR (raw_editor.dart:616-643): left = (w-1)//2,
+    right = w-left-1; frames clamp at the edges (Spark's bounded ROWS frame
+    has identical clamping semantics). O(n) per partition.
+    """
+    left = (window - 1) // 2
+    right = window - left - 1
+    w = Window.partitionBy(key).orderBy(ts).rowsBetween(-left, right)
+    return df.withColumn(out or value, F.avg(value).over(w))
+
+
+def step_distance_m(
+    df: DataFrame, key: str = "activity_id", ts: str = "ts"
+) -> DataFrame:
+    """Per-point haversine distance from previous point (0 for first)."""
+    w = Window.partitionBy(key).orderBy(ts)
+    return df.withColumn(
+        "step_m",
+        F.coalesce(
+            haversine_m(
+                F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+            ),
+            F.lit(0.0),
+        ),
+    )
+
+
+def cumulative_distance(
+    df: DataFrame, key: str = "activity_id", ts: str = "ts", out: str = "distance_m"
+) -> DataFrame:
+    """Running haversine sum (raw_transforms.dart:59-91 / models.dart:1440-1456)."""
+    w = Window.partitionBy(key).orderBy(ts).rowsBetween(Window.unboundedPreceding, 0)
+    return step_distance_m(df, key, ts).withColumn(out, F.sum("step_m").over(w)).drop("step_m")
+
+
+def recompute_speed(
+    df: DataFrame, key: str = "activity_id", ts: str = "ts", out: str = "speed_mps"
+) -> DataFrame:
+    """Instantaneous speed Δd/Δt; 0 when Δt <= 0 (raw_editor.dart:646-680)."""
+    w = Window.partitionBy(key).orderBy(ts)
+    dt = ts_seconds(F.col(ts)) - F.lag(ts_seconds(F.col(ts))).over(w)
+    d = haversine_m(F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon"))
+    return df.withColumn(
+        out,
+        F.when(dt.isNull(), 0.0).when(dt <= 0, 0.0).otherwise(d / dt),
+    )
+
+
+def detect_gaps(
+    df: DataFrame,
+    threshold_s: float = 300.0,
+    key: str = "activity_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Rows whose gap from the previous point exceeds threshold (validation.dart:373-384)."""
+    w = Window.partitionBy(key).orderBy(ts)
+    gap = ts_seconds(F.col(ts)) - F.lag(ts_seconds(F.col(ts))).over(w)
+    return (
+        df.withColumn("gap_s", gap)
+        .filter(F.col("gap_s") > threshold_s)
+    )
+
+
+def ordering_diagnostics(
+    df: DataFrame, key: str = "activity_id", ts: str = "ts", order: str = "seq"
+) -> DataFrame:
+    """Out-of-order / duplicate-ts diagnostics (validation.dart:357-371).
+
+    Emits (key, seq, code) rows: 'validation.point_order' when ts < previous
+    in input order, 'validation.duplicate_timestamp' when equal.
+    """
+    w = Window.partitionBy(key).orderBy(order)
+    prev = F.lag(ts).over(w)
+    return (
+        df.withColumn("_prev", prev)
+        .withColumn(
+            "code",
+            F.when(F.col(ts) < F.col("_prev"), "validation.point_order")
+            .when(F.col(ts) == F.col("_prev"), "validation.duplicate_timestamp"),
+        )
+        .filter(F.col("code").isNotNull())
+        .select(key, order, "code")
+    )
+
+
+def mark_laps_by_distance(
+    points: DataFrame,
+    split_m: float,
+    key: str = "activity_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Sessionize by distance splits (raw_editor.dart:683-750).
+
+    Normalized monotonic accumulator: negative deltas contribute 0
+    (sum(greatest(delta, 0)) over the ordered window); lap id =
+    floor(cum / split). Returns per-lap rows:
+    (key, lap_id, start_ts, end_ts, distance_m, n_points).
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    stepped = step_distance_m(points, key, ts).withColumn(
+        "_cum", F.sum(F.greatest(F.col("step_m"), F.lit(0.0))).over(wcum)
+    )
+    # lap boundary is crossed when the accumulator passes a multiple of split:
+    # points are assigned to lap floor(prev_cum / split) so the boundary point
+    # closes its lap (reference emits the lap at the boundary sample)
+    lapped = stepped.withColumn("lap_id", F.floor(F.col("_cum") / F.lit(split_m)).cast("int"))
+    return lapped.groupBy(key, "lap_id").agg(
+        F.min(ts).alias("start_ts"),
+        F.max(ts).alias("end_ts"),
+        F.round(F.max("_cum") - F.min("_cum") + F.min(F.greatest(F.col("step_m"), F.lit(0.0))), 6).alias("distance_m"),
+        F.count("*").alias("n_points"),
+    )
+
+
+def sessionize_gap(
+    df: DataFrame,
+    gap_s: float,
+    key: str = "user_id",
+    ts: str = "ts",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Generic gap sessionization (the batch analogue of session_window):
+    a new session starts when the gap from the previous row > gap_s."""
+    w = Window.partitionBy(key).orderBy(ts)
+    gap = ts_seconds(F.col(ts)) - F.lag(ts_seconds(F.col(ts))).over(w)
+    return df.withColumn(
+        "_new", F.when(gap.isNull() | (gap <= gap_s), 0).otherwise(1)
+    ).withColumn(session_col, F.sum("_new").over(w)).drop("_new")

@@ -1,0 +1,176 @@
+"""As-of join semantics (channel_mapper.dart:97-230) + spatial core
+(PIP cell-prefix join, kNN ring expansion vs brute force, resample lerp)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from activity_files_spark.operators.asof import (
+    asof_join,
+    asof_join_pandas,
+    exact_ts_join,
+    resample_linear,
+)
+from activity_files_spark.operators.spatial import (
+    cell_encode,
+    knn_join,
+    knn_join_brute,
+    pip_join,
+    polygon_cover_cells,
+    ray_cast_py,
+)
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture
+def probes(spark):
+    return spark.createDataFrame(
+        [("a", 0, ts("2024-03-01T10:00:00")), ("a", 1, ts("2024-03-01T10:00:10")),
+         ("a", 2, ts("2024-03-01T10:00:20")), ("a", 3, ts("2024-03-01T10:01:00"))],
+        "activity_id string, seq long, ts timestamp",
+    )
+
+
+@pytest.fixture
+def samples(spark):
+    return spark.createDataFrame(
+        [
+            ("a", ts("2024-03-01T10:00:02"), 140.0),   # 2s after probe 0
+            ("a", ts("2024-03-01T10:00:08"), 142.0),   # 2s before probe 1 -> tie, earlier wins
+            ("a", ts("2024-03-01T10:00:12"), 143.0),   # 2s after probe 1
+            ("a", ts("2024-03-01T10:00:19"), 145.0),   # 1s before probe 2
+            # nothing within 5s of probe 3 (10:01:00)
+            ("a", ts("2024-03-01T10:00:30"), 150.0),
+        ],
+        "activity_id string, ts timestamp, value double",
+    )
+
+
+EXPECTED = {0: 140.0, 1: 142.0, 2: 145.0, 3: None}
+
+
+def test_asof_native_semantics(probes, samples):
+    got = {r["seq"]: r["hr"] for r in asof_join(probes, samples, out="hr").collect()}
+    assert got == EXPECTED
+
+
+def test_asof_pandas_matches_native(probes, samples):
+    got = {r["seq"]: r["hr"] for r in asof_join_pandas(probes, samples, out="hr").collect()}
+    # NaN -> None normalization
+    got = {k: (None if v != v else v) for k, v in got.items()}
+    assert got == EXPECTED
+
+
+def test_asof_equal_ts_sample_wins(spark, probes):
+    samples = spark.createDataFrame(
+        [("a", ts("2024-03-01T10:00:10"), 99.0), ("a", ts("2024-03-01T10:00:11"), 50.0)],
+        "activity_id string, ts timestamp, value double",
+    )
+    got = {r["seq"]: r["v"] for r in asof_join(probes, samples, out="v").collect()}
+    assert got[1] == 99.0  # exact-ts sample beats 1s-later sample
+
+
+def test_exact_ts_join_last_wins(spark, probes):
+    samples = spark.createDataFrame(
+        [("a", ts("2024-03-01T10:00:10"), 1.0), ("a", ts("2024-03-01T10:00:10"), 2.0)],
+        "activity_id string, ts timestamp, value double",
+    )
+    got = {r["seq"]: r["v"] for r in exact_ts_join(probes, samples, out="v").collect()}
+    assert got[1] == 2.0 and got[0] is None
+
+
+def test_resample_linear(spark):
+    pts = spark.createDataFrame(
+        [("a", ts("2024-03-01T10:00:00"), 0.0), ("a", ts("2024-03-01T10:00:20"), 20.0)],
+        "activity_id string, ts timestamp, x double",
+    )
+    out = {str(r["ts"]): r["x"] for r in resample_linear(pts, 5, ["x"]).collect()}
+    assert out["2024-03-01 10:00:00"] == 0.0
+    assert out["2024-03-01 10:00:05"] == 5.0
+    assert out["2024-03-01 10:00:10"] == 10.0
+    assert out["2024-03-01 10:00:20"] == 20.0  # end-inclusive
+
+
+# ---------------------------------------------------------------- spatial
+
+RECT = [(-105.0008, 40.0002), (-105.0002, 40.0002), (-105.0002, 40.0008), (-105.0008, 40.0008)]
+
+
+def test_ray_cast_golden():
+    # FIXTURES.md §5: rect contains exactly point seq=1 of the canonical track
+    assert not ray_cast_py(-105.0, 40.0, RECT)
+    assert ray_cast_py(-105.0005, 40.0005, RECT)
+    assert not ray_cast_py(-105.001, 40.001, RECT)
+    # concave polygon (U shape)
+    u = [(0, 0), (4, 0), (4, 4), (3, 4), (3, 1), (1, 1), (1, 4), (0, 4)]
+    assert ray_cast_py(0.5, 2.0, u)
+    assert not ray_cast_py(2.0, 2.0, u)  # inside the notch
+    assert ray_cast_py(3.5, 3.0, u)
+
+
+def test_polygon_cover_contains_point_cell():
+    from activity_files_spark.functions.quadkey import quadkey_py
+
+    cells = polygon_cover_cells(RECT, 15)
+    assert quadkey_py(40.0005, -105.0005, 15) in cells
+
+
+def test_pip_join_canonical_track(spark):
+    pts = spark.createDataFrame(
+        [("p0", 40.0, -105.0), ("p1", 40.0005, -105.0005), ("p2", 40.001, -105.001)],
+        "point_id string, lat double, lon double",
+    )
+    polys = [{"geofence_id": "gf_0001", "ring": RECT}]
+    out = pip_join(pts, polys).collect()
+    assert len(out) == 1
+    assert out[0]["point_id"] == "p1" and out[0]["geofence_id"] == "gf_0001"
+
+
+def test_pip_join_multiple_polygons(spark):
+    pts = spark.createDataFrame(
+        [(f"p{i}", 40.0 + i * 0.0005, -105.0 - i * 0.0005) for i in range(20)],
+        "point_id string, lat double, lon double",
+    )
+    polys = [
+        {"geofence_id": "west", "ring": [(-105.01, 39.99), (-105.0041, 39.99), (-105.0041, 40.02), (-105.01, 40.02)]},
+        {"geofence_id": "east", "ring": [(-105.0039, 39.99), (-104.99, 39.99), (-104.99, 40.02), (-105.0039, 40.02)]},
+    ]
+    out = pip_join(pts, polys).collect()
+    by_gf = {}
+    for r in out:
+        by_gf.setdefault(r["geofence_id"], set()).add(r["point_id"])
+    # points i=0..7 have lon > -105.0039 (east); i=9..19 lon < -105.0041 (west)
+    assert by_gf["east"] == {f"p{i}" for i in range(8)}
+    assert by_gf["west"] == {f"p{i}" for i in range(9, 20)}
+
+
+def test_knn_matches_brute_force(spark):
+    pts = spark.createDataFrame(
+        [(f"p{i}", 40.0 + (i % 17) * 0.003, -105.0 - (i // 17) * 0.003) for i in range(100)],
+        "point_id string, lat double, lon double",
+    )
+    qs = spark.createDataFrame(
+        [("q0", 40.0101, -105.0049), ("q1", 40.0, -105.0), ("q2", 40.05, -105.02)],
+        "query_id string, lat double, lon double",
+    )
+    brute = {
+        (r["query_id"], r["rank"]): r["point_id"]
+        for r in knn_join_brute(qs, pts, k=3).collect()
+    }
+    fast = {
+        (r["query_id"], r["rank"]): r["point_id"]
+        for r in knn_join(qs, pts, k=3, z=14).collect()
+    }
+    assert fast == brute
+
+
+def test_cell_encode_column(spark):
+    from activity_files_spark.functions.quadkey import quadkey_py
+
+    df = spark.createDataFrame([(40.0, -105.0)], "lat double, lon double")
+    got = cell_encode(df, 12).collect()[0]["cell"]
+    assert got == quadkey_py(40.0, -105.0, 12)

@@ -1,0 +1,116 @@
+"""Scalar kernel parity: pure-Python goldens vs numpy vs Spark Column vs SQL.
+
+Haversine constants pinned to the reference (geo_math.dart:8-22); FIT scalar
+rules to fit_parser.dart:1213-1365; quadkey four-way implementation equality.
+"""
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from activity_files_spark.functions.geo import (
+    fit_altitude_m,
+    fit_semicircles_to_deg,
+    fit_timestamp,
+    haversine_m,
+    haversine_m_py,
+    haversine_sql,
+)
+from activity_files_spark.functions.quadkey import (
+    quadkey_col,
+    quadkey_np,
+    quadkey_py,
+    quadkey_sql,
+    tile_bounds_py,
+    tile_xy_py,
+)
+
+
+def test_haversine_golden_fixture_grid():
+    # canonical 3-point track: 40.0/-105.0 stepping 0.0005 deg
+    d = haversine_m_py(40.0, -105.0, 40.0005, -105.0005)
+    # ~55.6m + ~42.6m diagonal on the fixture grid
+    assert 60 < d < 80
+    # symmetric, zero at identity
+    assert haversine_m_py(40.0, -105.0, 40.0, -105.0) == 0.0
+    assert abs(haversine_m_py(0, 0, 0, 1) - 111194.9) < 1.0  # 1 deg lon at equator
+
+
+def test_haversine_spark_matches_python(spark):
+    rows = [(40.0, -105.0, 40.0005, -105.0005), (51.5, -0.1, 48.85, 2.35)]
+    df = spark.createDataFrame(rows, "lat1 double, lon1 double, lat2 double, lon2 double")
+    got = df.select(
+        haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d")
+    ).collect()
+    for r, (a, b, c, d_) in zip(got, rows):
+        assert math.isclose(r["d"], haversine_m_py(a, b, c, d_), rel_tol=1e-12)
+
+
+def test_haversine_sql_matches_python():
+    # NOTE: cast literals to DOUBLE — DuckDB parses decimal literals as
+    # DECIMAL and would subtract exactly, diverging from IEEE double math.
+    # Oracle queries always operate on DOUBLE columns, matching Spark.
+    expr = haversine_sql(
+        "40.0::DOUBLE", "(-105.0)::DOUBLE", "40.0005::DOUBLE", "(-105.0005)::DOUBLE"
+    )
+    got = duckdb.sql(f"SELECT {expr} AS d").fetchone()[0]
+    assert math.isclose(got, haversine_m_py(40.0, -105.0, 40.0005, -105.0005), rel_tol=1e-12)
+
+
+@pytest.mark.parametrize("z", [8, 10, 12])
+def test_quadkey_four_way_parity(spark, z):
+    lats = [40.0 + i * 0.0005 for i in range(50)] + [0.0, -33.86, 85.0, -85.0]
+    lons = [-105.0 - i * 0.0005 for i in range(50)] + [0.0, 151.2, 179.9, -179.9]
+    py = [quadkey_py(a, b, z) for a, b in zip(lats, lons)]
+    npv = quadkey_np(np.array(lats), np.array(lons), z)
+    assert list(npv) == py
+
+    df = spark.createDataFrame(list(zip(lats, lons)), "lat double, lon double")
+    got = [r["qk"] for r in df.select(quadkey_col(F.col("lat"), F.col("lon"), z).alias("qk")).collect()]
+    assert got == py
+
+    q = ", ".join(f"({a}, {b})" for a, b in zip(lats, lons))
+    sql = f"SELECT {quadkey_sql('lat', 'lon', z)} AS qk FROM (VALUES {q}) t(lat, lon)"
+    duck = [r[0] for r in duckdb.sql(sql).fetchall()]
+    assert duck == py
+
+
+def test_quadkey_known_value():
+    # Bing maps documented example: lat 47.61, lon -122.33 -> tile (656, 1432) z=12
+    x, y = tile_xy_py(47.609722, -122.333056, 12)
+    assert (x, y) == (656, 1430)
+    assert quadkey_py(47.609722, -122.333056, 3) == "021"
+
+
+def test_quadkey_prefix_ladder():
+    # res ladder property: z-1 key is the z key minus last digit
+    for lat, lon in [(40.0, -105.0), (-12.0, 30.5)]:
+        for z in range(2, 16):
+            assert quadkey_py(lat, lon, z)[: z - 1] == quadkey_py(lat, lon, z - 1)
+
+
+def test_tile_bounds_roundtrip():
+    x, y = tile_xy_py(40.0, -105.0, 12)
+    lon_w, lat_s, lon_e, lat_n = tile_bounds_py(x, y, 12)
+    assert lon_w <= -105.0 < lon_e
+    assert lat_s <= 40.0 < lat_n
+
+
+def test_fit_scalars(spark):
+    df = spark.createDataFrame(
+        [(0x7FFFFFFF, 0xFFFF, 0), (1073741824, 2500, 1000000000)],
+        "semi long, alt long, fts long",
+    )
+    out = df.select(
+        fit_semicircles_to_deg(F.col("semi")).alias("deg"),
+        fit_altitude_m(F.col("alt")).alias("ele"),
+        fit_timestamp(F.col("fts")).alias("ts"),
+    ).collect()
+    assert out[0]["deg"] is None and out[0]["ele"] is None and out[0]["ts"] is None
+    assert out[1]["deg"] == 90.0  # 2^30 semicircles = 90 deg
+    assert out[1]["ele"] == 0.0  # 2500/5 - 500
+    # 1989-12-31 + 1e9 s = 2021-09-04T01:20:00Z
+    assert str(out[1]["ts"]).startswith("2021-09-0")

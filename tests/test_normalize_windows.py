@@ -1,0 +1,172 @@
+"""Normalization + window operator semantics, pinned to the reference:
+last-wins dedup (raw_editor.dart:21-67), trimInvalid rules (:82-195),
+edge-clamped smoothing (:616-643), contiguous-group filter
+(fit_parser.dart:1252-1332), distance-split laps (raw_editor.dart:683-750).
+"""
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from activity_files_spark.functions.geo import haversine_m_py
+from activity_files_spark.operators.normalize import (
+    crop,
+    delete_range,
+    largest_contiguous_group,
+    sort_dedup,
+    trim_channels_to_envelope,
+    trim_invalid,
+)
+from activity_files_spark.operators.windows import (
+    cumulative_distance,
+    detect_gaps,
+    mark_laps_by_distance,
+    recompute_speed,
+    sessionize_gap,
+    smooth,
+)
+
+
+def ts(s):
+    return datetime.fromisoformat(s).replace(tzinfo=None)
+
+
+def mk_points(spark, rows):
+    return spark.createDataFrame(
+        rows, "activity_id string, seq long, ts timestamp, lat double, lon double, ele double"
+    )
+
+
+def test_sort_dedup_last_wins(spark):
+    rows = [
+        ("a", 0, ts("2024-03-01T10:00:00"), 40.0, -105.0, 1600.0),
+        ("a", 1, ts("2024-03-01T10:00:10"), 40.0005, -105.0005, 1601.0),
+        ("a", 2, ts("2024-03-01T10:00:10"), 41.0, -106.0, 9999.0),  # dup ts: wins
+        ("a", 3, ts("2024-03-01T10:00:05"), 40.0002, -105.0002, 1600.5),  # out of order
+    ]
+    out = sort_dedup(mk_points(spark, rows)).orderBy("ts").collect()
+    assert [r["seq"] for r in out] == [0, 3, 2]
+    assert out[2]["lat"] == 41.0  # last occurrence won
+
+
+def test_trim_invalid_rules(spark):
+    rows = [
+        ("a", 0, ts("2024-03-01T10:00:00"), 40.0, -105.0, 1600.0),     # keep
+        ("a", 1, ts("2024-03-01T10:00:10"), 91.0, -105.0, 1600.0),     # lat out of range
+        ("a", 2, ts("2024-03-01T10:00:20"), 40.0, 181.0, 1600.0),      # lon out of range
+        ("a", 3, ts("2024-03-01T10:00:30"), 1e-9, 1e-9, 1600.0),       # Null Island
+        ("a", 4, ts("2024-03-01T10:00:40"), 40.0, -105.0, -500.0),     # ele cleared
+        ("a", 5, ts("2024-03-01T10:00:50"), float("nan"), -105.0, 0.0),  # NaN dropped
+    ]
+    out = {r["seq"]: r for r in trim_invalid(mk_points(spark, rows)).collect()}
+    assert sorted(out) == [0, 4]
+    assert out[4]["ele"] is None  # cleared, not dropped
+    assert out[0]["ele"] == 1600.0
+
+
+def test_trim_channels_to_envelope(spark):
+    pts = mk_points(
+        spark,
+        [
+            ("a", 0, ts("2024-03-01T10:00:00"), 40.0, -105.0, 0.0),
+            ("a", 1, ts("2024-03-01T10:00:20"), 40.0, -105.0, 0.0),
+        ],
+    )
+    ch = spark.createDataFrame(
+        [
+            ("a", "heart_rate", ts("2024-03-01T09:59:59"), 100.0),  # before -> drop
+            ("a", "heart_rate", ts("2024-03-01T10:00:00"), 140.0),  # boundary -> keep
+            ("a", "heart_rate", ts("2024-03-01T10:00:21"), 150.0),  # after -> drop
+        ],
+        "activity_id string, channel string, ts timestamp, value double",
+    )
+    out = trim_channels_to_envelope(ch, pts).collect()
+    assert len(out) == 1 and out[0]["value"] == 140.0
+
+
+def test_crop_and_delete_range(spark):
+    rows = [("a", i, ts(f"2024-03-01T10:00:{i:02d}"), 40.0, -105.0, 0.0) for i in range(0, 50, 10)]
+    df = mk_points(spark, rows)
+    c = crop(df, "2024-03-01T10:00:10", "2024-03-01T10:00:30")
+    assert sorted(r["seq"] for r in c.collect()) == [10, 20, 30]  # inclusive both ends
+    d = delete_range(df, "2024-03-01T10:00:10", "2024-03-01T10:00:30")
+    assert sorted(r["seq"] for r in d.collect()) == [0, 40]
+
+
+def test_smooth_edge_clamped(spark):
+    # window=3 -> left=1, right=1; edges clamp (reference prefix-sum behavior)
+    ch = spark.createDataFrame(
+        [("a", ts(f"2024-03-01T10:00:{i:02d}"), float(v)) for i, v in enumerate([140, 142, 145, 143, 141])],
+        "activity_id string, ts timestamp, value double",
+    )
+    out = [r["value"] for r in smooth(ch, window=3).orderBy("ts").collect()]
+    assert out[0] == (140 + 142) / 2  # left edge: only 2 values
+    assert out[1] == (140 + 142 + 145) / 3
+    assert out[-1] == (143 + 141) / 2  # right edge
+
+
+def test_recompute_speed_and_cumdist(spark):
+    rows = [
+        ("a", 0, ts("2024-03-01T10:00:00"), 40.0, -105.0, 0.0),
+        ("a", 1, ts("2024-03-01T10:00:10"), 40.0005, -105.0005, 0.0),
+        ("a", 2, ts("2024-03-01T10:00:20"), 40.001, -105.001, 0.0),
+    ]
+    df = mk_points(spark, rows)
+    out = cumulative_distance(df).orderBy("ts").collect()
+    d01 = haversine_m_py(40.0, -105.0, 40.0005, -105.0005)
+    d12 = haversine_m_py(40.0005, -105.0005, 40.001, -105.001)
+    assert abs(out[0]["distance_m"]) < 1e-9
+    assert abs(out[1]["distance_m"] - d01) < 1e-6
+    assert abs(out[2]["distance_m"] - (d01 + d12)) < 1e-6
+    sp = recompute_speed(df).orderBy("ts").collect()
+    assert sp[0]["speed_mps"] == 0.0
+    assert abs(sp[1]["speed_mps"] - d01 / 10.0) < 1e-9
+
+
+def test_detect_gaps(spark):
+    rows = [
+        ("a", 0, ts("2024-03-01T10:00:00"), 40.0, -105.0, 0.0),
+        ("a", 1, ts("2024-03-01T10:00:10"), 40.0, -105.0, 0.0),
+        ("a", 2, ts("2024-03-01T10:10:11"), 40.0, -105.0, 0.0),  # 601s gap
+    ]
+    out = detect_gaps(mk_points(spark, rows), threshold_s=300.0).collect()
+    assert len(out) == 1 and out[0]["seq"] == 2
+
+
+def test_largest_contiguous_group(spark):
+    rows = (
+        [("a", i, ts(f"2024-03-01T10:00:{i:02d}"), 40.0, -105.0, 0.0) for i in range(3)]
+        # 25h gap -> new group with 5 points (larger, wins)
+        + [("a", 10 + i, ts(f"2024-03-02T11:00:{i:02d}"), 50.0, -100.0, 0.0) for i in range(5)]
+    )
+    out = largest_contiguous_group(mk_points(spark, rows), max_gap_hours=24.0).collect()
+    assert sorted(r["seq"] for r in out) == [10, 11, 12, 13, 14]
+
+
+def test_mark_laps_by_distance(spark):
+    # points every ~55.66m going north; split at 150m
+    rows = [
+        ("a", i, ts(f"2024-03-01T10:{i // 60:02d}:{i % 60:02d}"), 40.0 + i * 0.0005, -105.0, 0.0)
+        for i in range(10)
+    ]
+    laps = mark_laps_by_distance(mk_points(spark, rows), split_m=150.0).orderBy("lap_id").collect()
+    assert len(laps) >= 3
+    assert sum(lp["n_points"] for lp in laps) == 10
+    # first lap covers points until the accumulator crosses 150m
+    assert laps[0]["n_points"] == 3  # 0m, 55.66m, 111.3m -> lap 0; 166.9m -> lap 1
+
+
+def test_sessionize_gap(spark):
+    rows = [
+        (1, ts("2024-01-01T00:00:00")),
+        (1, ts("2024-01-01T00:10:00")),
+        (1, ts("2024-01-01T02:00:00")),  # > 1h gap -> new session
+        (2, ts("2024-01-01T00:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize_gap(df, gap_s=3600.0).collect()
+    sess = {(r["user_id"], str(r["ts"])): r["session_id"] for r in out}
+    assert sess[(1, "2024-01-01 00:00:00")] == 0
+    assert sess[(1, "2024-01-01 00:10:00")] == 0
+    assert sess[(1, "2024-01-01 02:00:00")] == 1
+    assert sess[(2, "2024-01-01 00:00:00")] == 0
