@@ -548,6 +548,141 @@ def _gap_sql() -> str:
     """
 
 
+# ------------------------------------------------------------ image pipeline
+
+N_IMAGES_CORRECTNESS = 200  # deterministic synthetic table size for oracles
+
+
+def _lat_sql_img(i: str) -> str:
+    return f"40.0 + CAST(({i}) % 1000 AS DOUBLE) * 0.0005"
+
+
+def _lon_sql_img(i: str) -> str:
+    return f"-105.0 - CAST(({i}) % 1000 AS DOUBLE) * 0.0005"
+
+
+def tile_assign_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule tiling: each synthetic image lands in exactly one cell per
+    ladder resolution {8, 10, 12}; oracle recomputes the ladder in SQL from
+    the deterministic fixture grid."""
+    from activity_files_spark.data.images import synth_images
+    from activity_files_spark.operators.tiling import tile_assign
+
+    imgs = synth_images(spark, N_IMAGES_CORRECTNESS, partitions=8)
+    return tile_assign(imgs, resolutions=[8, 10, 12]).select(
+        "image_id", "zoom", "cell_id", "quadkey"
+    )
+
+
+def _tile_assign_sql() -> str:
+    parts = []
+    for z in (8, 10, 12):
+        x, y = tile_xy_sql("lat", "lon", z)
+        digits = quadkey_digits_sql("qx", "qy", z)
+        parts.append(
+            f"SELECT image_id, {z} AS zoom, (qx << {z}) | qy AS cell_id, {digits} AS quadkey "
+            f"FROM (SELECT image_id, {x} AS qx, {y} AS qy FROM pts)"
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH pts AS (
+      SELECT printf('img_%012d', i) AS image_id,
+             {_lat_sql_img('i')} AS lat, {_lon_sql_img('i')} AS lon
+      FROM range({N_IMAGES_CORRECTNESS}) t(i)
+    )
+    {union}
+    """
+
+
+def image_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join of the image table against the broadcast geofence set."""
+    from activity_files_spark.data.images import synth_images
+
+    imgs = synth_images(spark, N_IMAGES_CORRECTNESS, partitions=8).select(
+        "image_id", "lat", "lon"
+    )
+    gf = spark.createDataFrame(
+        GEOFENCES, "geofence_id string, lon_w double, lon_e double, lat_s double, lat_n double"
+    )
+    j = imgs.join(
+        F.broadcast(gf),
+        (F.col("lon") >= F.col("lon_w")) & (F.col("lon") <= F.col("lon_e"))
+        & (F.col("lat") >= F.col("lat_s")) & (F.col("lat") <= F.col("lat_n")),
+    )
+    return j.groupBy("geofence_id").agg(
+        F.count("*").alias("n_images"),
+        F.min("image_id").alias("first_image"),
+    )
+
+
+def _image_pip_sql() -> str:
+    vals = ", ".join(f"('{g}', {w}, {e}, {s}, {n})" for g, w, e, s, n in GEOFENCES)
+    return f"""
+    WITH pts AS (
+      SELECT printf('img_%012d', i) AS image_id,
+             {_lat_sql_img('i')} AS lat, {_lon_sql_img('i')} AS lon
+      FROM range({N_IMAGES_CORRECTNESS}) t(i)
+    ), gf(geofence_id, lon_w, lon_e, lat_s, lat_n) AS (VALUES {vals})
+    SELECT geofence_id, COUNT(*) AS n_images, MIN(image_id) AS first_image
+    FROM pts JOIN gf
+      ON lon >= lon_w AND lon <= lon_e AND lat >= lat_s AND lat <= lat_n
+    GROUP BY geofence_id
+    """
+
+
+def image_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN: 3 nearest images per query point via cell-ring expansion."""
+    from activity_files_spark.data.images import synth_images
+    from activity_files_spark.operators.spatial import knn_join
+
+    imgs = synth_images(spark, N_IMAGES_CORRECTNESS, partitions=8).select(
+        F.col("image_id").alias("point_id"), "lat", "lon"
+    )
+    qs = spark.range(10).select(
+        F.col("id").alias("query_id"),
+        (F.lit(40.0) + (F.col("id") * 29 % 200).cast("double") * F.lit(0.0005)).alias("lat"),
+        (F.lit(-105.0) - (F.col("id") * 31 % 200).cast("double") * F.lit(0.0005)).alias("lon"),
+    )
+    out = knn_join(qs, imgs, k=3, z=14, q_id="query_id", p_id="point_id")
+    return out.select("query_id", "point_id", "rank")
+
+
+def _image_knn_sql() -> str:
+    hs = haversine_sql("q.lat", "q.lon", "p.lat", "p.lon")
+    return f"""
+    WITH p AS (
+      SELECT printf('img_%012d', i) AS point_id,
+             {_lat_sql_img('i')} AS lat, {_lon_sql_img('i')} AS lon
+      FROM range({N_IMAGES_CORRECTNESS}) t(i)
+    ), q AS (
+      SELECT i AS query_id,
+             40.0 + CAST((i * 29) % 200 AS DOUBLE) * 0.0005 AS lat,
+             -105.0 - CAST((i * 31) % 200 AS DOUBLE) * 0.0005 AS lon
+      FROM range(10) t(i)
+    )
+    SELECT query_id, point_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {hs}, point_id) AS rank
+    FROM q JOIN p ON true
+    QUALIFY rank <= 3
+    """
+
+
+def validate_images_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row image invariants (decode + PSNR>=40dB + caption + phash)
+    rolled up per fmt. Not SQL-expressible (pixel decode) — the driver
+    records a rows-only check; pytest pins the per-row semantics."""
+    from activity_files_spark.data.images import synth_images
+    from activity_files_spark.operators.tiling import validate_images
+
+    imgs = synth_images(spark, N_IMAGES_CORRECTNESS, partitions=8)
+    diag = validate_images(imgs)
+    return diag.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+        F.round(F.min("psnr_db"), 3).alias("min_psnr_db"),
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -588,6 +723,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_documents": token_stats_documents,
         "cosine_topk_embeddings": cosine_topk_embeddings,
         "gap_events": gap_events,
+        "tile_assign_images": tile_assign_images,
+        "image_pip_join": image_pip_join,
+        "image_knn": image_knn,
+        "validate_images_summary": validate_images_summary,
     }
 
 
@@ -608,4 +747,9 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_documents": _token_stats_sql(),
         "cosine_topk_embeddings": _cosine_sql(),
         "gap_events": _gap_sql(),
+        "tile_assign_images": _tile_assign_sql(),
+        "image_pip_join": _image_pip_sql(),
+        "image_knn": _image_knn_sql(),
+        # validate_images_summary: intentionally no oracle (pixel decode is
+        # not SQL-expressible) -> driver rows-only check; pytest pins it.
     }

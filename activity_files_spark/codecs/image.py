@@ -1,0 +1,251 @@
+"""Pure-numpy image codecs + metrics for the image+caption table
+(BASELINE.json input_hint: (image_id, bytes, w, h, fmt, caption, phash)).
+
+No image libraries exist in this container (no PIL/cv2), so:
+
+- **bmp**: real 24-bit uncompressed BMP (BITMAPINFOHEADER, BGR bottom-up,
+  4-byte row padding) — lossless, readable by any standard tool.
+- **png**: real 8-bit RGB PNG (zlib, filter 0) — lossless, standards-valid
+  (checked against the PNG spec CRC/chunk layout).
+- **jpeg**: DETERMINISTIC FAKE LOSSY CODEC — a clearly-marked stand-in that
+  exercises the lossy path (PSNR >= 40 dB invariant) without a real JPEG
+  implementation: 5-bit uniform quantization per channel + zlib, wrapped in
+  a `FAKEJPG1` magic header. Decoding a *real* JPEG bitstream raises
+  NotImplementedError. The Spark-side plumbing (schema, batching, UDF
+  signatures) is identical to what a real codec would use; swap
+  encode_jpeg/decode_jpeg for a libjpeg binding in production.
+
+Metrics:
+- :func:`psnr_db` — peak signal-to-noise ratio over uint8 pixels.
+- :func:`phash64` — 64-bit perceptual hash (32x32 grayscale -> 2D DCT-II ->
+  low-frequency 8x8 block -> median threshold), pure numpy, deterministic.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+FAKE_JPEG_MAGIC = b"FAKEJPG1"
+_QUANT_BITS = 5  # 5-bit quantization: max err 4 -> PSNR ~41-46 dB (>= 40 gate)
+
+
+# ------------------------------------------------------------------ BMP
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """px: (h, w, 3) uint8 RGB -> 24-bit BMP bytes."""
+    h, w, _ = px.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    bgr = px[::-1, :, ::-1]  # bottom-up, BGR
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP bpp={bpp}")
+    row_size = (w * 3 + 3) & ~3
+    arr = np.frombuffer(data, dtype=np.uint8, count=row_size * abs(h), offset=offset)
+    rows = arr.reshape(abs(h), row_size)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+# ------------------------------------------------------------------ PNG
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """px: (h, w, 3) uint8 RGB -> 8-bit truecolor PNG (filter 0)."""
+    h, w, _ = px.shape
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), px.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        sig
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack_from(">IIBB", payload)
+            if bit_depth != 8 or color_type != 2:
+                raise ValueError("only 8-bit RGB PNG supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * 3 + 1)
+    filters = raw[:, 0]
+    px = raw[:, 1:].reshape(h, w, 3).astype(np.int32)
+    # support filter types 0 (None), 1 (Sub), 2 (Up) — we emit 0 only, but a
+    # spec-conformant reader tolerates the common ones
+    out = np.zeros_like(px)
+    for r in range(h):
+        f = filters[r]
+        if f == 0:
+            out[r] = px[r]
+        elif f == 1:
+            acc = px[r].copy()
+            for c in range(1, w):
+                acc[c] = (acc[c] + acc[c - 1]) & 0xFF
+            out[r] = acc
+        elif f == 2:
+            out[r] = (px[r] + out[r - 1]) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter {f}")
+    return out.astype(np.uint8)
+
+
+# ------------------------------------------------------------------ fake-lossy ("jpeg" slot)
+
+def encode_jpeg(px: np.ndarray) -> bytes:
+    """DETERMINISTIC FAKE lossy codec (see module docstring). NOT real JPEG."""
+    h, w, _ = px.shape
+    q = (px.astype(np.uint16) >> (8 - _QUANT_BITS)).astype(np.uint8)
+    return (
+        FAKE_JPEG_MAGIC
+        + struct.pack("<II", w, h)
+        + zlib.compress(q.tobytes(), 6)
+    )
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    if data[: len(FAKE_JPEG_MAGIC)] != FAKE_JPEG_MAGIC:
+        if data[:2] == b"\xff\xd8":
+            raise NotImplementedError(
+                "real JPEG bitstreams need a libjpeg binding (not available "
+                "in this container); only the FAKEJPG1 deterministic stand-in "
+                "is supported here"
+            )
+        raise ValueError("not a FAKEJPG1 payload")
+    w, h = struct.unpack_from("<II", data, len(FAKE_JPEG_MAGIC))
+    q = np.frombuffer(
+        zlib.decompress(data[len(FAKE_JPEG_MAGIC) + 8 :]), dtype=np.uint8
+    ).reshape(h, w, 3)
+    # dequantize to bin centers: (q << 3) | 4 recovers mid-bin (max err 4)
+    return ((q.astype(np.uint16) << (8 - _QUANT_BITS)) | (1 << (7 - _QUANT_BITS))).astype(
+        np.uint8
+    )
+
+
+# ------------------------------------------------------------------ dispatch
+
+def encode(px: np.ndarray, fmt: str) -> bytes:
+    if fmt == "bmp":
+        return encode_bmp(px)
+    if fmt == "png":
+        return encode_png(px)
+    if fmt == "jpeg":
+        return encode_jpeg(px)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "bmp":
+        return decode_bmp(data)
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "jpeg":
+        return decode_jpeg(data)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+LOSSLESS_FMTS = {"png", "bmp"}
+
+
+# ------------------------------------------------------------------ metrics
+
+def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
+    """PSNR over uint8 pixel arrays; inf for identical."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def _resize_area(gray: np.ndarray, size: int = 32) -> np.ndarray:
+    """Deterministic area-average resize to size x size (float64)."""
+    h, w = gray.shape
+    ys = (np.arange(size + 1) * h / size).astype(np.int64)
+    xs = (np.arange(size + 1) * w / size).astype(np.int64)
+    ys = np.clip(ys, 0, h)
+    xs = np.clip(xs, 0, w)
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    # integral image for exact block means; fully vectorized gather
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = np.cumsum(np.cumsum(gray.astype(np.float64), 0), 1)
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return (
+        ii[np.ix_(y1, x1)] - ii[np.ix_(y0, x1)] - ii[np.ix_(y1, x0)] + ii[np.ix_(y0, x0)]
+    ) / area
+
+
+def phash64(px: np.ndarray) -> int:
+    """64-bit perceptual hash: grayscale -> 32x32 area resize -> 2D DCT-II ->
+    top-left 8x8 low-frequency block (DC excluded from the median) ->
+    bit i set iff coeff > median. Signed int64 (two's complement) so the
+    value fits the table's int64 phash column."""
+    gray = (
+        0.299 * px[:, :, 0].astype(np.float64)
+        + 0.587 * px[:, :, 1].astype(np.float64)
+        + 0.114 * px[:, :, 2].astype(np.float64)
+    )
+    small = _resize_area(gray, 32)
+    d = _DCT32 @ small @ _DCT32.T
+    block = d[:8, :8].flatten()
+    med = np.median(block[1:])
+    bits = block > med
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v

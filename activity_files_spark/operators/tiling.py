@@ -1,0 +1,159 @@
+"""Raster tiling pipeline over the image+caption table (north rule).
+
+Stages:
+- :func:`tile_assign` — res-ladder tile assignment: each image lands in
+  exactly one cell per resolution; the ladder is emitted as exploded
+  (image_id, zoom, cell_id, quadkey) rows. Mercator trig runs ONCE per row
+  (shared y01 projection), each extra resolution is two multiplies+floors —
+  the plan stays in whole-stage codegen.
+- :func:`validate_images` — per-row invariants (input_hint): decoded-pixel
+  allclose (exact for lossless fmts, PSNR >= 40 dB for lossy), caption
+  equality, phash equality. Runs as a mapInPandas Arrow kernel (numpy
+  decode, no per-row Python driver logic).
+- :func:`salted_repartition` — explicit skew handling for dense cells:
+  appends a deterministic salt derived from a uniqueness column and
+  repartitions on (key, salt); AQE skew-join config in session.py is the
+  second line of defense.
+
+At 10^12 rows the tile_assign output is written partitioned by
+(zoom, cell prefix) so downstream PIP/kNN joins are co-located.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from activity_files_spark.codecs.image import LOSSLESS_FMTS, decode, phash64, psnr_db
+from activity_files_spark.functions.quadkey import (
+    MAX_LAT,
+    quadkey_from_cell_id_col,
+)
+
+PSNR_GATE_DB = 40.0
+
+
+def _mercator_xy01(lat, lon):
+    """Shared unit-square web-mercator projection (Column expressions)."""
+    lat_c = F.greatest(F.least(lat, F.lit(MAX_LAT)), F.lit(-MAX_LAT))
+    x01 = (lon + F.lit(180.0)) / F.lit(360.0)
+    sin_lat = F.sin(lat_c * F.lit(math.pi) / F.lit(180.0))
+    y01 = F.lit(0.5) - F.log(
+        (F.lit(1.0) + sin_lat) / (F.lit(1.0) - sin_lat)
+    ) / F.lit(4.0 * math.pi)
+    return x01, y01
+
+
+def ladder_cell_ids(lat, lon, resolutions: list[int]) -> list:
+    """Packed cell-id Columns for every resolution from ONE projection."""
+    x01, y01 = _mercator_xy01(lat, lon)
+    cols = []
+    for z in resolutions:
+        n = 1 << z
+        clamp = lambda c: F.greatest(F.least(c, F.lit(n - 1)), F.lit(0))  # noqa: E731
+        x = clamp(F.floor(x01 * F.lit(float(n))).cast("long"))
+        y = clamp(F.floor(y01 * F.lit(float(n))).cast("long"))
+        cols.append(F.shiftleft(x, z).bitwiseOR(y))
+    return cols
+
+
+def tile_assign(
+    df: DataFrame,
+    resolutions: list[int] = (8, 10, 12),
+    id_col: str = "image_id",
+    lat: str = "lat",
+    lon: str = "lon",
+    with_quadkey: bool = True,
+) -> DataFrame:
+    """Explode each row to its res-ladder cells: (id, zoom, cell_id[, quadkey])."""
+    cells = ladder_cell_ids(F.col(lat), F.col(lon), list(resolutions))
+    ladder = F.array(
+        *[
+            F.struct(F.lit(z).alias("zoom"), c.alias("cell_id"))
+            for z, c in zip(resolutions, cells)
+        ]
+    )
+    out = (
+        df.select(F.col(id_col), F.explode(ladder).alias("t"))
+        .select(id_col, F.col("t.zoom").alias("zoom"), F.col("t.cell_id").alias("cell_id"))
+    )
+    if with_quadkey:
+        # zoom values are disjoint, so a when-chain dispatches each exploded
+        # row to the right fixed-z string builder (still pure codegen)
+        qk = None
+        for z in resolutions:
+            branch = quadkey_from_cell_id_col(F.col("cell_id"), z)
+            qk = branch if qk is None else F.when(F.col("zoom") == z, branch).otherwise(qk)
+        out = out.withColumn("quadkey", qk)
+    return out
+
+
+def validate_images(images: DataFrame) -> DataFrame:
+    """Per-row invariant check (input_hint): returns a diagnostics DataFrame
+    (image_id, fmt, psnr_db, pixels_ok, caption_ok, phash_ok, ok).
+
+    Arrow kernel: regenerates the expected pixels from the row index encoded
+    in image_id, decodes `bytes`, and checks exact equality (lossless) or
+    PSNR >= 40 dB (lossy), caption equality, and phash equality.
+    """
+    from activity_files_spark.data.images import (
+        caption_for,
+        image_index,
+        pixels_for,
+    )
+
+    schema = (
+        "image_id string, fmt string, psnr_db double, pixels_ok boolean, "
+        "caption_ok boolean, phash_ok boolean, ok boolean"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                i = image_index(row.image_id)
+                px = decode(bytes(row.bytes), row.fmt)
+                ref = pixels_for(i, row.w, row.h)
+                if row.fmt in LOSSLESS_FMTS:
+                    p = float("inf") if np.array_equal(px, ref) else psnr_db(px, ref)
+                    pixels_ok = bool(np.array_equal(px, ref))
+                else:
+                    p = psnr_db(px, ref)
+                    pixels_ok = p >= PSNR_GATE_DB
+                caption_ok = row.caption == caption_for(i)
+                phash_ok = int(row.phash) == phash64(px)
+                recs.append(
+                    {
+                        "image_id": row.image_id,
+                        "fmt": row.fmt,
+                        "psnr_db": p if np.isfinite(p) else 99.0,
+                        "pixels_ok": pixels_ok,
+                        "caption_ok": caption_ok,
+                        "phash_ok": phash_ok,
+                        "ok": pixels_ok and caption_ok and phash_ok,
+                    }
+                )
+            yield pd.DataFrame(recs)
+
+    return images.mapInPandas(kernel, schema)
+
+
+def salted_repartition(
+    df: DataFrame, key: str, salt_buckets: int, unique_col: str, n_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic salted repartition for skewed keys: salt = positive hash
+    of ``unique_col`` mod buckets; repartition on (key, _salt). Downstream
+    per-key aggregations do partial agg per salt then a second (tiny) agg."""
+    out = df.withColumn("_salt", F.pmod(F.hash(F.col(unique_col)), F.lit(salt_buckets)))
+    if n_partitions:
+        return out.repartition(n_partitions, F.col(key), F.col("_salt"))
+    return out.repartition(F.col(key), F.col("_salt"))
+
+
+def tile_histogram(tiles: DataFrame) -> DataFrame:
+    """Per (zoom, cell) image counts — the tiling rollup used by bench."""
+    return tiles.groupBy("zoom", "cell_id").agg(F.count("*").alias("n_images"))

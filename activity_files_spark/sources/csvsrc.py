@@ -1,0 +1,98 @@
+"""CSV source + sink — fully native Spark (no Python kernels).
+
+Parser semantics from the reference (lib/src/parse/csv_parser.dart:13-190):
+- fixed columns: timestamp, latitude, longitude, elevation + known channels
+  (heart_rate, cadence, power, temperature, distance, speed) + sport
+- any OTHER numeric column becomes a custom channel keyed by its
+  normalized (trim+lowercase) header name (csv_parser.dart:141-153)
+- malformed rows -> diagnostics, never exceptions
+
+Spark: spark.read.csv(header=True) + a stack() melt for channel columns —
+predicate pushdown and column pruning work end-to-end.
+
+Encoder (lib/src/encode/csv_encoder.dart:23-93): fixed 11-column header +
+sorted extra channel columns, exact-timestamp pivot (encoder_utils.dart:9-19).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FIXED_COLS = ["timestamp", "latitude", "longitude", "elevation"]
+KNOWN_CHANNELS = ["heart_rate", "cadence", "power", "temperature", "distance", "speed"]
+CSV_HEADER = FIXED_COLS + KNOWN_CHANNELS + ["sport"]
+
+
+def read_csv_activities(
+    spark: SparkSession, path_or_df, activity_id: str = "csv"
+) -> dict[str, DataFrame]:
+    """Parse CSV activity data -> {"points": DF, "channels": DF}.
+
+    Accepts a path (native spark.read.csv) or an already-loaded DataFrame
+    with string columns (e.g. from a decoded text payload).
+    """
+    if isinstance(path_or_df, str):
+        df = spark.read.csv(path_or_df, header=True, mode="PERMISSIVE")
+    else:
+        df = path_or_df
+    cols = {c.strip().lower(): c for c in df.columns}
+    if "activity_id" in cols:
+        aid = F.col(cols["activity_id"])
+    else:
+        aid = F.lit(activity_id)
+
+    ts = F.to_timestamp(F.col(cols["timestamp"])) if "timestamp" in cols else F.lit(None)
+    points = df.select(
+        aid.alias("activity_id"),
+        F.monotonically_increasing_id().alias("seq"),
+        ts.alias("ts"),
+        F.col(cols["latitude"]).cast("double").alias("lat") if "latitude" in cols else F.lit(None).cast("double").alias("lat"),
+        F.col(cols["longitude"]).cast("double").alias("lon") if "longitude" in cols else F.lit(None).cast("double").alias("lon"),
+        (F.col(cols["elevation"]).cast("double") if "elevation" in cols else F.lit(None).cast("double")).alias("ele"),
+    )
+
+    # channel columns = known channels present + unknown numeric extras
+    reserved = set(FIXED_COLS) | {"sport", "activity_id"}
+    chan_cols = [c for c in cols if c not in reserved]
+    if chan_cols:
+        stack_expr = ", ".join(
+            f"'{c}', CAST(`{cols[c]}` AS DOUBLE)" for c in sorted(chan_cols)
+        )
+        channels = df.select(
+            aid.alias("activity_id"),
+            ts.alias("ts"),
+            F.expr(f"stack({len(chan_cols)}, {stack_expr}) AS (channel, value)"),
+        ).filter(F.col("value").isNotNull())
+    else:
+        channels = spark.createDataFrame(
+            [], "activity_id string, ts timestamp, channel string, value double"
+        )
+    return {"points": points, "channels": channels}
+
+
+def csv_encode_df(points: DataFrame, channels: DataFrame) -> DataFrame:
+    """Wide CSV layout: points + exact-ts channel pivot; extra channels get
+    sorted trailing columns (csv_encoder.dart:50-54). Returns a DataFrame
+    ready for df.write.csv(header=True)."""
+    extra = sorted(
+        r["channel"]
+        for r in channels.select("channel").distinct().collect()
+        if r["channel"] not in KNOWN_CHANNELS
+    )
+    pivoted = (
+        channels.groupBy("activity_id", "ts")
+        .pivot("channel", KNOWN_CHANNELS + extra)
+        .agg(F.last("value"))
+    )
+    out = points.join(pivoted, ["activity_id", "ts"], "left")
+    sel = [
+        F.col("activity_id"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("timestamp"),
+        F.col("lat").alias("latitude"),
+        F.col("lon").alias("longitude"),
+        F.col("ele").alias("elevation"),
+    ]
+    for c in KNOWN_CHANNELS + extra:
+        sel.append(F.col(c) if c in pivoted.columns else F.lit(None).cast("double").alias(c))
+    return out.select(*sel).orderBy("activity_id", "timestamp")

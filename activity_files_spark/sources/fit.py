@@ -1,0 +1,503 @@
+"""FIT binary source + sink (pure python/numpy — no external libs).
+
+Decoder semantics from the reference (lib/src/parse/fit_parser.dart):
+- 12/14-byte header with data_size + ".FIT" magic + optional header CRC;
+  trailing file CRC-16 (nibble-table algorithm, lib/src/fit/fit_crc.dart:7-46
+  — the public FIT SDK checksum)
+- definition/data record state machine (fit_parser.dart:235-340), little/big
+  endian per definition, compressed-timestamp headers with 5-bit rollover
+  (fit_parser.dart:1134-1142)
+- base types with invalid sentinels that decode to null
+  (fit_parser.dart:1637-1904)
+- scale rules pinned by tests (fit_parser.dart:1213-1365):
+    semicircles * 180 / 2^31 (reject |deg| > 180)
+    altitude raw/5 - 500        speed raw/1000      distance raw/100
+    timestamps: 1989-12-31T00:00:00Z epoch, plausibility [1, 1924992000]
+- message handlers: file_id 0, record 20, lap 19, session 18, event 21
+  (fit_parser.dart:351-776)
+- developer fields registered from message 206 field_description
+  (fit_parser.dart:805-835), names sanitized (fit_parser.dart:1167-1185)
+- malformed input -> diagnostics, never exceptions (integrity report mode,
+  lib/src/parse/integrity_mode.dart)
+
+Encoder (lib/src/encode/fit_encoder.dart): 14-byte header + file_id +
+record/lap messages with invalid-sentinel nulls + trailing CRC.
+
+Spark shape: whole-file decode inside a mapInPandas kernel over binary
+payloads; the per-record loop is python but per-field decode is a
+precompiled struct format — ~1e6 records/s/core, and files are independent
+units of parallelism (the reference caps payloads at 64 MB).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from activity_files_spark.sources.records import RECORD_SCHEMA, records_frame
+
+FIT_EPOCH_UNIX = 631_065_600
+FIT_TS_MAX = 1_924_992_000
+SEMI_TO_DEG = 180.0 / 2_147_483_648.0
+
+# FIT CRC-16 nibble table (public FIT SDK algorithm; fit_crc.dart:7-46)
+_CRC_TABLE = [
+    0x0000, 0xCC01, 0xD801, 0x1400, 0xF001, 0x3C00, 0x2800, 0xE401,
+    0xA001, 0x6C00, 0x7800, 0xB401, 0x5000, 0x9C01, 0x8801, 0x4400,
+]
+
+
+def fit_crc16(data: bytes, crc: int = 0) -> int:
+    for b in data:
+        tmp = _CRC_TABLE[crc & 0xF]
+        crc = (crc >> 4) & 0x0FFF
+        crc = crc ^ tmp ^ _CRC_TABLE[b & 0xF]
+        tmp = _CRC_TABLE[crc & 0xF]
+        crc = (crc >> 4) & 0x0FFF
+        crc = crc ^ tmp ^ _CRC_TABLE[(b >> 4) & 0xF]
+    return crc
+
+
+# base type id -> (struct char, size, invalid sentinel)
+BASE_TYPES = {
+    0x00: ("B", 1, 0xFF),          # enum
+    0x01: ("b", 1, 0x7F),          # sint8
+    0x02: ("B", 1, 0xFF),          # uint8
+    0x83: ("h", 2, 0x7FFF),        # sint16
+    0x84: ("H", 2, 0xFFFF),        # uint16
+    0x85: ("i", 4, 0x7FFFFFFF),    # sint32
+    0x86: ("I", 4, 0xFFFFFFFF),    # uint32
+    0x07: ("s", 1, None),          # string (NUL-terminated)
+    0x88: ("f", 4, None),          # float32
+    0x89: ("d", 8, None),          # float64
+    0x0A: ("B", 1, 0x00),          # uint8z
+    0x8B: ("H", 2, 0x0000),        # uint16z
+    0x8C: ("I", 4, 0x00000000),    # uint32z
+    0x0D: ("B", 1, 0xFF),          # byte
+    0x8E: ("q", 8, 0x7FFFFFFFFFFFFFFF),  # sint64
+    0x8F: ("Q", 8, 0xFFFFFFFFFFFFFFFF),  # uint64
+    0x90: ("Q", 8, 0x0),           # uint64z
+}
+
+# record (msg 20) field -> (channel/coord, transform)
+RECORD_FIELDS = {
+    253: "timestamp",
+    0: "lat_semi",
+    1: "lon_semi",
+    2: "altitude_raw",
+    3: "heart_rate",
+    4: "cadence",
+    5: "distance_raw",
+    6: "speed_raw",
+    7: "power",
+    13: "temperature",
+    73: "enhanced_speed_raw",
+    78: "enhanced_altitude_raw",
+}
+
+SPORTS = {
+    0: "generic", 1: "running", 2: "cycling", 5: "swimming",
+    11: "walking", 17: "hiking", 4: "fitness_equipment",
+}
+
+
+def _fit_ts(raw):
+    if raw is None or raw == 0 or raw == 0xFFFFFFFF or not (1 <= raw <= FIT_TS_MAX):
+        return None
+    return pd.Timestamp(raw + FIT_EPOCH_UNIX, unit="s")
+
+
+def _semi_deg(raw):
+    if raw is None or raw in (0x7FFFFFFF, -0x80000000):
+        return None
+    deg = raw * SEMI_TO_DEG
+    return deg if abs(deg) <= 180.0 else None
+
+
+def parse_fit(activity_id: str, payload: bytes) -> list[dict]:
+    out: list[dict] = []
+
+    def diag(code, severity, msg):
+        out.append({"activity_id": activity_id, "kind": "diag",
+                    "attrs": {"code": code, "severity": severity, "message": msg}})
+
+    if len(payload) < 12:
+        diag("fit.header.too_short", "error", f"{len(payload)} bytes")
+        return out
+    hdr_size = payload[0]
+    if hdr_size not in (12, 14) or payload[8:12] != b".FIT":
+        diag("fit.header.bad_magic", "error", "missing .FIT magic")
+        return out
+    data_size = struct.unpack_from("<I", payload, 4)[0]
+    if hdr_size == 14:
+        hdr_crc = struct.unpack_from("<H", payload, 12)[0]
+        if hdr_crc != 0 and fit_crc16(payload[:12]) != hdr_crc:
+            diag("fit.header.crc_mismatch", "error", "header CRC mismatch")
+    end = hdr_size + data_size
+    if end + 2 > len(payload):
+        diag("fit.trailer.truncated", "error",
+             f"need {end + 2} bytes, have {len(payload)}")
+        end = len(payload) - 2 if len(payload) >= hdr_size + 2 else len(payload)
+    else:
+        file_crc = struct.unpack_from("<H", payload, end)[0]
+        if fit_crc16(payload[:end]) != file_crc:
+            diag("fit.trailer.crc_mismatch", "warning", "file CRC mismatch")
+
+    defs: dict[int, dict] = {}
+    dev_fields: dict[tuple[int, int], dict] = {}
+    last_ts_raw: int | None = None
+    pos = hdr_size
+    seq = 0
+    lap_id = 0
+    meta: dict[str, str] = {"format": "fit"}
+
+    while pos < end:
+        hdr = payload[pos]
+        pos += 1
+        compressed = bool(hdr & 0x80)
+        if compressed:
+            local = (hdr >> 5) & 0x3
+            time_offset = hdr & 0x1F
+        else:
+            local = hdr & 0xF
+
+        if not compressed and (hdr & 0x40):  # definition record
+            has_dev = bool(hdr & 0x20)
+            if pos + 5 > end:
+                diag("fit.def.truncated", "error", f"at byte {pos}")
+                break
+            arch = payload[pos + 1]
+            endian = ">" if arch == 1 else "<"
+            global_num = struct.unpack_from(endian + "H", payload, pos + 2)[0]
+            n_fields = payload[pos + 4]
+            pos += 5
+            fields = []
+            ok = True
+            for _ in range(n_fields):
+                if pos + 3 > end:
+                    ok = False
+                    break
+                fnum, fsize, btype = payload[pos], payload[pos + 1], payload[pos + 2]
+                fields.append((fnum, fsize, btype, False, None))
+                pos += 3
+            if not ok:
+                diag("fit.def.truncated", "error", "field table truncated")
+                break
+            if has_dev:
+                if pos >= end:
+                    diag("fit.def.truncated", "error", "dev field count missing")
+                    break
+                n_dev = payload[pos]
+                pos += 1
+                for _ in range(n_dev):
+                    if pos + 3 > end:
+                        ok = False
+                        break
+                    fnum, fsize, didx = payload[pos], payload[pos + 1], payload[pos + 2]
+                    fields.append((fnum, fsize, 0x0D, True, didx))
+                    pos += 3
+                if not ok:
+                    diag("fit.def.truncated", "error", "dev field table truncated")
+                    break
+            defs[local] = {"endian": endian, "global": global_num, "fields": fields,
+                           "size": sum(f[1] for f in fields)}
+            continue
+
+        # data record
+        d = defs.get(local)
+        if d is None:
+            diag("fit.data.unknown_definition", "error",
+                 f"local type {local} at byte {pos - 1}")
+            break
+        if pos + d["size"] > end:
+            diag("fit.data.truncated", "warning", f"at byte {pos}")
+            break
+        values: dict[int, object] = {}
+        dev_values: dict[tuple[int, int], object] = {}
+        endian = d["endian"]
+        for fnum, fsize, btype, is_dev, didx in d["fields"]:
+            raw = payload[pos : pos + fsize]
+            pos += fsize
+            bt = BASE_TYPES.get(btype & 0xFF)
+            if bt is None:
+                continue
+            ch, unit, invalid = bt
+            if ch == "s":
+                val = raw.split(b"\x00", 1)[0].decode("utf-8", "replace")
+            else:
+                n = fsize // unit
+                if n == 0:
+                    continue
+                vals = struct.unpack_from(endian + ch * n, raw)
+                vals = [None if (invalid is not None and v == invalid) else v for v in vals]
+                val = vals[0] if n == 1 else list(vals)
+            if is_dev:
+                key = (didx, fnum)
+                if key in dev_fields:
+                    dev_values[key] = _decode_dev(dev_fields[key], raw, endian)
+            else:
+                values[fnum] = val
+
+        g = d["global"]
+        if g == 20:  # record
+            ts_raw = values.get(253)
+            if compressed and ts_raw is None and last_ts_raw is not None:
+                # 5-bit rollover (fit_parser.dart:1134-1142)
+                ts_raw = (last_ts_raw & ~0x1F) | time_offset
+                if ts_raw < last_ts_raw:
+                    ts_raw += 0x20
+            if ts_raw is not None:
+                last_ts_raw = ts_raw
+            ts = _fit_ts(ts_raw)
+            lat = _semi_deg(values.get(0))
+            lon = _semi_deg(values.get(1))
+            ele = None
+            alt_raw = values.get(78, values.get(2))
+            if alt_raw is not None:
+                ele = alt_raw / 5.0 - 500.0
+            if ts is not None and lat is not None and lon is not None:
+                out.append({"activity_id": activity_id, "kind": "point",
+                            "seq": seq, "ts": ts, "lat": lat, "lon": lon,
+                            "ele": ele, "attrs": None})
+                seq += 1
+            if ts is not None:
+                chans = {
+                    "heart_rate": values.get(3),
+                    "cadence": values.get(4),
+                    "power": values.get(7),
+                    "temperature": values.get(13),
+                }
+                sp = values.get(73, values.get(6))
+                if sp is not None:
+                    chans["speed"] = sp / 1000.0
+                di = values.get(5)
+                if di is not None:
+                    chans["distance"] = di / 100.0
+                for cname, v in chans.items():
+                    if v is not None:
+                        out.append({"activity_id": activity_id, "kind": "channel",
+                                    "channel": cname, "ts": ts, "value": float(v)})
+                for key, v in dev_values.items():
+                    if v is not None:
+                        out.append({"activity_id": activity_id, "kind": "channel",
+                                    "channel": dev_fields[key]["channel"], "ts": ts,
+                                    "value": float(v)})
+        elif g == 19:  # lap
+            start = _fit_ts(values.get(2))
+            end_ts = _fit_ts(values.get(253))
+            attrs = {}
+            if values.get(7) is not None:
+                attrs["total_elapsed_s"] = repr(values[7] / 1000.0)
+            if values.get(8) is not None:
+                attrs["total_timer_s"] = repr(values[8] / 1000.0)
+            dist = values.get(9)
+            out.append({"activity_id": activity_id, "kind": "lap", "lap_id": lap_id,
+                        "start_ts": start, "end_ts": end_ts,
+                        "distance_m": dist / 100.0 if dist is not None else None,
+                        "sport": SPORTS.get(values.get(25)),
+                        "attrs": attrs or None})
+            lap_id += 1
+        elif g == 18:  # session
+            sport = SPORTS.get(values.get(5))
+            if sport:
+                meta.setdefault("sport", sport)
+            if values.get(9) is not None:
+                meta.setdefault("session.total_distance_m", repr(values[9] / 100.0))
+            if values.get(7) is not None:
+                meta.setdefault("session.total_elapsed_s", repr(values[7] / 1000.0))
+        elif g == 0:  # file_id
+            if values.get(1) is not None:
+                meta.setdefault("device.manufacturer", str(values[1]))
+            if values.get(2) is not None:
+                meta.setdefault("device.product", str(values[2]))
+        elif g == 21:  # event
+            ts = _fit_ts(values.get(253))
+            if ts is not None:
+                out.append({"activity_id": activity_id, "kind": "channel",
+                            "channel": "event", "ts": ts,
+                            "value": float(values.get(0) or 0)})
+        elif g == 206:  # developer field description
+            didx = values.get(0)
+            fnum = values.get(1)
+            btype = values.get(2)
+            name = values.get(3) or f"fit_dev_{didx}_{fnum}"
+            if didx is not None and fnum is not None:
+                dev_fields[(didx, fnum)] = {
+                    "base_type": btype,
+                    "channel": _sanitize_dev_name(str(name), didx, fnum),
+                }
+    out.append({"activity_id": activity_id, "kind": "meta",
+                "sport": meta.get("sport"), "attrs": meta})
+    return out
+
+
+def _decode_dev(desc, raw: bytes, endian: str):
+    bt = BASE_TYPES.get((desc.get("base_type") or 0x0D) & 0xFF)
+    if bt is None:
+        return None
+    ch, unit, invalid = bt
+    if ch == "s":
+        return None
+    if len(raw) < unit:
+        return None
+    v = struct.unpack_from(endian + ch, raw)[0]
+    if invalid is not None and v == invalid:
+        return None
+    return v
+
+
+def _sanitize_dev_name(name: str, didx: int, fnum: int) -> str:
+    """fit_parser.dart:1167-1185: lowercase, non-alnum -> _, strip edges,
+    reject leading digit -> fallback fit_dev_<i>_<n>."""
+    s = "".join(c if c.isalnum() else "_" for c in name.lower()).strip("_")
+    while "__" in s:
+        s = s.replace("__", "_")
+    if not s or s[0].isdigit():
+        return f"fit_dev_{didx}_{fnum}"
+    return s
+
+
+def fit_records(files: DataFrame, id_col: str = "activity_id", bin_col: str = "payload") -> DataFrame:
+    """(activity_id, payload binary) rows -> record stream."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for aid, payload in zip(pdf[id_col], pdf[bin_col]):
+                rows.extend(parse_fit(aid, bytes(payload)))
+            yield records_frame(rows)
+
+    return files.mapInPandas(kernel, RECORD_SCHEMA)
+
+
+# ------------------------------------------------------------------ encoder
+
+def _def_record(local: int, global_num: int, fields: list[tuple[int, int, int]]) -> bytes:
+    head = bytes([0x40 | local, 0, 0]) + struct.pack("<H", global_num) + bytes([len(fields)])
+    body = b"".join(bytes([f, s, t]) for f, s, t in fields)
+    return head + body
+
+
+REC_DEF = [
+    (253, 4, 0x86),  # timestamp uint32
+    (0, 4, 0x85),    # lat sint32
+    (1, 4, 0x85),    # lon sint32
+    (2, 2, 0x84),    # altitude uint16
+    (3, 1, 0x02),    # heart_rate uint8
+    (4, 1, 0x02),    # cadence uint8
+    (5, 4, 0x86),    # distance uint32
+    (6, 2, 0x84),    # speed uint16
+    (7, 2, 0x84),    # power uint16
+]
+
+LAP_DEF = [
+    (253, 4, 0x86),  # end timestamp
+    (2, 4, 0x86),    # start_time
+    (7, 4, 0x86),    # total_elapsed_time ms
+    (9, 4, 0x86),    # total_distance cm
+]
+
+
+def encode_fit(points: list[dict], channels_by_ts: dict, laps: list[dict]) -> bytes:
+    """points sorted by ts; channels_by_ts iso-ts -> {channel: value}."""
+    from activity_files_spark.sources.gpx import _ts_key
+
+    body = bytearray()
+    body += _def_record(0, 0, [(0, 1, 0x00), (1, 2, 0x84)])  # file_id: type, manufacturer
+    body += bytes([0x00, 4, 0xFF, 0xFF])  # type=4 (activity), manufacturer invalid
+
+    body += _def_record(1, 20, REC_DEF)
+    for p in points:
+        ts_raw = int(pd.Timestamp(p["ts"]).timestamp()) - FIT_EPOCH_UNIX
+        ch = channels_by_ts.get(_ts_key(p["ts"])) or {}
+        lat_semi = int(round(p["lat"] / SEMI_TO_DEG)) if p.get("lat") is not None else 0x7FFFFFFF
+        lon_semi = int(round(p["lon"] / SEMI_TO_DEG)) if p.get("lon") is not None else 0x7FFFFFFF
+        ele = p.get("ele")
+        alt_raw = int(round((ele + 500.0) * 5.0)) if ele is not None and ele == ele else 0xFFFF
+        hr = int(round(ch["heart_rate"])) if "heart_rate" in ch else 0xFF
+        cad = int(round(ch["cadence"])) if "cadence" in ch else 0xFF
+        dist = int(round(ch["distance"] * 100.0)) if "distance" in ch else 0xFFFFFFFF
+        speed = int(round(ch["speed"] * 1000.0)) if "speed" in ch else 0xFFFF
+        power = int(round(ch["power"])) if "power" in ch else 0xFFFF
+        body += bytes([0x01]) + struct.pack(
+            "<IiiHBBIHH", ts_raw, lat_semi, lon_semi, alt_raw, hr, cad, dist, speed, power
+        )
+
+    if laps:
+        body += _def_record(2, 19, LAP_DEF)
+        for lap in laps:
+            s = int(pd.Timestamp(lap["start_ts"]).timestamp()) - FIT_EPOCH_UNIX
+            e = int(pd.Timestamp(lap["end_ts"]).timestamp()) - FIT_EPOCH_UNIX
+            elapsed_ms = max(0, (e - s) * 1000)
+            dm = lap.get("distance_m")
+            dist_cm = int(round(dm * 100.0)) if dm is not None and dm == dm else 0xFFFFFFFF
+            body += bytes([0x02]) + struct.pack("<IIII", e, s, elapsed_ms, dist_cm)
+
+    header = struct.pack("<BBHI4s", 14, 0x20, 2140, len(body), b".FIT")
+    header += struct.pack("<H", fit_crc16(header))
+    blob = header + bytes(body)
+    return blob + struct.pack("<H", fit_crc16(blob))
+
+
+def fit_encode_df(
+    points: DataFrame, channels: DataFrame | None = None, laps: DataFrame | None = None
+) -> DataFrame:
+    """Per-activity FIT payloads (same union+kernel shape as tcx_encode_df)."""
+    from pyspark.sql import functions as F
+
+    from activity_files_spark.sources.gpx import _ts_key
+
+    p2 = (
+        points.select("activity_id", "ts", "lat", "lon", "ele")
+        .withColumn("channel", F.lit(None).cast("string"))
+        .withColumn("value", F.lit(None).cast("double"))
+        .withColumn("_kind", F.lit("p"))
+        .withColumn("start_ts", F.lit(None).cast("timestamp"))
+        .withColumn("end_ts", F.lit(None).cast("timestamp"))
+        .withColumn("distance_m", F.lit(None).cast("double"))
+    )
+    parts = [p2]
+    if channels is not None:
+        parts.append(
+            channels.select(
+                "activity_id", "ts",
+                F.lit(None).cast("double").alias("lat"),
+                F.lit(None).cast("double").alias("lon"),
+                F.lit(None).cast("double").alias("ele"),
+                "channel", "value",
+            ).withColumn("_kind", F.lit("c"))
+            .withColumn("start_ts", F.lit(None).cast("timestamp"))
+            .withColumn("end_ts", F.lit(None).cast("timestamp"))
+            .withColumn("distance_m", F.lit(None).cast("double"))
+        )
+    if laps is not None:
+        parts.append(
+            laps.select(
+                "activity_id",
+                F.lit(None).cast("timestamp").alias("ts"),
+                F.lit(None).cast("double").alias("lat"),
+                F.lit(None).cast("double").alias("lon"),
+                F.lit(None).cast("double").alias("ele"),
+                F.lit(None).cast("string").alias("channel"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit("l").alias("_kind"),
+                "start_ts", "end_ts", "distance_m",
+            )
+        )
+    u = parts[0]
+    for x in parts[1:]:
+        u = u.unionByName(x)
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        aid = key[0]
+        pts = pdf[pdf["_kind"] == "p"].sort_values("ts", kind="stable").to_dict("records")
+        chmap: dict = {}
+        for r in pdf[pdf["_kind"] == "c"].itertuples(index=False):
+            chmap.setdefault(_ts_key(r.ts), {})[r.channel] = r.value
+        lp = pdf[pdf["_kind"] == "l"].sort_values("start_ts", kind="stable").to_dict("records")
+        payload = encode_fit(pts, chmap, lp)
+        return pd.DataFrame([{"activity_id": aid, "payload": payload}])
+
+    return u.groupBy("activity_id").applyInPandas(kernel, "activity_id string, payload binary")

@@ -1,0 +1,332 @@
+"""GPX source + sink.
+
+Parser semantics from the reference (lib/src/parse/gpx_parser.dart):
+- Garmin TrackPointExtension tags become channels with normalized names
+  (gpx_parser.dart:34-46): hr -> heart_rate, cad -> cadence,
+  atemp -> temperature, power -> power, speed -> speed; unknown numeric
+  extension tags become custom channels keyed by lowercased tag name
+  (gpx_parser.dart:283-289).
+- each <trkseg> yields a synthetic lap with haversine distance
+  (gpx_parser.dart:148-329).
+- waypoints preserved (gpx_parser.dart:364-403); multi-<trk> tracks
+  concatenated with a track meta record (gpx_parser.dart:351-429).
+- trkpt attributes/children beyond lat/lon/ele/time preserved in attrs.
+- parser never throws on malformed points: bad rows become diag records
+  (parse_result.dart:69-100).
+
+Encoder semantics from lib/src/encode/gpx_encoder.dart: GPX 1.1 skeleton,
+TrackPointExtension channel columns via exact-ts join, coordinate rounding
+lat/lon 6 dp, ele 2 dp (gpx_encoder.dart:394-429), ISO-8601 UTC times.
+
+Spark shape: one file = one row into the mapInPandas kernel; the XML work
+is per-file python (files are small; the reference caps payloads at 64 MB),
+the Spark boundary is Arrow batches of flat records.
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import xml.etree.ElementTree as ET
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from activity_files_spark.functions.geo import haversine_m_py
+from activity_files_spark.sources.records import RECORD_SCHEMA, records_frame
+
+# gpx_parser.dart:34-46 — TrackPointExtension tag -> channel id
+TPX_CHANNELS = {
+    "hr": "heart_rate",
+    "heartrate": "heart_rate",
+    "cad": "cadence",
+    "cadence": "cadence",
+    "atemp": "temperature",
+    "temp": "temperature",
+    "power": "power",
+    "speed": "speed",
+    "course": "course",
+    "depth": "depth",
+}
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1].lower()
+
+
+def _parse_time(s: str | None):
+    if not s:
+        return None
+    s = s.strip()
+    if s.endswith("Z"):
+        s = s[:-1] + "+00:00"
+    try:
+        dt = datetime.fromisoformat(s)
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def parse_gpx(activity_id: str, xml: str) -> list[dict]:
+    """One GPX document -> flat record dicts (see records.py)."""
+    out: list[dict] = []
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError as e:
+        out.append(
+            {"activity_id": activity_id, "kind": "diag",
+             "attrs": {"code": "parse.gpx.malformed", "severity": "error", "message": str(e)}}
+        )
+        return out
+
+    meta: dict[str, str] = {"format": "gpx"}
+    for k in ("version", "creator"):
+        if root.get(k):
+            meta[k] = root.get(k)
+
+    seq = 0
+    lap_id = 0
+    wseq = 0
+    for el in root:
+        tag = _local(el.tag)
+        if tag == "metadata":
+            for child in el:
+                ctag = _local(child.tag)
+                if ctag in ("name", "desc", "time") and child.text:
+                    meta[f"metadata.{ctag}"] = child.text.strip()
+        elif tag == "wpt":
+            rec = _point_record(activity_id, el, wseq, kind="waypoint")
+            if rec:
+                out.append(rec)
+                wseq += 1
+        elif tag == "trk":
+            trk_meta = {}
+            for child in el:
+                ctag = _local(child.tag)
+                if ctag in ("name", "type", "desc") and child.text:
+                    trk_meta[ctag] = child.text.strip()
+                if ctag == "trkseg":
+                    seg_pts = []
+                    for pt in child:
+                        if _local(pt.tag) != "trkpt":
+                            continue
+                        rec = _point_record(activity_id, pt, seq, kind="point")
+                        if rec is None:
+                            out.append(
+                                {"activity_id": activity_id, "kind": "diag",
+                                 "attrs": {"code": "parse.gpx.bad_point",
+                                           "severity": "warning",
+                                           "message": f"trkpt #{seq} unparseable"}}
+                            )
+                            continue
+                        out.append(rec)
+                        out.extend(_channel_records(activity_id, pt, rec["ts"]))
+                        seg_pts.append(rec)
+                        seq += 1
+                    if seg_pts:
+                        dist = 0.0
+                        for a, b in zip(seg_pts, seg_pts[1:]):
+                            if None not in (a["lat"], a["lon"], b["lat"], b["lon"]):
+                                dist += haversine_m_py(a["lat"], a["lon"], b["lat"], b["lon"])
+                        out.append(
+                            {"activity_id": activity_id, "kind": "lap", "lap_id": lap_id,
+                             "start_ts": seg_pts[0]["ts"], "end_ts": seg_pts[-1]["ts"],
+                             "distance_m": dist, "sport": trk_meta.get("type"),
+                             "attrs": {"source": "trkseg"}}
+                        )
+                        lap_id += 1
+            if trk_meta:
+                for k, v in trk_meta.items():
+                    meta.setdefault(f"trk.{k}", v)
+
+    sport = meta.get("trk.type")
+    out.append({"activity_id": activity_id, "kind": "meta", "sport": sport, "attrs": meta})
+    return out
+
+
+def _point_record(activity_id: str, el, seq: int, kind: str) -> dict | None:
+    try:
+        lat = float(el.get("lat"))
+        lon = float(el.get("lon"))
+    except (TypeError, ValueError):
+        return None
+    ele = None
+    ts = None
+    attrs = {}
+    for child in el:
+        ctag = _local(child.tag)
+        if ctag == "ele" and child.text:
+            try:
+                ele = float(child.text)
+            except ValueError:
+                pass
+        elif ctag == "time" and child.text:
+            ts = _parse_time(child.text)
+        elif ctag in ("hdop", "vdop", "pdop", "sat", "fix", "name", "desc", "sym", "cmt") and child.text:
+            attrs[ctag] = child.text.strip()
+    return {
+        "activity_id": activity_id, "kind": kind, "seq": seq, "ts": ts,
+        "lat": lat, "lon": lon, "ele": ele, "attrs": attrs or None,
+    }
+
+
+def _channel_records(activity_id: str, pt, ts) -> list[dict]:
+    recs = []
+    if ts is None:
+        return recs
+    for ext in pt:
+        if _local(ext.tag) != "extensions":
+            continue
+        for node in ext.iter():
+            tag = _local(node.tag)
+            if tag in ("extensions", "trackpointextension"):
+                continue
+            if node.text is None:
+                continue
+            txt = node.text.strip()
+            if not txt:
+                continue
+            try:
+                val = float(txt)
+            except ValueError:
+                continue
+            channel = TPX_CHANNELS.get(tag, tag)  # custom channels keep tag name
+            recs.append(
+                {"activity_id": activity_id, "kind": "channel",
+                 "channel": channel, "ts": ts, "value": val}
+            )
+    return recs
+
+
+def gpx_records(files: DataFrame, id_col: str = "activity_id", xml_col: str = "xml") -> DataFrame:
+    """(activity_id, xml) rows -> record stream (mapInPandas Arrow kernel)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for aid, xml in zip(pdf[id_col], pdf[xml_col]):
+                rows.extend(parse_gpx(aid, xml))
+            yield records_frame(rows)
+
+    return files.mapInPandas(kernel, RECORD_SCHEMA)
+
+
+# ------------------------------------------------------------------ encoder
+
+_CHANNEL_TO_TPX = {
+    "heart_rate": "hr",
+    "cadence": "cad",
+    "temperature": "atemp",
+}
+
+
+def _fmt_coord(v: float) -> str:
+    return f"{v:.6f}".rstrip("0").rstrip(".") if v == v else ""
+
+
+def encode_gpx(
+    points: list[dict], channels: dict[tuple, dict[str, float]], meta: dict | None = None
+) -> str:
+    """points: sorted dicts(seq, ts, lat, lon, ele); channels keyed by ts ->
+    {channel: value} (exact-ts association, encoder_utils.dart:9-19)."""
+    meta = meta or {}
+    buf = io.StringIO()
+    buf.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+    buf.write(
+        '<gpx version="1.1" creator="{}" xmlns="http://www.topografix.com/GPX/1/1" '
+        'xmlns:gpxtpx="http://www.garmin.com/xmlschemas/TrackPointExtension/v1">\n'.format(
+            meta.get("creator", "activity_files_spark")
+        )
+    )
+    name = meta.get("metadata.name") or meta.get("trk.name")
+    buf.write("  <trk>\n")
+    if name:
+        buf.write(f"    <name>{_xml_escape(name)}</name>\n")
+    if meta.get("trk.type"):
+        buf.write(f"    <type>{_xml_escape(meta['trk.type'])}</type>\n")
+    buf.write("    <trkseg>\n")
+    for p in points:
+        lat = f"{p['lat']:.6f}"
+        lon = f"{p['lon']:.6f}"
+        buf.write(f'      <trkpt lat="{lat}" lon="{lon}">\n')
+        if p.get("ele") is not None and not (
+            isinstance(p["ele"], float) and math.isnan(p["ele"])
+        ):
+            buf.write(f"        <ele>{p['ele']:.2f}</ele>\n")
+        if p.get("ts") is not None:
+            buf.write(f"        <time>{_iso(p['ts'])}</time>\n")
+        ch = channels.get(_ts_key(p.get("ts")))
+        if ch:
+            buf.write("        <extensions>\n          <gpxtpx:TrackPointExtension>\n")
+            for cname in sorted(ch):
+                tag = _CHANNEL_TO_TPX.get(cname, cname)
+                v = ch[cname]
+                sval = f"{int(round(v))}" if cname in ("heart_rate", "cadence", "power") else f"{v:g}"
+                buf.write(f"            <gpxtpx:{tag}>{sval}</gpxtpx:{tag}>\n")
+            buf.write("          </gpxtpx:TrackPointExtension>\n        </extensions>\n")
+        buf.write("      </trkpt>\n")
+    buf.write("    </trkseg>\n  </trk>\n</gpx>\n")
+    return buf.getvalue()
+
+
+def _ts_key(ts):
+    return None if ts is None else pd.Timestamp(ts).isoformat()
+
+
+def _iso(ts) -> str:
+    t = pd.Timestamp(ts)
+    if t.microsecond:
+        return t.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace('"', "&quot;")
+    )
+
+
+def gpx_encode_df(points: DataFrame, channels: DataFrame | None = None) -> DataFrame:
+    """Group points (+channels) per activity -> (activity_id, xml).
+
+    applyInPandas over the activity key: the whole activity lands in one
+    Arrow batch (reference model: one file per activity, <= 64 MB). Channels
+    ride along as long-format rows in the same union and are split back out
+    in the kernel (exact-ts association, encoder_utils.dart:9-19).
+    """
+    from pyspark.sql import functions as F
+
+    p2 = (
+        points.select("activity_id", "seq", "ts", "lat", "lon", "ele")
+        .withColumn("channel", F.lit(None).cast("string"))
+        .withColumn("value", F.lit(None).cast("double"))
+    )
+    if channels is not None:
+        c2 = channels.select(
+            "activity_id",
+            F.lit(None).cast("long").alias("seq"),
+            "ts",
+            F.lit(None).cast("double").alias("lat"),
+            F.lit(None).cast("double").alias("lon"),
+            F.lit(None).cast("double").alias("ele"),
+            "channel",
+            "value",
+        )
+        u = p2.unionByName(c2)
+    else:
+        u = p2
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        aid = key[0]
+        pts_pd = pdf[pdf["channel"].isna()].sort_values("ts", kind="stable")
+        ch_pd = pdf[~pdf["channel"].isna()]
+        chmap: dict = {}
+        for r in ch_pd.itertuples(index=False):
+            chmap.setdefault(_ts_key(r.ts), {})[r.channel] = r.value
+        xml = encode_gpx(pts_pd.to_dict("records"), chmap)
+        return pd.DataFrame([{"activity_id": aid, "xml": xml}])
+
+    return u.groupBy("activity_id").applyInPandas(kernel, "activity_id string, xml string")

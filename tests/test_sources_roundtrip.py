@@ -1,0 +1,252 @@
+"""Format sources: parse + lossless round-trip on the reference's canonical
+fixtures (test/fixtures/sample_data.dart:20-121 re-expressed): 3 points at
+lat 40.0 +0.0005 steps, lon -105.0 -0.0005, ele 1600..1602, ts
+2024-03-01T10:00:00Z +10 s, HR 140/142/145, cadence 82/84/86."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from activity_files_spark.sources.csvsrc import csv_encode_df, read_csv_activities
+from activity_files_spark.sources.geojson import (
+    geojson_encode_df,
+    geojson_geofences,
+    geojson_records,
+    parse_geojson,
+)
+from activity_files_spark.sources.gpx import gpx_encode_df, gpx_records, parse_gpx
+from activity_files_spark.sources.records import (
+    channels_of,
+    diagnostics_of,
+    laps_of,
+    points_of,
+    waypoints_of,
+)
+from activity_files_spark.sources.tcx import parse_tcx, tcx_encode_df, tcx_records
+
+SAMPLE_GPX = """<?xml version="1.0" encoding="UTF-8"?>
+<gpx version="1.1" creator="test" xmlns="http://www.topografix.com/GPX/1/1"
+     xmlns:gpxtpx="http://www.garmin.com/xmlschemas/TrackPointExtension/v1">
+  <metadata><name>Morning Run</name><time>2024-03-01T10:00:00Z</time></metadata>
+  <trk><name>Morning Run</name><type>running</type>
+    <trkseg>
+      <trkpt lat="40.0" lon="-105.0"><ele>1600.0</ele><time>2024-03-01T10:00:00Z</time>
+        <extensions><gpxtpx:TrackPointExtension><gpxtpx:hr>140</gpxtpx:hr><gpxtpx:cad>82</gpxtpx:cad></gpxtpx:TrackPointExtension></extensions>
+      </trkpt>
+      <trkpt lat="40.0005" lon="-105.0005"><ele>1601.0</ele><time>2024-03-01T10:00:10Z</time>
+        <extensions><gpxtpx:TrackPointExtension><gpxtpx:hr>142</gpxtpx:hr><gpxtpx:cad>84</gpxtpx:cad></gpxtpx:TrackPointExtension></extensions>
+      </trkpt>
+      <trkpt lat="40.001" lon="-105.001"><ele>1602.0</ele><time>2024-03-01T10:00:20Z</time>
+        <extensions><gpxtpx:TrackPointExtension><gpxtpx:hr>145</gpxtpx:hr><gpxtpx:cad>86</gpxtpx:cad></gpxtpx:TrackPointExtension></extensions>
+      </trkpt>
+    </trkseg>
+  </trk>
+</gpx>"""
+
+SAMPLE_TCX = """<?xml version="1.0" encoding="UTF-8"?>
+<TrainingCenterDatabase xmlns="http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2">
+  <Activities><Activity Sport="Running"><Id>2024-03-01T10:00:00Z</Id>
+    <Lap StartTime="2024-03-01T10:00:00Z">
+      <TotalTimeSeconds>20</TotalTimeSeconds><DistanceMeters>140.0</DistanceMeters>
+      <Calories>12</Calories>
+      <AverageHeartRateBpm><Value>142</Value></AverageHeartRateBpm>
+      <MaximumHeartRateBpm><Value>145</Value></MaximumHeartRateBpm>
+      <Track>
+        <Trackpoint><Time>2024-03-01T10:00:00Z</Time>
+          <Position><LatitudeDegrees>40.0</LatitudeDegrees><LongitudeDegrees>-105.0</LongitudeDegrees></Position>
+          <AltitudeMeters>1600.0</AltitudeMeters><DistanceMeters>0.0</DistanceMeters>
+          <HeartRateBpm><Value>140</Value></HeartRateBpm><Cadence>82</Cadence>
+        </Trackpoint>
+        <Trackpoint><Time>2024-03-01T10:00:10Z</Time>
+          <Position><LatitudeDegrees>40.0005</LatitudeDegrees><LongitudeDegrees>-105.0005</LongitudeDegrees></Position>
+          <AltitudeMeters>1601.0</AltitudeMeters><DistanceMeters>70.0</DistanceMeters>
+          <HeartRateBpm><Value>142</Value></HeartRateBpm><Cadence>84</Cadence>
+        </Trackpoint>
+        <Trackpoint><Time>2024-03-01T10:00:20Z</Time>
+          <Position><LatitudeDegrees>40.001</LatitudeDegrees><LongitudeDegrees>-105.001</LongitudeDegrees></Position>
+          <AltitudeMeters>1602.0</AltitudeMeters><DistanceMeters>140.0</DistanceMeters>
+          <HeartRateBpm><Value>145</Value></HeartRateBpm><Cadence>86</Cadence>
+        </Trackpoint>
+      </Track>
+    </Lap>
+  </Activity></Activities>
+</TrainingCenterDatabase>"""
+
+SAMPLE_GEOJSON = """{
+  "type": "FeatureCollection",
+  "features": [{
+    "type": "Feature",
+    "geometry": {"type": "LineString",
+      "coordinates": [[-105.0, 40.0, 1600.0], [-105.0005, 40.0005, 1601.0], [-105.001, 40.001, 1602.0]]},
+    "properties": {"name": "Morning Run",
+      "coordinateProperties": {"times": ["2024-03-01T10:00:00Z", "2024-03-01T10:00:10Z", "2024-03-01T10:00:20Z"]}}
+  }]
+}"""
+
+EXPECTED_PTS = [
+    (40.0, -105.0, 1600.0, "2024-03-01 10:00:00"),
+    (40.0005, -105.0005, 1601.0, "2024-03-01 10:00:10"),
+    (40.001, -105.001, 1602.0, "2024-03-01 10:00:20"),
+]
+EXPECTED_HR = [140.0, 142.0, 145.0]
+EXPECTED_CAD = [82.0, 84.0, 86.0]
+
+
+def check_points(rows):
+    got = sorted(
+        ((r["lat"], r["lon"], r["ele"], str(r["ts"])) for r in rows), key=lambda t: t[3]
+    )
+    assert got == EXPECTED_PTS
+
+
+def check_channels(rows):
+    hr = sorted((str(r["ts"]), r["value"]) for r in rows if r["channel"] == "heart_rate")
+    cad = sorted((str(r["ts"]), r["value"]) for r in rows if r["channel"] == "cadence")
+    assert [v for _, v in hr] == EXPECTED_HR
+    assert [v for _, v in cad] == EXPECTED_CAD
+
+
+@pytest.fixture
+def gpx_df(spark):
+    return spark.createDataFrame([("act_000", SAMPLE_GPX)], "activity_id string, xml string")
+
+
+def test_gpx_parse_canonical(spark, gpx_df):
+    rec = gpx_records(gpx_df).cache()
+    check_points(points_of(rec).collect())
+    check_channels(channels_of(rec).collect())
+    laps = laps_of(rec).collect()
+    assert len(laps) == 1
+    assert str(laps[0]["start_ts"]) == "2024-03-01 10:00:00"
+    assert str(laps[0]["end_ts"]) == "2024-03-01 10:00:20"
+    assert 120 < laps[0]["distance_m"] < 160  # ~140m on the fixture grid
+    assert laps[0]["sport"] == "running"
+    assert diagnostics_of(rec).count() == 0
+
+
+def test_gpx_roundtrip_lossless(spark, gpx_df):
+    rec = gpx_records(gpx_df).cache()
+    xml2 = gpx_encode_df(points_of(rec), channels_of(rec)).collect()[0]["xml"]
+    rec2 = gpx_records(
+        spark.createDataFrame([("act_000", xml2)], "activity_id string, xml string")
+    ).cache()
+    check_points(points_of(rec2).collect())
+    check_channels(channels_of(rec2).collect())
+
+
+def test_gpx_malformed_is_diag_not_crash(spark):
+    df = spark.createDataFrame(
+        [("bad", "<gpx><unclosed"), ("badpt", '<gpx><trk><trkseg><trkpt lat="x" lon="y"/></trkseg></trk></gpx>')],
+        "activity_id string, xml string",
+    )
+    rec = gpx_records(df).cache()
+    diags = {r["activity_id"]: dict(r["attrs"]) for r in diagnostics_of(rec).collect()}
+    assert diags["bad"]["code"] == "parse.gpx.malformed"
+    assert diags["badpt"]["code"] == "parse.gpx.bad_point"
+    assert points_of(rec).count() == 0
+
+
+def test_tcx_parse_canonical(spark):
+    df = spark.createDataFrame([("act_000", SAMPLE_TCX)], "activity_id string, xml string")
+    rec = tcx_records(df).cache()
+    check_points(points_of(rec).collect())
+    check_channels(channels_of(rec).collect())
+    dist = sorted(
+        (str(r["ts"]), r["value"])
+        for r in channels_of(rec).collect()
+        if r["channel"] == "distance"
+    )
+    assert [v for _, v in dist] == [0.0, 70.0, 140.0]
+    laps = laps_of(rec).collect()
+    assert len(laps) == 1
+    lap = laps[0]
+    assert lap["distance_m"] == 140.0
+    assert str(lap["start_ts"]) == "2024-03-01 10:00:00"
+    assert str(lap["end_ts"]) == "2024-03-01 10:00:20"
+    stats = dict(lap["attrs"])
+    assert stats["avg_hr"] == "142.0" and stats["max_hr"] == "145.0"
+    assert stats["calories"] == "12"
+
+
+def test_tcx_roundtrip_lossless(spark):
+    df = spark.createDataFrame([("act_000", SAMPLE_TCX)], "activity_id string, xml string")
+    rec = tcx_records(df).cache()
+    xml2 = tcx_encode_df(
+        points_of(rec), channels_of(rec), laps_of(rec), sport="Running"
+    ).collect()[0]["xml"]
+    rec2 = tcx_records(
+        spark.createDataFrame([("act_000", xml2)], "activity_id string, xml string")
+    ).cache()
+    check_points(points_of(rec2).collect())
+    check_channels(channels_of(rec2).collect())
+    assert laps_of(rec2).collect()[0]["distance_m"] == 140.0
+
+
+def test_geojson_linestring_with_times(spark):
+    df = spark.createDataFrame([("act_000", SAMPLE_GEOJSON)], "activity_id string, text string")
+    rec = geojson_records(df).cache()
+    check_points(points_of(rec).collect())
+    laps = laps_of(rec).collect()
+    assert len(laps) == 1 and str(laps[0]["start_ts"]) == "2024-03-01 10:00:00"
+
+
+def test_geojson_roundtrip(spark):
+    df = spark.createDataFrame([("act_000", SAMPLE_GEOJSON)], "activity_id string, text string")
+    rec = geojson_records(df).cache()
+    text2 = geojson_encode_df(points_of(rec)).collect()[0]["text"]
+    rec2 = geojson_records(
+        spark.createDataFrame([("act_000", text2)], "activity_id string, text string")
+    )
+    check_points(points_of(rec2).collect())
+
+
+def test_geojson_point_collection_props_to_channels():
+    doc = """{"type":"FeatureCollection","features":[
+      {"type":"Feature","geometry":{"type":"Point","coordinates":[-105.0,40.0]},
+       "properties":{"time":"2024-03-01T10:00:00Z","heart_rate":140,"note":"x"}},
+      {"type":"Feature","geometry":{"type":"Point","coordinates":[-105.0005,40.0005]},
+       "properties":{"time":"2024-03-01T10:00:10Z","heart_rate":142}}]}"""
+    recs = parse_geojson("a", doc)
+    pts = [r for r in recs if r["kind"] == "point"]
+    chans = [r for r in recs if r["kind"] == "channel"]
+    assert len(pts) == 2
+    assert [(c["channel"], c["value"]) for c in chans] == [("heart_rate", 140.0), ("heart_rate", 142.0)]
+    meta = [r for r in recs if r["kind"] == "meta"][0]
+    assert meta["attrs"]["prop.note"] == "x"
+
+
+def test_geojson_polygon_geofence_and_holes_diag(spark):
+    doc = """{"type":"Feature","geometry":{"type":"Polygon","coordinates":[
+      [[-105.0008,40.0002],[-105.0002,40.0002],[-105.0002,40.0008],[-105.0008,40.0008],[-105.0008,40.0002]],
+      [[-105.0006,40.0004],[-105.0004,40.0004],[-105.0004,40.0006],[-105.0006,40.0006],[-105.0006,40.0004]]]},
+      "properties":{"name":"fence"}}"""
+    df = spark.createDataFrame([("gf", doc)], "activity_id string, text string")
+    gf = geojson_geofences(df).collect()
+    assert len(gf) == 1
+    assert len(gf[0]["ring"]) == 5
+    assert gf[0]["ring"][0]["lon"] == -105.0008
+    rec = geojson_records(df)
+    diags = [dict(r["attrs"]) for r in diagnostics_of(rec).collect()]
+    assert any(d["code"] == "geojson.polygon_holes_dropped" for d in diags)
+
+
+def test_csv_roundtrip_with_custom_channel(spark, tmp_path):
+    csv = (
+        "timestamp,latitude,longitude,elevation,heart_rate,cadence,my_sensor\n"
+        "2024-03-01T10:00:00Z,40.0,-105.0,1600.0,140,82,1.5\n"
+        "2024-03-01T10:00:10Z,40.0005,-105.0005,1601.0,142,84,2.5\n"
+        "2024-03-01T10:00:20Z,40.001,-105.001,1602.0,145,86,3.5\n"
+    )
+    p = tmp_path / "a.csv"
+    p.write_text(csv)
+    tables = read_csv_activities(spark, str(p), activity_id="act_000")
+    check_points(tables["points"].collect())
+    ch = tables["channels"]
+    check_channels(ch.collect())
+    custom = sorted(r["value"] for r in ch.filter(F.col("channel") == "my_sensor").collect())
+    assert custom == [1.5, 2.5, 3.5]
+    wide = csv_encode_df(tables["points"], ch)
+    assert "my_sensor" in wide.columns  # sorted extra channel column
+    rows = wide.orderBy("timestamp").collect()
+    assert rows[0]["heart_rate"] == 140.0 and rows[2]["my_sensor"] == 3.5
