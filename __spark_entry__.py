@@ -548,6 +548,421 @@ def _gap_sql() -> str:
     """
 
 
+# ------------------------------------------------------- dedup / text / ann
+
+def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus near-duplicate copies (first token dropped) — gives the
+    dedup operators a guaranteed population of high-Jaccard pairs."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^\S+\s*", "").alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+_MUTATED_SQL = r"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^\S+\s*', '') AS text
+    FROM documents
+"""
+
+
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash -> banded LSH -> exact-Jaccard near-dup pairs (>= 0.4)."""
+    from activity_files_spark.operators.dedup import near_dup_pairs
+
+    corpus = _mutated_corpus(spark, sf_dir)
+    out = near_dup_pairs(corpus, threshold=0.4, n=3, bands=8, rows_per_band=2)
+    return out.select(
+        "doc_a", "doc_b", F.round(F.col("jaccard").cast("double"), 6).alias("jaccard")
+    )
+
+
+def _minhash_sql() -> str:
+    k = 16
+    mh_cols = ", ".join(
+        f"min(md5(shingle || ':{j}')) AS mh{j}" for j in range(k)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{2 * b} || '|' || mh{2 * b + 1} AS sig FROM sig"
+        for b in range(8)
+    )
+    return rf"""
+    WITH corpus AS ({_MUTATED_SQL}),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+      WHERE len(t) >= 3
+      UNION
+      SELECT DISTINCT doc_id, array_to_string(t, ' ') AS shingle
+      FROM toks WHERE len(t) < 3
+    ),
+    sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+    banded AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.4
+    """
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (bitwise token majority vote)."""
+    from activity_files_spark.operators.dedup import simhash64
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash64(docs, bits=60)
+
+
+def _simhash_sql() -> str:
+    from activity_files_spark.operators.dedup import md5_prefix_long_sql
+
+    h = md5_prefix_long_sql("tok")
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, {h} AS h FROM toks),
+    votes AS (
+      SELECT doc_id, i AS bit,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, LATERAL (SELECT unnest(range(0, 60)) AS i) u
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """
+
+
+def lang_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: language ID, quality score, fingerprint per document."""
+    from activity_files_spark.functions.text import fingerprint, lang_id, quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def _lang_quality_sql() -> str:
+    from activity_files_spark.functions.text import (
+        fingerprint_sql,
+        lang_id_sql,
+        quality_score_sql,
+    )
+
+    return f"""
+    SELECT doc_id,
+           {lang_id_sql('text')} AS lang_guess,
+           {quality_score_sql('text')} AS quality,
+           {fingerprint_sql('text')} AS fp
+    FROM documents
+    """
+
+
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 closest embedding pairs by cosine (near-dup candidates)."""
+    from activity_files_spark.operators.similarity import as_double_vec, cosine_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("item_id"), as_double_vec(F.col("embedding")).alias("vec")
+    )
+    pairs = cosine_dup_pairs(emb, threshold=-2.0, i_id="item_id", vec="vec")
+    return (
+        pairs.orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
+        .select("id_a", "id_b", F.round(F.col("cos"), 9).alias("cos_sim"))
+    )
+
+
+def _embedding_dup_sql() -> str:
+    return """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cos, 9) AS cos_sim
+    FROM pairs ORDER BY cos DESC, id_a, id_b LIMIT 20
+    """
+
+
+def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN via random-hyperplane LSH + Hamming-1 multiprobe.
+
+    No SQL oracle (plan includes the python-derived hyperplane constants);
+    pytest pins recall >= 0.8 against the brute-force baseline."""
+    from activity_files_spark.operators.similarity import as_double_vec, lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("item_id"), as_double_vec(F.col("embedding")).alias("vec")
+    )
+    qs = emb.filter(F.col("item_id") < 10).select(
+        F.col("item_id").alias("query_id"), "vec"
+    )
+    out = lsh_topk(qs, emb, k=5, dim=64, n_planes=4, n_tables=16)
+    return out.select("query_id", "item_id", "rank")
+
+
+def trim_invalid_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 trimInvalid on a deterministically-dirtied track: out-of-range
+    rows injected every 50th id, Null Island every 83rd, sentinel elevation
+    every 37th (cleared not dropped)."""
+    from activity_files_spark.operators.normalize import trim_invalid
+
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 50 == 0, 91.0)
+        .when(F.col("event_id") % 83 == 0, 0.0)
+        .otherwise(_lat_col()).alias("lat"),
+        F.when(F.col("event_id") % 83 == 0, 0.0).otherwise(_lon_col()).alias("lon"),
+        F.when(F.col("event_id") % 37 == 0, -500.0)
+        .otherwise(F.lit(1600.0) + (F.col("event_id") % 100).cast("double")).alias("ele"),
+    )
+    return trim_invalid(pts)
+
+
+def _trim_invalid_sql() -> str:
+    return f"""
+    WITH pts AS (
+      SELECT event_id,
+             CASE WHEN event_id % 50 = 0 THEN 91.0
+                  WHEN event_id % 83 = 0 THEN 0.0
+                  ELSE {LAT_EXPR_SQL} END AS lat,
+             CASE WHEN event_id % 83 = 0 THEN 0.0 ELSE {LON_EXPR_SQL} END AS lon,
+             CASE WHEN event_id % 37 = 0 THEN -500.0
+                  ELSE 1600.0 + CAST(event_id % 100 AS DOUBLE) END AS ele
+      FROM events
+    )
+    SELECT event_id, lat, lon,
+           CASE WHEN ele <= -499.0 THEN NULL ELSE ele END AS ele
+    FROM pts
+    WHERE lat BETWEEN -90.0 AND 90.0 AND lon BETWEEN -180.0 AND 180.0
+      AND NOT (abs(lat) < 1e-6 AND abs(lon) < 1e-6)
+    """
+
+
+def lap_splits_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 markLapsByDistance: 500 m distance-split sessionization per user."""
+    from activity_files_spark.operators.windows import mark_laps_by_distance
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    laps = mark_laps_by_distance(ev, split_m=500.0, key="user_id", ts="ts")
+    return laps.select("user_id", "lap_id", "start_ts", "end_ts", "distance_m", "n_points")
+
+
+def _lap_splits_sql() -> str:
+    hs = haversine_sql("plat", "plon", "lat", "lon")
+    return f"""
+    WITH pts AS (
+      SELECT event_id, user_id, ts, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ),
+    lagged AS (
+      SELECT *, LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    stepped AS (
+      SELECT user_id, ts,
+             CASE WHEN plat IS NULL THEN 0.0 ELSE {hs} END AS step
+      FROM lagged
+    ),
+    cum AS (
+      SELECT user_id, ts, step,
+             SUM(greatest(step, 0.0)) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS c
+      FROM stepped
+    ),
+    lapped AS (
+      SELECT user_id, ts, step, c,
+             CAST(FLOOR(c / 500.0) AS INT) AS lap_id
+      FROM cum
+    )
+    SELECT user_id, lap_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           ROUND(MAX(c) - MIN(c) + MIN(greatest(step, 0.0)), 6) AS distance_m,
+           COUNT(*) AS n_points
+    FROM lapped GROUP BY user_id, lap_id
+    """
+
+
+def contiguous_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 FIT contiguous-group filter: keep each user's largest <=10-min-gap
+    cluster of events (sessionize + top-1 by count, earliest wins ties)."""
+    from activity_files_spark.operators.normalize import largest_contiguous_group
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = largest_contiguous_group(ev, key="user_id", max_gap_hours=1.0 / 6.0)
+    return out.select("event_id", "user_id")
+
+
+def _contiguous_sql() -> str:
+    return """
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 1000000.0 > 600.0
+                  THEN 1 ELSE 0 END AS new_g
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    grp AS (
+      SELECT event_id, user_id, ts,
+             SUM(new_g) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS gid
+      FROM g
+    ),
+    counts AS (
+      SELECT user_id, gid, COUNT(*) AS cnt, MIN(ts) AS gts
+      FROM grp GROUP BY user_id, gid
+    ),
+    best AS (
+      SELECT user_id, gid FROM (
+        SELECT user_id, gid,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cnt DESC, gts ASC) AS rk
+        FROM counts
+      ) WHERE rk = 1
+    )
+    SELECT grp.event_id, grp.user_id
+    FROM grp JOIN best ON grp.user_id = best.user_id AND grp.gid = best.gid
+    """
+
+
+def _dirty_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically-dirtied channel stream from events: hr values that
+    sometimes exceed 260, power that dips negative, distance that is the raw
+    (non-monotonic) value stream."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").cast("string").alias("activity_id"),
+        F.when(F.col("event_id") % 3 == 0, "heart_rate")
+        .when(F.col("event_id") % 3 == 1, "power")
+        .otherwise("distance").alias("channel"),
+        F.col("ts"),
+        F.when(F.col("event_id") % 3 == 0, F.col("value") * 8.0)
+        .when(F.col("event_id") % 3 == 1, F.col("value") - 10.0)
+        .otherwise(F.col("value")).alias("value"),
+    )
+
+
+_DIRTY_CH_SQL = """
+      SELECT CAST(user_id AS VARCHAR) AS activity_id,
+             CASE WHEN event_id % 3 = 0 THEN 'heart_rate'
+                  WHEN event_id % 3 = 1 THEN 'power'
+                  ELSE 'distance' END AS channel,
+             ts,
+             CASE WHEN event_id % 3 = 0 THEN value * 8.0
+                  WHEN event_id % 3 = 1 THEN value - 10.0
+                  ELSE value END AS value
+      FROM events
+"""
+
+
+def validation_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 channel validation: diagnostic counts per (code, severity) over
+    the dirtied channel stream (validation.dart:474-533 rules)."""
+    from activity_files_spark.operators.validation import validate_channels
+
+    diags = validate_channels(_dirty_channels(spark, sf_dir))
+    return diags.groupBy("code", "severity").agg(F.count("*").alias("n"))
+
+
+def _validation_sql() -> str:
+    return f"""
+    WITH ch AS ({_DIRTY_CH_SQL}),
+    hr AS (
+      SELECT 'validation.heart_rate_range' AS code, 'warning' AS severity, COUNT(*) AS n
+      FROM ch WHERE channel = 'heart_rate' AND (value < 20 OR value > 260)
+    ),
+    pw AS (
+      SELECT 'validation.power_negative', 'error', COUNT(*)
+      FROM ch WHERE channel = 'power' AND value < 0
+    ),
+    dn AS (
+      SELECT 'validation.distance_negative', 'error', COUNT(*)
+      FROM ch WHERE channel = 'distance' AND value < 0
+    ),
+    dd AS (
+      SELECT 'validation.distance_decreasing', 'warning', COUNT(*) FROM (
+        SELECT value, LAG(value) OVER (PARTITION BY activity_id, channel ORDER BY ts) AS pv
+        FROM ch WHERE channel = 'distance'
+      ) WHERE value + 1e-9 < pv
+    ),
+    singles AS (
+      SELECT 'validation.channel_single_sample', 'info', COUNT(*) FROM (
+        SELECT activity_id, channel FROM ch GROUP BY activity_id, channel HAVING COUNT(*) = 1
+      )
+    )
+    SELECT * FROM (
+      SELECT * FROM hr UNION ALL SELECT * FROM pw UNION ALL SELECT * FROM dn
+      UNION ALL SELECT * FROM dd UNION ALL SELECT * FROM singles
+    ) t(code, severity, n)
+    WHERE n > 0
+    """
+
+
+def session_summary_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 session summary per user over the derived track + value channel."""
+    from activity_files_spark.operators.summary import session_summary
+
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("user_id").cast("string").alias("activity_id"),
+        F.col("event_id").alias("seq"), "ts",
+        _lat_col().alias("lat"), _lon_col().alias("lon"),
+    )
+    ch = ev.select(
+        F.col("user_id").cast("string").alias("activity_id"),
+        F.lit("heart_rate").alias("channel"), "ts", "value",
+    )
+    out = session_summary(pts, channels=ch)
+    return out.select(
+        "activity_id", "start_ts", "end_ts", "n_points",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("avg_hr", 6).alias("avg_hr"),
+        F.col("max_hr"),
+    )
+
+
+def _session_summary_sql() -> str:
+    return """
+    SELECT CAST(user_id AS VARCHAR) AS activity_id,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts, COUNT(*) AS n_points,
+           ROUND((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0, 6) AS duration_s,
+           ROUND(AVG(value), 6) AS avg_hr,
+           MAX(value) AS max_hr
+    FROM events GROUP BY user_id
+    """
+
+
 # ------------------------------------------------------------ image pipeline
 
 N_IMAGES_CORRECTNESS = 200  # deterministic synthetic table size for oracles
@@ -727,6 +1142,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pip_join": image_pip_join,
         "image_knn": image_knn,
         "validate_images_summary": validate_images_summary,
+        "minhash_near_dups": minhash_near_dups,
+        "simhash_docs": simhash_docs,
+        "lang_quality_docs": lang_quality_docs,
+        "embedding_dup_pairs": embedding_dup_pairs,
+        "lsh_ann_embeddings": lsh_ann_embeddings,
+        "trim_invalid_points": trim_invalid_points,
+        "lap_splits_track": lap_splits_track,
+        "contiguous_group_events": contiguous_group_events,
+        "validation_diagnostics": validation_diagnostics,
+        "session_summary_users": session_summary_users,
     }
 
 
@@ -750,6 +1175,17 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign_images": _tile_assign_sql(),
         "image_pip_join": _image_pip_sql(),
         "image_knn": _image_knn_sql(),
+        "minhash_near_dups": _minhash_sql(),
+        "simhash_docs": _simhash_sql(),
+        "lang_quality_docs": _lang_quality_sql(),
+        "embedding_dup_pairs": _embedding_dup_sql(),
+        # lsh_ann_embeddings: no oracle (python-derived hyperplane constants);
+        # pytest pins recall vs the brute-force baseline.
+        "trim_invalid_points": _trim_invalid_sql(),
+        "lap_splits_track": _lap_splits_sql(),
+        "contiguous_group_events": _contiguous_sql(),
+        "validation_diagnostics": _validation_sql(),
+        "session_summary_users": _session_summary_sql(),
         # validate_images_summary: intentionally no oracle (pixel decode is
         # not SQL-expressible) -> driver rows-only check; pytest pins it.
     }

@@ -1,0 +1,192 @@
+"""Deduplication operators for large-scale text corpora.
+
+All hot paths are native Column expressions (shingling via slice/transform,
+hashing via md5) so they stay in whole-stage codegen and the oracle can
+reproduce them bit-for-bit in SQL:
+
+- :func:`exact_dedup` — hash-groupBy exact dedup
+- :func:`shingles` — word n-gram shingle sets
+- :func:`minhash_signature` — K md5-derived min-hashes per doc (the
+  "permutation" family is h_k(s) = md5(s || ':' || k), min taken
+  lexicographically — deterministic, engine-portable)
+- :func:`lsh_candidate_pairs` — banded LSH: equal band-signature join
+- :func:`jaccard_pairs` — exact shingle-set Jaccard verification
+- :func:`near_dup_pairs` — full MinHash->LSH->verify pipeline
+- :func:`simhash64` — 64-bit SimHash over tokens (bitwise majority vote)
+
+At 100 TB: shingling/minhash are map-side only; the LSH join shuffles on
+(band, signature) — bounded by band width, with salting available for
+pathological buckets; verification joins only candidate pairs (tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact text hash."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokenization of trimmed text (native)."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingle) distinct word n-grams. Docs shorter than n words get
+    their full token string as the single shingle."""
+    toks = tokens_col(text_col)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signature(
+    shingle_df: DataFrame, k: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """K min-hashes per doc: mh_j = min(md5(shingle || ':' || j))."""
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{j}")))).alias(f"mh{j}")
+        for j in range(k)
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int, rows_per_band: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Self-join on equal band signatures -> distinct (id_a < id_b) pairs."""
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("sig"))
+        )
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
+    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, shingle_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for the candidate pairs."""
+    sizes = shingle_df.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = shingle_df.withColumnRenamed(id_col, "doc_a")
+    sb = shingle_df.withColumnRenamed(id_col, "doc_b")
+    # intersection via equi-join on (doc_b, shingle) — never materializes the
+    # cross product of the two shingle sets
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a")
+    nb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash -> banded LSH -> exact-Jaccard verify (>= threshold)."""
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    sig = minhash_signature(sh, k=bands * rows_per_band, id_col=id_col)
+    cand = lsh_candidate_pairs(sig, bands, rows_per_band, id_col=id_col)
+    return jaccard_pairs(cand, sh, id_col=id_col).filter(F.col("jaccard") >= threshold)
+
+
+# -------------------------------------------------------------- simhash
+
+def md5_prefix_long(col):
+    """First 15 hex chars of md5 as a 60-bit non-negative long (exact,
+    engine-portable — DuckDB twin builds the same value by digit polynomial)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_prefix_long_sql(expr: str) -> str:
+    """DuckDB twin of :func:`md5_prefix_long` (exact BIGINT arithmetic)."""
+    terms = []
+    for i in range(15):
+        digit = f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        weight = 16 ** (14 - i)
+        terms.append(f"CAST({digit} AS BIGINT) * {weight}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+) -> DataFrame:
+    """SimHash: per bit position, majority vote of token-hash bits.
+
+    Plan: explode tokens, explode bit positions 0..bits-1, sum +/-1 votes
+    per (doc, bit), reassemble the integer — all native expressions, one
+    shuffle on (doc, bit) with partial aggregation.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    h = md5_prefix_long(F.col("tok"))
+    votes = (
+        toks.withColumn("_h", h)
+        .select(id_col, "_h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
+        .withColumn(
+            "vote",
+            F.when(F.expr("shiftright(_h, bit) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def hamming64(a, b):
+    """Hamming distance between two long columns (native bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))

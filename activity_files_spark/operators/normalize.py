@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from activity_files_spark.functions.time import ts_seconds
+
 # Reference constants (raw_editor.dart:82-195)
 NULL_ISLAND_EPS = 1e-6
 ELE_SENTINEL_M = -499.0  # elevation <= -499 m is cleared (not dropped)
@@ -143,7 +145,7 @@ def largest_contiguous_group(
     count per group → keep max-count group (earliest wins ties).
     """
     w = Window.partitionBy(key).orderBy("ts")
-    gap_s = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    gap_s = ts_seconds(F.col("ts")) - F.lag(ts_seconds(F.col("ts"))).over(w)
     df = points.withColumn(
         "_new_grp",
         F.when(gap_s.isNull() | (gap_s <= max_gap_hours * 3600.0), 0).otherwise(1),

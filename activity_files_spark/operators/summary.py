@@ -1,0 +1,158 @@
+"""Session summaries, multisport split/merge, gap filling, sport inference.
+
+- :func:`session_summary` — A4 per-activity stats, replicating the
+  reference's GeoJSON quirks exactly: lap-HR mean treats null lap averages
+  as ZERO (geojson_encoder.dart:63-75), max-HR ignores nulls.
+- :func:`split_by_sport` — F4/U3: per-sport lap time envelopes -> point
+  filter (facade:832-911).
+- :func:`merge_activities` — J5/U1: unionByName + global re-sort
+  (facade:751-803; models.dart:1385-1430).
+- :func:`fill_time_gaps` — G20: insert up to ``max_points`` lerped points
+  per gap > threshold (facade:2290-2350); sequence + explode + lerp, native.
+- :func:`infer_sport` — G8 keyword inference with priority order
+  (facade:1012-1093) as a when-chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from activity_files_spark.functions.geo import lerp
+from activity_files_spark.functions.time import ts_seconds
+
+
+def session_summary(
+    points: DataFrame,
+    channels: DataFrame | None = None,
+    laps: DataFrame | None = None,
+    key: str = "activity_id",
+) -> DataFrame:
+    """Per-activity summary row: duration, point count, channel stats, and
+    the reference's lap-HR aggregates (null lap avg counted as 0 in the
+    mean; max ignores nulls — geojson_encoder.dart:63-75)."""
+    base = points.groupBy(key).agg(
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.count("*").alias("n_points"),
+    ).withColumn(
+        "duration_s", ts_seconds(F.col("end_ts")) - ts_seconds(F.col("start_ts"))
+    )
+    if channels is not None:
+        hr = channels.filter(F.col("channel") == "heart_rate").groupBy(key).agg(
+            F.avg("value").alias("avg_hr"), F.max("value").alias("max_hr")
+        )
+        base = base.join(hr, key, "left")
+    if laps is not None:
+        lap_hr = laps.groupBy(key).agg(
+            # null-as-zero mean quirk: sum(coalesce(avg,0)) / count(*)
+            (
+                F.sum(F.coalesce(F.col("lap_avg_hr"), F.lit(0.0)))
+                / F.count("*")
+            ).alias("lap_mean_avg_hr"),
+            F.max("lap_max_hr").alias("lap_max_hr"),  # max ignores nulls
+            F.count("*").alias("num_laps"),
+        )
+        base = base.join(lap_hr, key, "left")
+    return base
+
+
+def split_by_sport(
+    points: DataFrame, laps: DataFrame, key: str = "activity_id"
+) -> DataFrame:
+    """Tag each point with the sport whose lap time-envelope contains it.
+
+    Reference facade:832-911: per-sport envelope = [min(start), max(end)]
+    over that sport's laps; points filter into the envelope. Envelopes are
+    tiny -> broadcast range join.
+    """
+    env = laps.filter(F.col("sport").isNotNull()).groupBy(key, "sport").agg(
+        F.min("start_ts").alias("_s"), F.max("end_ts").alias("_e")
+    )
+    return (
+        points.join(F.broadcast(env), key)
+        .filter((F.col("ts") >= F.col("_s")) & (F.col("ts") <= F.col("_e")))
+        .drop("_s", "_e")
+    )
+
+
+def merge_activities(dfs: list[DataFrame], key: str = "activity_id") -> DataFrame:
+    """Union-merge point streams, re-sorted per activity (U1/U2)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out.orderBy(key, "ts")
+
+
+def fill_time_gaps(
+    points: DataFrame,
+    gap_s: float = 300.0,
+    step_s: float = 60.0,
+    max_inserted: int = 10,
+    key: str = "activity_id",
+) -> DataFrame:
+    """Insert lerped points into gaps > gap_s (G20, facade:2290-2350).
+
+    Native plan: lag window finds gap endpoints; sequence() generates at
+    most ``max_inserted`` interior timestamps; explode + lerp lat/lon/ele.
+    Inserted rows carry seq = null (synthetic).
+    """
+    w = Window.partitionBy(key).orderBy("ts")
+    gapped = points.select(
+        key, "seq", "ts", "lat", "lon", "ele",
+        F.lag("ts").over(w).alias("_pts"),
+        F.lag("lat").over(w).alias("_plat"),
+        F.lag("lon").over(w).alias("_plon"),
+        F.lag("ele").over(w).alias("_pele"),
+    ).withColumn("_gap", ts_seconds(F.col("ts")) - ts_seconds(F.col("_pts")))
+    fills = (
+        gapped.filter(F.col("_gap") > gap_s)
+        .withColumn(
+            "_n", F.least(F.floor(F.col("_gap") / F.lit(step_s)) - 1, F.lit(max_inserted)).cast("int")
+        )
+        .filter(F.col("_n") >= 1)
+        .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .withColumn(
+            "_ft",
+            F.timestamp_seconds(
+                ts_seconds(F.col("_pts")) + F.col("_i").cast("double") * F.lit(step_s)
+            ),
+        )
+    )
+    t0 = ts_seconds(F.col("_pts"))
+    t1 = ts_seconds(F.col("ts"))
+    tx = ts_seconds(F.col("_ft"))
+    synth = fills.select(
+        F.col(key),
+        F.lit(None).cast("long").alias("seq"),
+        F.col("_ft").cast("timestamp").alias("ts"),
+        lerp(t0, t1, F.col("_plat"), F.col("lat"), tx).alias("lat"),
+        lerp(t0, t1, F.col("_plon"), F.col("lon"), tx).alias("lon"),
+        lerp(t0, t1, F.col("_pele"), F.col("ele"), tx).alias("ele"),
+    )
+    return points.select(key, "seq", "ts", "lat", "lon", "ele").unionByName(synth)
+
+
+# G8 sport inference: keyword priority order (facade:1012-1093)
+SPORT_KEYWORDS = [
+    ("triathlon", "multisport"),
+    ("run", "running"),
+    ("jog", "running"),
+    ("bike", "cycling"),
+    ("cycl", "cycling"),
+    ("ride", "cycling"),
+    ("swim", "swimming"),
+    ("walk", "walking"),
+    ("hik", "hiking"),
+]
+
+SPORT_IDS = {1: "running", 2: "cycling", 5: "swimming", 11: "walking", 17: "hiking"}
+
+
+def infer_sport(text_col) -> "F.Column":
+    """Keyword-priority sport inference as a when-chain (no UDF)."""
+    low = F.lower(text_col)
+    expr = F.lit(None).cast("string")
+    for kw, sport in reversed(SPORT_KEYWORDS):
+        expr = F.when(low.contains(kw), sport).otherwise(expr)
+    return expr

@@ -1,0 +1,146 @@
+"""Validation operators — the reference's constraint system
+(lib/src/validation.dart:295-698) as DataFrame assertions emitting a
+diagnostics table (activity_id, code, severity, message-ish attrs).
+
+All pure window/filter expressions; union of the individual check outputs.
+Codes and thresholds pinned to the reference:
+- point ordering / duplicate ts (validation.dart:357-371)
+- gaps > 5 min warn (validation.dart:373-384)
+- coordinate/elevation range & finiteness (validation.dart:390-422)
+- channel ranges: HR in [20,260] warn, power >= 0 error, distance >= 0
+  error, distance non-decreasing warn (+1e-9 slack), non-finite error
+  (validation.dart:474-533)
+- lap boundaries: inverted, overlap, outside point envelope
+  (validation.dart:185-288)
+- channel edge cases: empty / single sample (validation.dart:653-698)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from activity_files_spark.functions.time import ts_seconds
+
+DIAG_SCHEMA = "activity_id string, code string, severity string, detail string"
+
+
+def _diag(df: DataFrame, key, code: str, severity: str, detail) -> DataFrame:
+    return df.select(
+        F.col(key).cast("string").alias("activity_id"),
+        F.lit(code).alias("code"),
+        F.lit(severity).alias("severity"),
+        detail.cast("string").alias("detail"),
+    )
+
+
+def validate_points(points: DataFrame, key: str = "activity_id", gap_warn_s: float = 300.0) -> DataFrame:
+    """Ordering, duplicates, gaps, coordinate/elevation ranges."""
+    w = Window.partitionBy(key).orderBy("seq")
+    prev_ts = F.lag("ts").over(w)
+    base = points.withColumn("_prev", prev_ts)
+    out_of_order = _diag(
+        base.filter(F.col("ts") < F.col("_prev")), key,
+        "validation.point_order", "error", F.col("seq"),
+    )
+    dup_ts = _diag(
+        base.filter(F.col("ts") == F.col("_prev")), key,
+        "validation.duplicate_timestamp", "error", F.col("seq"),
+    )
+    wt = Window.partitionBy(key).orderBy("ts")
+    gap = ts_seconds(F.col("ts")) - F.lag(ts_seconds(F.col("ts"))).over(wt)
+    gaps = _diag(
+        points.withColumn("_gap", gap).filter(F.col("_gap") > gap_warn_s), key,
+        "validation.time_gap", "warning", F.round(F.col("_gap"), 3),
+    )
+    bad_coord = _diag(
+        points.filter(
+            F.isnan("lat") | F.isnan("lon")
+            | (F.col("lat") < -90) | (F.col("lat") > 90)
+            | (F.col("lon") < -180) | (F.col("lon") > 180)
+        ),
+        key, "validation.coordinate_range", "error", F.col("seq"),
+    )
+    checks = [out_of_order, dup_ts, gaps, bad_coord]
+    if "ele" in points.columns:
+        checks.append(
+            _diag(
+                points.filter(F.col("ele").isNotNull() & (F.isnan("ele") | (F.col("ele") < -500) | (F.col("ele") > 10000))),
+                key, "validation.elevation_range", "warning", F.col("seq"),
+            )
+        )
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def validate_channels(channels: DataFrame, key: str = "activity_id") -> DataFrame:
+    """Channel value-range + monotonicity + cardinality checks."""
+    ch = channels
+    hr = _diag(
+        ch.filter((F.col("channel") == "heart_rate") & ((F.col("value") < 20) | (F.col("value") > 260))),
+        key, "validation.heart_rate_range", "warning", F.col("value"),
+    )
+    power = _diag(
+        ch.filter((F.col("channel") == "power") & (F.col("value") < 0)),
+        key, "validation.power_negative", "error", F.col("value"),
+    )
+    dist_neg = _diag(
+        ch.filter((F.col("channel") == "distance") & (F.col("value") < 0)),
+        key, "validation.distance_negative", "error", F.col("value"),
+    )
+    w = Window.partitionBy(key, "channel").orderBy("ts")
+    dist_mono = _diag(
+        ch.filter(F.col("channel") == "distance")
+        .withColumn("_prev", F.lag("value").over(w))
+        .filter(F.col("value") + 1e-9 < F.col("_prev")),
+        key, "validation.distance_decreasing", "warning", F.col("value"),
+    )
+    non_finite = _diag(
+        ch.filter(F.isnan("value")),
+        key, "validation.value_not_finite", "error", F.col("channel"),
+    )
+    singles = _diag(
+        ch.groupBy(key, "channel").agg(F.count("*").alias("_n")).filter(F.col("_n") == 1),
+        key, "validation.channel_single_sample", "info", F.col("channel"),
+    )
+    out = hr
+    for c in (power, dist_neg, dist_mono, non_finite, singles):
+        out = out.unionByName(c)
+    return out
+
+
+def validate_laps(laps: DataFrame, points: DataFrame, key: str = "activity_id") -> DataFrame:
+    """Lap boundary checks: inverted, overlapping, outside point envelope."""
+    inverted = _diag(
+        laps.filter(F.col("end_ts") < F.col("start_ts")), key,
+        "validation.lap_inverted", "error", F.col("lap_id"),
+    )
+    w = Window.partitionBy(key).orderBy("start_ts")
+    overlap = _diag(
+        laps.withColumn("_prev_end", F.lag("end_ts").over(w))
+        .filter(F.col("start_ts") < F.col("_prev_end")),
+        key, "validation.lap_overlap", "warning", F.col("lap_id"),
+    )
+    env = points.groupBy(key).agg(F.min("ts").alias("_t0"), F.max("ts").alias("_t1"))
+    outside = _diag(
+        laps.join(F.broadcast(env), key)
+        .filter((F.col("end_ts") < F.col("_t0")) | (F.col("start_ts") > F.col("_t1"))),
+        key, "validation.lap_outside_envelope", "warning", F.col("lap_id"),
+    )
+    return inverted.unionByName(overlap).unionByName(outside)
+
+
+def validate_all(
+    points: DataFrame,
+    channels: DataFrame | None = None,
+    laps: DataFrame | None = None,
+    key: str = "activity_id",
+) -> DataFrame:
+    out = validate_points(points, key)
+    if channels is not None:
+        out = out.unionByName(validate_channels(channels, key))
+    if laps is not None:
+        out = out.unionByName(validate_laps(laps, points, key))
+    return out

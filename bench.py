@@ -48,6 +48,14 @@ HEADLINE = [
     "token_stats_documents",
     "cosine_topk_embeddings",
     "gap_events",
+    "minhash_near_dups",
+    "simhash_docs",
+    "lang_quality_docs",
+    "trim_invalid_points",
+    "lap_splits_track",
+    "contiguous_group_events",
+    "tile_assign_images",
+    "image_pip_join",
 ]
 
 

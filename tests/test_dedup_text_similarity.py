@@ -1,0 +1,148 @@
+"""Dedup (MinHash-LSH, SimHash), text analysis, similarity search, and
+stateful downsampling operator semantics."""
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from activity_files_spark.functions.text import lang_id, quality_score, fingerprint
+from activity_files_spark.operators.dedup import (
+    exact_dedup,
+    hamming64,
+    near_dup_pairs,
+    shingles,
+    simhash64,
+)
+from activity_files_spark.operators.downsample import (
+    downsample_distance,
+    downsample_time,
+)
+from activity_files_spark.operators.similarity import (
+    as_double_vec,
+    cosine_topk,
+    lsh_topk,
+)
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "quick brown fox jumps over the lazy dog near the river bank today"),  # near-dup of 0
+    (2, "spark is a distributed engine for large scale data processing and analytics"),
+    (3, "completely different text about quantum chromodynamics and lattice gauge theory"),
+]
+
+
+@pytest.fixture
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (5, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [1, 3]  # lowest id wins per hash group
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    sh = [r["shingle"] for r in shingles(df, n=3).collect()]
+    assert sh == ["one two"]  # short doc -> whole text as single shingle
+
+
+def test_near_dup_pairs_finds_planted_pair(docs):
+    pairs = near_dup_pairs(docs, threshold=0.4).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 1) in got
+    j = [r["jaccard"] for r in pairs if (r["doc_a"], r["doc_b"]) == (0, 1)][0]
+    assert j > 0.5
+    # unrelated docs never pair
+    assert all(p == (0, 1) for p in got)
+
+
+def test_simhash_near_vs_far(docs):
+    hs = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    df = docs.sparkSession.createDataFrame(
+        [(hs[0], hs[1], hs[3])], "a long, b long, c long"
+    )
+    r = df.select(
+        hamming64(F.col("a"), F.col("b")).alias("near"),
+        hamming64(F.col("a"), F.col("c")).alias("far"),
+    ).collect()[0]
+    assert r["near"] < r["far"]
+    assert r["near"] <= 12
+
+
+def test_lang_id_and_quality(spark):
+    rows = [
+        (1, "the cat is in the house and it is happy for a while"),
+        (2, "der hund ist nicht in das haus und die katze ist mit der maus"),
+        (3, "le chat est dans la maison et il est pour les enfants"),
+        (4, "zxcvb qwerty asdfgh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()}
+    assert out[1]["lang"] == "en"
+    assert out[2]["lang"] == "de"
+    assert out[3]["lang"] == "fr"
+    assert out[4]["lang"] == "und"
+    assert 0.0 <= out[4]["q"] < out[1]["q"] <= 1.0
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "hello worlds")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_lsh_topk_recall_vs_brute(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.col("vec_id").alias("item_id"), as_double_vec(F.col("embedding")).alias("vec")
+    )
+    qs = emb.filter(F.col("item_id") < 10).select(
+        F.col("item_id").alias("query_id"), "vec"
+    )
+    brute = cosine_topk(qs, emb, k=5, q_id="query_id", i_id="item_id")
+    brute_set = {(r["query_id"], r["item_id"]) for r in brute.collect()
+                 if r["query_id"] != r["item_id"]}
+    approx = lsh_topk(qs, emb, k=5, dim=64, n_planes=4, n_tables=16)
+    approx_set = {(r["query_id"], r["item_id"]) for r in approx.collect()
+                  if r["query_id"] != r["item_id"]}
+    recall = len(brute_set & approx_set) / len(brute_set)
+    assert recall >= 0.8, f"LSH recall {recall}"
+
+
+def test_downsample_time_keeps_last(spark):
+    rows = [("a", i, datetime(2024, 3, 1, 10, 0, i), 40.0, -105.0, 0.0) for i in range(7)]
+    df = spark.createDataFrame(
+        rows, "activity_id string, seq long, ts timestamp, lat double, lon double, ele double"
+    )
+    kept = sorted(r["seq"] for r in downsample_time(df, step_s=3.0).collect())
+    # keep 0, 3, 6; final point 6 already kept
+    assert kept == [0, 3, 6]
+    rows2 = rows[:5]  # 0..4: keep 0, 3, and final 4
+    df2 = spark.createDataFrame(
+        rows2, "activity_id string, seq long, ts timestamp, lat double, lon double, ele double"
+    )
+    assert sorted(r["seq"] for r in downsample_time(df2, step_s=3.0).collect()) == [0, 3, 4]
+
+
+def test_downsample_distance(spark):
+    # fixture grid: consecutive points ~55.7m apart going north
+    rows = [("a", i, datetime(2024, 3, 1, 10, 0, i), 40.0 + i * 0.0005, -105.0, 0.0) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "activity_id string, seq long, ts timestamp, lat double, lon double, ele double"
+    )
+    kept = sorted(r["seq"] for r in downsample_distance(df, meters=100.0).collect())
+    # ~55.7m steps: keep 0, then 2 (111m), then 4 (111m), final 5
+    assert kept == [0, 2, 4, 5]
