@@ -1,0 +1,188 @@
+"""spark-submit entry point (S14 — the reference CLI re-expressed).
+
+Usage (package the library with --py-files):
+
+    zip -r engine.zip activity_files_spark
+    spark-submit --py-files engine.zip -m activity_files_spark.cli convert \\
+        --input /data/raw --from auto --to gpx --output /data/out
+    spark-submit ... validate --input /data/raw --from auto --report /data/diag
+    spark-submit ... tile --images /data/images.parquet --resolutions 8,10,12 \\
+        --geofences /data/geofences.json --output /data/tiles --manifest /data/ckpt
+
+Reference: bin/activity_files.dart:37-394 (convert/validate commands).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _load_records(spark, args):
+    from activity_files_spark.sources.detect import detect_format_df
+    from activity_files_spark.sources.fit import fit_records
+    from activity_files_spark.sources.geojson import geojson_records
+    from activity_files_spark.sources.gpx import gpx_records
+    from activity_files_spark.sources.tcx import tcx_records
+
+    files = spark.read.format("binaryFile").load(args.input).select(
+        F.col("path").alias("activity_id"), F.col("content").alias("payload")
+    )
+    if args.from_fmt == "auto":
+        files = detect_format_df(files, payload_col="payload", path_col="activity_id")
+    else:
+        files = files.withColumn("fmt", F.lit(args.from_fmt))
+    text = files.withColumn("xml", F.col("payload").cast("string")).withColumn(
+        "text", F.col("payload").cast("string")
+    )
+    parts = []
+    for fmt, fn, col in (
+        ("gpx", gpx_records, "xml"),
+        ("tcx", tcx_records, "xml"),
+        ("geojson", geojson_records, "text"),
+    ):
+        sub = text.filter(F.col("fmt") == fmt)
+        parts.append(fn(sub, id_col="activity_id", xml_col=col) if col == "xml"
+                     else fn(sub, id_col="activity_id", text_col=col))
+    parts.append(fit_records(files.filter(F.col("fmt") == "fit"), id_col="activity_id"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def cmd_convert(spark, args) -> int:
+    from activity_files_spark.operators.normalize import sort_dedup, trim_invalid
+    from activity_files_spark.sources.gpx import gpx_encode_df
+    from activity_files_spark.sources.records import channels_of, points_of
+    from activity_files_spark.sources.tcx import tcx_encode_df
+
+    records = _load_records(spark, args).cache()
+    points = trim_invalid(sort_dedup(points_of(records)))
+    channels = channels_of(records)
+    if args.to_fmt == "gpx":
+        enc = gpx_encode_df(points, channels)
+        payload_col = "xml"
+    elif args.to_fmt == "tcx":
+        enc = tcx_encode_df(points, channels)
+        payload_col = "xml"
+    elif args.to_fmt == "geojson":
+        from activity_files_spark.sources.geojson import geojson_encode_df
+
+        enc = geojson_encode_df(points)
+        payload_col = "text"
+    elif args.to_fmt == "fit":
+        from activity_files_spark.sources.fit import fit_encode_df
+
+        enc = fit_encode_df(points, channels)
+        payload_col = "payload"
+    else:
+        print(f"unsupported --to {args.to_fmt}", file=sys.stderr)
+        return 2
+    enc.select("activity_id", F.col(payload_col)).write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"converted": enc.count(), "to": args.to_fmt, "output": args.output}))
+    return 0
+
+
+def cmd_validate(spark, args) -> int:
+    from activity_files_spark.operators.validation import validate_all
+    from activity_files_spark.sources.records import (
+        channels_of,
+        diagnostics_of,
+        laps_of,
+        points_of,
+    )
+
+    records = _load_records(spark, args).cache()
+    diags = validate_all(points_of(records), channels_of(records), laps_of(records))
+    parse_diags = diagnostics_of(records).select(
+        "activity_id",
+        F.col("attrs")["code"].alias("code"),
+        F.col("attrs")["severity"].alias("severity"),
+        F.col("attrs")["message"].alias("detail"),
+    )
+    all_diags = diags.unionByName(parse_diags)
+    if args.report:
+        all_diags.write.mode("overwrite").parquet(args.report)
+    counts = {r["severity"]: r["n"] for r in all_diags.groupBy("severity").agg(F.count("*").alias("n")).collect()}
+    print(json.dumps({"diagnostics": counts}))
+    return 1 if args.strict and counts.get("error", 0) > 0 else 0
+
+
+def cmd_tile(spark, args) -> int:
+    from activity_files_spark.operators.spatial import pip_join
+    from activity_files_spark.operators.tiling import tile_assign, validate_images
+    from activity_files_spark.plans.manifest import Manifest
+
+    resolutions = [int(z) for z in args.resolutions.split(",")]
+    m = Manifest(spark, args.manifest) if args.manifest else None
+
+    def load():
+        return spark.read.parquet(args.images)
+
+    def tiles():
+        imgs = load().select("image_id", "lat", "lon")
+        return tile_assign(imgs, resolutions=resolutions)
+
+    if m:
+        tiles_df = m.run_stage("tiles", tiles, inputs=[args.images],
+                               config={"resolutions": resolutions})
+    else:
+        tiles_df = tiles()
+    tiles_df.write.mode("overwrite").partitionBy("zoom").parquet(args.output)
+
+    result = {"tiles": tiles_df.count(), "output": args.output}
+    if args.geofences:
+        with open(args.geofences) as f:
+            polys = json.load(f)
+        hits = pip_join(load().select("image_id", "lat", "lon"), polys)
+        result["pip_rows"] = hits.count()
+    if args.validate:
+        bad = validate_images(load()).filter(~F.col("ok")).count()
+        result["invalid_images"] = bad
+    print(json.dumps(result))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="activity_files_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert")
+    c.add_argument("--input", required=True)
+    c.add_argument("--from", dest="from_fmt", default="auto")
+    c.add_argument("--to", dest="to_fmt", required=True)
+    c.add_argument("--output", required=True)
+
+    v = sub.add_parser("validate")
+    v.add_argument("--input", required=True)
+    v.add_argument("--from", dest="from_fmt", default="auto")
+    v.add_argument("--report", default=None)
+    v.add_argument("--strict", action="store_true")
+
+    t = sub.add_parser("tile")
+    t.add_argument("--images", required=True)
+    t.add_argument("--resolutions", default="8,10,12")
+    t.add_argument("--geofences", default=None)
+    t.add_argument("--output", required=True)
+    t.add_argument("--manifest", default=None)
+    t.add_argument("--validate", action="store_true")
+
+    args = ap.parse_args(argv)
+    from activity_files_spark.session import get_spark
+
+    spark = get_spark("activity_files_spark_cli")
+    if args.cmd == "convert":
+        return cmd_convert(spark, args)
+    if args.cmd == "validate":
+        return cmd_validate(spark, args)
+    if args.cmd == "tile":
+        return cmd_tile(spark, args)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -30,31 +30,6 @@ from activity_files_spark.functions.geo import lerp
 DEFAULT_TOLERANCE_S = 5.0  # encoder_options.dart:22
 
 
-def _union_probe_sample(
-    probes: DataFrame,
-    samples: DataFrame,
-    key: str,
-    ts: str,
-    value: str,
-) -> DataFrame:
-    """Tag and union probe/sample streams on a common schema."""
-    p = probes.select(
-        F.col(key).alias("_k"),
-        ts_seconds(F.col(ts)).alias("_t"),
-        F.lit(None).cast("double").alias("_v"),
-        F.lit(1).alias("_is_probe"),
-        F.col(ts).alias("_probe_ts"),
-    )
-    s = samples.select(
-        F.col(key).alias("_k"),
-        ts_seconds(F.col(ts)).alias("_t"),
-        F.col(value).cast("double").alias("_v"),
-        F.lit(0).alias("_is_probe"),
-        F.lit(None).cast("timestamp").alias("_probe_ts"),
-    )
-    return p.unionByName(s)
-
-
 def asof_join(
     probes: DataFrame,
     samples: DataFrame,
@@ -67,24 +42,31 @@ def asof_join(
     """Nearest-within-tolerance as-of join, native Catalyst plan.
 
     Returns ``probes`` columns + ``out`` (matched sample value or null).
-    Plan shape: union → window(running last before / first after) → join
-    back to probes on (key, ts). Samples at the exact probe ts sort before
-    the probe row (``_is_probe`` ascending) so an equal-ts sample is seen as
-    the "previous" candidate — Δ=0, always wins.
+    Plan shape: probe columns ride THROUGH the union (sample rows carry
+    nulls), so the whole join is one shuffle on ``key`` + one window pass —
+    no join-back. Samples at the exact probe ts sort before the probe row
+    (``_is_probe`` ascending) so an equal-ts sample is seen as the
+    "previous" candidate — Δ=0, always wins; earlier wins ties
+    (channel_mapper.dart:203).
     """
-    u = _union_probe_sample(probes, samples, key, ts, value)
-    wb = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_is_probe").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    p_cols = probes.columns
+    p = (
+        probes.withColumn("_t", ts_seconds(F.col(ts)))
+        .withColumn("_sv", F.lit(None).cast("double"))
+        .withColumn("_is_probe", F.lit(1))
     )
-    wf = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_is_probe").asc())
-        .rowsBetween(0, Window.unboundedFollowing)
+    s = samples.select(
+        F.col(key),
+        ts_seconds(F.col(ts)).alias("_t"),
+        F.col(value).cast("double").alias("_sv"),
+        F.lit(0).alias("_is_probe"),
     )
+    u = p.unionByName(s, allowMissingColumns=True)
+    order = [F.col("_t").asc(), F.col("_is_probe").asc()]
+    wb = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.partitionBy(key).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
     sample_t = F.when(F.col("_is_probe") == 0, F.col("_t"))
-    sample_v = F.when(F.col("_is_probe") == 0, F.col("_v"))
+    sample_v = F.when(F.col("_is_probe") == 0, F.col("_sv"))
     enriched = (
         u.withColumn("_pt", F.last(sample_t, ignorenulls=True).over(wb))
         .withColumn("_pv", F.last(sample_v, ignorenulls=True).over(wb))
@@ -98,16 +80,12 @@ def asof_join(
         F.col("_nt").isNull() | (d_prev <= d_next)  # earlier wins ties
     )
     matched = enriched.withColumn(
-        "_mv",
+        out,
         F.when(pick_prev & (d_prev <= tolerance_s), F.col("_pv")).when(
             ~pick_prev & F.col("_nt").isNotNull() & (d_next <= tolerance_s), F.col("_nv")
         ),
-    ).select(F.col("_k"), F.col("_probe_ts").alias("_pts"), F.col("_mv"))
-    return probes.join(
-        matched,
-        (probes[key] == matched["_k"]) & (probes[ts] == matched["_pts"]),
-        "left",
-    ).drop("_k", "_pts").withColumnRenamed("_mv", out)
+    )
+    return matched.select(*p_cols, out)
 
 
 def asof_join_pandas(

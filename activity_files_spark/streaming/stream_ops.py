@@ -1,0 +1,104 @@
+"""Structured Streaming operators (§2.9).
+
+The reference has no true incremental streaming — its "stream" inputs are
+chunk-buffered to completion before parsing (activity_parser.dart:84-119).
+The engine therefore treats streaming as a first-class NEW capability:
+the batch sessionization operators (F6 gap-split, A6 distance splits) map
+onto event-time session windows with watermarked state.
+
+- :func:`stream_sessionize` — session_window(ts, gap) aggregation with a
+  watermark for late data: the streaming twin of
+  operators.windows.sessionize_gap.
+- :func:`stream_cell_histogram` — incremental per-cell tiling rollup
+  (update-mode groupBy on the quadkey cell), the streaming twin of the
+  flagship tiling histogram.
+- :func:`stream_from_parquet_dir` — file-source ingest with a fixed schema
+  (maxFilesPerTrigger caps ~ the reference's 64 MB payload cap).
+
+Tests drive these with trigger(availableNow=True) into a memory sink —
+real incremental execution, bounded input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from activity_files_spark.functions.quadkey import cell_id_col
+
+
+def stream_from_parquet_dir(
+    spark: SparkSession, path: str, schema: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Event-time session windows with late-data watermark.
+
+    Output (append mode once a session closes): key, session_start,
+    session_end, n_events, sum_value.
+    """
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("sw"), F.col(key))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            key,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_cell_histogram(
+    points: DataFrame,
+    z: int = 12,
+    watermark: str = "1 hour",
+    ts: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Incremental tiling rollup: per (window, cell) point counts."""
+    return (
+        points.withWatermark(ts, watermark)
+        .withColumn("cell_id", cell_id_col(F.col(lat), F.col(lon), z))
+        .groupBy(F.window(F.col(ts), "1 hour").alias("w"), F.col("cell_id"))
+        .agg(F.count("*").alias("n_points"))
+        .select(F.col("w.start").alias("window_start"), "cell_id", "n_points")
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+):
+    """Drain the bounded stream into a memory sink; returns the query.
+
+    ``complete`` is the right mode for session-window aggregations under
+    availableNow (append would hold rows until the watermark passes — which
+    never happens after the final batch of a bounded run — and Spark rejects
+    update mode for session windows).
+    """
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,110 @@
+"""CLI end-to-end (convert/validate/tile via main()) + multimodal plumbing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from activity_files_spark.operators.multimodal import (
+    audio_features,
+    decode_audio,
+    decode_video_frame,
+    sample_frames,
+    synth_audio,
+    synth_video,
+)
+
+
+@pytest.fixture
+def input_dir(tmp_path, spark):
+    from tests.test_sources_roundtrip import SAMPLE_GPX, SAMPLE_TCX
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "a.gpx").write_text(SAMPLE_GPX)
+    (d / "b.tcx").write_text(SAMPLE_TCX)
+    from activity_files_spark.sources.fit import encode_fit
+    from tests.test_fit_detect import PTS, mk_channels
+
+    (d / "c.fit").write_bytes(encode_fit(PTS, mk_channels(), []))
+    return str(d)
+
+
+def test_cli_convert_gpx(spark, input_dir, tmp_path, capsys):
+    from activity_files_spark.cli import main
+
+    out = str(tmp_path / "out")
+    rc = main(["convert", "--input", input_dir, "--from", "auto", "--to", "gpx",
+               "--output", out])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["converted"] == 3
+    enc = spark.read.parquet(out)
+    assert enc.count() == 3
+    xml = enc.collect()[0]["xml"]
+    assert xml.startswith('<?xml') and "<trkpt" in xml
+
+
+def test_cli_validate(spark, input_dir, tmp_path, capsys):
+    from activity_files_spark.cli import main
+
+    rep = str(tmp_path / "report")
+    rc = main(["validate", "--input", input_dir, "--report", rep])
+    assert rc == 0
+    diags = spark.read.parquet(rep)
+    assert "code" in diags.columns
+
+
+def test_cli_tile_with_manifest(spark, tmp_path, capsys):
+    from activity_files_spark.cli import main
+    from activity_files_spark.data.images import synth_images
+
+    imgs = str(tmp_path / "images")
+    synth_images(spark, 20, partitions=2).write.parquet(imgs)
+    out = str(tmp_path / "tiles")
+    man = str(tmp_path / "ckpt")
+    gf = str(tmp_path / "gf.json")
+    with open(gf, "w") as f:
+        json.dump([{"geofence_id": "g0", "ring": [
+            [-105.2, 40.0], [-104.9, 40.0], [-104.9, 40.3], [-105.2, 40.3]]}], f)
+    rc = main(["tile", "--images", imgs, "--resolutions", "8,12", "--output", out,
+               "--manifest", man, "--geofences", gf, "--validate"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["tiles"] == 40
+    assert res["invalid_images"] == 0
+    assert res["pip_rows"] > 0
+    tiles = spark.read.parquet(out)
+    assert set(r["zoom"] for r in tiles.select("zoom").distinct().collect()) == {8, 12}
+    assert os.path.exists(os.path.join(man, "tiles.json"))
+
+
+def test_audio_plumbing(spark):
+    aud = synth_audio(spark, 8)
+    feats = {r["clip_id"]: r for r in audio_features(aud).collect()}
+    assert len(feats) == 8
+    for r in feats.values():
+        assert 0 < r["rms"] < 20001 and 0 < r["peak"] <= 20000
+
+
+def test_audio_real_codec_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00" * 16, "mp3", 8, 1)
+
+
+def test_video_frame_sampling(spark):
+    vid = synth_video(spark, 4, w=8, h=6, n_frames=5)
+    frames = sample_frames(vid, every=2).collect()
+    # frames 0, 2, 4 per clip
+    assert len(frames) == 12
+    fr = [f for f in frames if f["clip_id"] == "vid_00000001" and f["frame_idx"] == 2][0]
+    px = np.frombuffer(bytes(fr["frame_bytes"]), dtype=np.uint8).reshape(6, 8, 3)
+    # matches the generator formula: r = (x + f + i) % 256 at f=2, i=1
+    assert px[0, 0, 0] == 3 and px[0, 5, 0] == 8
+
+
+def test_video_real_codec_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_video_frame(b"", "mp4", 8, 6, 0)

@@ -1,0 +1,65 @@
+"""Structured Streaming: session-window sessionization and incremental
+cell-histogram tiling, driven end-to-end with availableNow triggers and
+compared against the batch twins."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from activity_files_spark.operators.windows import sessionize_gap
+from activity_files_spark.streaming.stream_ops import (
+    run_available_now,
+    stream_cell_histogram,
+    stream_from_parquet_dir,
+    stream_sessionize,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # stage the driver events table as a streaming file source (2 files)
+    import shutil
+
+    d = tmp_path_factory.mktemp("stream_src")
+    src = "/root/testdata/sf0.001/events.parquet"
+    shutil.copy(src, d / "part-000.parquet")
+    return str(d)
+
+
+def test_stream_sessionize_matches_batch(spark, events_dir, tmp_path):
+    stream = stream_from_parquet_dir(spark, events_dir, EVENTS_SCHEMA, max_files_per_trigger=1)
+    sess = stream_sessionize(stream, gap="30 minutes", watermark="1 hour")
+    q = run_available_now(sess, "sess_test", str(tmp_path / "ckpt"), output_mode="complete")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_test").collect()
+    batch = spark.read.parquet(events_dir)
+    bs = sessionize_gap(batch, gap_s=1800.0, key="user_id", ts="ts")
+    batch_sessions = (
+        bs.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("s"))
+        .collect()
+    )
+    batch_map = {(r["user_id"], str(r["s"])): r["n_events"] for r in batch_sessions}
+    stream_map = {(r["user_id"], str(r["session_start"])): r["n_events"] for r in got}
+    assert stream_map == batch_map
+    assert sum(stream_map.values()) == batch.count()
+
+
+def test_stream_cell_histogram(spark, events_dir, tmp_path):
+    stream = stream_from_parquet_dir(spark, events_dir, EVENTS_SCHEMA).select(
+        "ts",
+        (F.lit(40.0) + (F.col("event_id") % 1000).cast("double") * F.lit(0.0005)).alias("lat"),
+        (F.lit(-105.0) - (F.col("event_id") % 997).cast("double") * F.lit(0.0005)).alias("lon"),
+    )
+    hist = stream_cell_histogram(stream, z=10)
+    q = run_available_now(hist, "hist_test", str(tmp_path / "ckpt2"), output_mode="complete")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hist_test").collect()
+    total = sum(r["n_points"] for r in got)
+    assert total == spark.read.parquet(events_dir).count()
