@@ -363,6 +363,105 @@ def _pip_sql() -> str:
     """
 
 
+def pip_raycast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 full PIP path: packed-cell broadcast cover + vectorized ray-cast
+    refinement (operators/spatial.pip_join). For an axis-aligned CCW rect
+    ring the even-odd ray cast includes exactly the half-open box
+    [lon_w, lon_e) x [lat_s, lat_n) — which the oracle states directly."""
+    from activity_files_spark.operators.spatial import pip_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    polys = [
+        {"geofence_id": g, "ring": [(w, s), (e, s), (e, n), (w, n)]}
+        for g, w, e, s, n in GEOFENCES
+    ]
+    hit = pip_join(ev, polys, z=12)
+    return hit.groupBy("geofence_id").agg(
+        F.count("*").alias("n_points"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+def _pip_raycast_sql() -> str:
+    vals = ", ".join(f"('{g}', {w}, {e}, {s}, {n})" for g, w, e, s, n in GEOFENCES)
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon FROM events
+    ), gf(geofence_id, lon_w, lon_e, lat_s, lat_n) AS (VALUES {vals})
+    SELECT geofence_id, COUNT(*) AS n_points,
+           MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+    FROM pts JOIN gf
+      ON lon >= lon_w AND lon < lon_e AND lat >= lat_s AND lat < lat_n
+    GROUP BY geofence_id
+    """
+
+
+def resample_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 resample: per-user 6-hour grid (end-inclusive) with linear
+    interpolation of the derived lat/lon between bracketing points."""
+    from activity_files_spark.operators.asof import resample_linear
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("activity_id"), "ts",
+        _lat_col().alias("lat"), _lon_col().alias("lon"),
+    )
+    out = resample_linear(ev, step_s=6 * 3600, cols=["lat", "lon"])
+    return out.select(
+        "activity_id", "ts",
+        F.round("lat", 9).alias("lat"), F.round("lon", 9).alias("lon"),
+    )
+
+
+def _resample_sql() -> str:
+    return f"""
+    WITH pts AS (
+      SELECT CAST(user_id AS VARCHAR) AS activity_id, ts,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ),
+    env AS (
+      SELECT activity_id, MIN(ts) AS t0, MAX(ts) AS t1 FROM pts GROUP BY activity_id
+    ),
+    grid AS (
+      SELECT activity_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS ts
+      FROM env
+    ),
+    u AS (
+      SELECT activity_id, ts, CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lon,
+             1 AS is_grid FROM grid
+      UNION ALL
+      SELECT activity_id, ts, lat, lon, 0 AS is_grid FROM pts
+    ),
+    w AS (
+      SELECT *, epoch_us(ts) / 1000000.0 AS t,
+             last_value(CASE WHEN is_grid = 0 THEN epoch_us(ts) / 1000000.0 END IGNORE NULLS)
+               OVER wb AS pt,
+             last_value(CASE WHEN is_grid = 0 THEN lat END IGNORE NULLS) OVER wb AS plat,
+             last_value(CASE WHEN is_grid = 0 THEN lon END IGNORE NULLS) OVER wb AS plon,
+             first_value(CASE WHEN is_grid = 0 THEN epoch_us(ts) / 1000000.0 END IGNORE NULLS)
+               OVER wf AS nt,
+             first_value(CASE WHEN is_grid = 0 THEN lat END IGNORE NULLS) OVER wf AS nlat,
+             first_value(CASE WHEN is_grid = 0 THEN lon END IGNORE NULLS) OVER wf AS nlon
+      FROM u
+      WINDOW wb AS (PARTITION BY activity_id ORDER BY epoch_us(ts) / 1000000.0 ASC, is_grid ASC
+                    ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY activity_id ORDER BY epoch_us(ts) / 1000000.0 ASC, is_grid ASC
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT activity_id, ts,
+           ROUND(CASE WHEN pt IS NULL THEN nlat WHEN nt IS NULL THEN plat
+                 WHEN nt = pt THEN plat
+                 ELSE plat + (nlat - plat) * ((t - pt) / (nt - pt)) END, 9) AS lat,
+           ROUND(CASE WHEN pt IS NULL THEN nlon WHEN nt IS NULL THEN plon
+                 WHEN nt = pt THEN plon
+                 ELSE plon + (nlon - plon) * ((t - pt) / (nt - pt)) END, 9) AS lon
+    FROM w WHERE is_grid = 1
+    """
+
+
 def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 tolerance as-of join: for each click, the nearest purchase value
     by the same user within 60s (smallest |Δt|, earlier wins ties)."""
@@ -468,37 +567,24 @@ def _token_stats_sql() -> str:
 
 
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 neighbors for the first 25 vectors.
+    """Brute-force cosine top-5 neighbors for the first 25 vectors, via the
+    vectorized Arrow kernel (one numpy matmul per item batch; query matrix
+    broadcast). Values agree with DuckDB's exact fold to well inside the
+    9-dp rounding of the output column."""
+    from activity_files_spark.operators.similarity import as_double_vec, cosine_topk_kernel
 
-    Dot products run as native F.aggregate/zip_with expressions over
-    double-cast arrays — identical left-to-right fold order as DuckDB's
-    list_dot_product on DOUBLE[].
-    """
     emb = _read(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        F.col("vec_id").alias("item_id"), as_double_vec(F.col("embedding")).alias("vec")
     )
-    qs = emb.filter(F.col("vec_id") < 25).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    qs = emb.filter(F.col("item_id") < 25).select(
+        F.col("item_id").alias("query_id"), "vec"
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    j = F.broadcast(qs).join(emb, qs["query_id"] != emb["vec_id"])
-    scored = j.select(
+    out = cosine_topk_kernel(qs, emb, k=5, q_id="query_id", i_id="item_id", vec="vec")
+    return out.select(
         "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (dot / (norm("qv") * norm("v"))).alias("cos"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "rank", F.round(F.col("cos"), 9).alias("cos_sim"))
+        F.col("item_id").alias("neighbor_id"),
+        "rank",
+        F.round(F.col("cos"), 9).alias("cos_sim"),
     )
 
 
@@ -581,12 +667,14 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    from activity_files_spark.operators.dedup import md5_prefix_long_sql
+
     k = 16
-    mh_cols = ", ".join(
-        f"min(md5(shingle || ':{j}')) AS mh{j}" for j in range(k)
-    )
+    h1 = md5_prefix_long_sql("shingle", 1, 10)
+    h2 = f"({md5_prefix_long_sql('shingle', 11, 10)} | 1)"
+    mh_cols = ", ".join(f"min(h1 + {j} * h2) AS mh{j}" for j in range(k))
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, mh{2 * b} || '|' || mh{2 * b + 1} AS sig FROM sig"
+        f"SELECT doc_id, {b} AS band, CAST(mh{2 * b} AS VARCHAR) || '|' || CAST(mh{2 * b + 1} AS VARCHAR) AS sig FROM sig"
         for b in range(8)
     )
     return rf"""
@@ -603,7 +691,8 @@ def _minhash_sql() -> str:
       SELECT DISTINCT doc_id, array_to_string(t, ' ') AS shingle
       FROM toks WHERE len(t) < 3
     ),
-    sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+    hashed AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM sh),
+    sig AS (SELECT doc_id, {mh_cols} FROM hashed GROUP BY doc_id),
     banded AS ({band_rows}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1152,6 +1241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contiguous_group_events": contiguous_group_events,
         "validation_diagnostics": validation_diagnostics,
         "session_summary_users": session_summary_users,
+        "pip_raycast_join": pip_raycast_join,
+        "resample_track": resample_track,
     }
 
 
@@ -1186,6 +1277,8 @@ def oracle_sql() -> dict[str, str]:
         "contiguous_group_events": _contiguous_sql(),
         "validation_diagnostics": _validation_sql(),
         "session_summary_users": _session_summary_sql(),
+        "pip_raycast_join": _pip_raycast_sql(),
+        "resample_track": _resample_sql(),
         # validate_images_summary: intentionally no oracle (pixel decode is
         # not SQL-expressible) -> driver rows-only check; pytest pins it.
     }

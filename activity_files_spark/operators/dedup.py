@@ -60,12 +60,20 @@ def shingles(
 def minhash_signature(
     shingle_df: DataFrame, k: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
-    """K min-hashes per doc: mh_j = min(md5(shingle || ':' || j))."""
+    """K min-hashes per doc via Kirsch-Mitzenmacher derivation: ONE md5 per
+    shingle yields two independent 40-bit slices (h1, h2); permutation j is
+    h_j = h1 + j*h2 (h2 forced odd). 16x fewer hash computations than one
+    md5 per permutation; values stay < 2^45 so long arithmetic never
+    overflows (ANSI-safe) and the DuckDB oracle reproduces them exactly."""
+    h1 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 10), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.col("shingle")), 11, 10), 16, 10).cast("long").bitwiseOR(
+        F.lit(1)
+    )
+    base = shingle_df.select(F.col(id_col), h1.alias("_h1"), h2.alias("_h2"))
     aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{j}")))).alias(f"mh{j}")
-        for j in range(k)
+        F.min(F.col("_h1") + F.lit(j) * F.col("_h2")).alias(f"mh{j}") for j in range(k)
     ]
-    return shingle_df.groupBy(id_col).agg(*aggs)
+    return base.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -74,7 +82,7 @@ def lsh_candidate_pairs(
     """Self-join on equal band signatures -> distinct (id_a < id_b) pairs."""
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        parts = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("sig"))
         )
@@ -143,18 +151,18 @@ def near_dup_pairs(
 
 # -------------------------------------------------------------- simhash
 
-def md5_prefix_long(col):
-    """First 15 hex chars of md5 as a 60-bit non-negative long (exact,
+def md5_prefix_long(col, start: int = 1, length: int = 15):
+    """Hex chars [start, start+length) of md5 as a non-negative long (exact,
     engine-portable — DuckDB twin builds the same value by digit polynomial)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return F.conv(F.substring(F.md5(col), start, length), 16, 10).cast("long")
 
 
-def md5_prefix_long_sql(expr: str) -> str:
+def md5_prefix_long_sql(expr: str, start: int = 1, length: int = 15) -> str:
     """DuckDB twin of :func:`md5_prefix_long` (exact BIGINT arithmetic)."""
     terms = []
-    for i in range(15):
-        digit = f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
-        weight = 16 ** (14 - i)
+    for i in range(length):
+        digit = f"(strpos('0123456789abcdef', substr(md5({expr}), {start + i}, 1)) - 1)"
+        weight = 16 ** (length - 1 - i)
         terms.append(f"CAST({digit} AS BIGINT) * {weight}")
     return "(" + " + ".join(terms) + ")"
 

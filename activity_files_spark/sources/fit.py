@@ -318,6 +318,30 @@ def parse_fit(activity_id: str, payload: bytes) -> list[dict]:
                 out.append({"activity_id": activity_id, "kind": "channel",
                             "channel": "event", "ts": ts,
                             "value": float(values.get(0) or 0)})
+        elif g == 101:  # swim length (fit_parser.dart:675-699)
+            ts = _fit_ts(values.get(253))
+            start = _fit_ts(values.get(2))
+            attrs = {}
+            if values.get(3) is not None:
+                attrs["total_elapsed_s"] = repr(values[3] / 1000.0)
+            if values.get(5) is not None:
+                attrs["total_strokes"] = str(values[5])
+            if values.get(12) is not None:
+                attrs["swim_stroke"] = str(values[12])
+            out.append({"activity_id": activity_id, "kind": "length",
+                        "start_ts": start, "end_ts": ts, "attrs": attrs or None})
+        elif g == 225:  # strength set (fit_parser.dart:700-729)
+            ts = _fit_ts(values.get(254, values.get(253)))
+            start = _fit_ts(values.get(6))
+            attrs = {}
+            if values.get(3) is not None:
+                attrs["repetitions"] = str(values[3])
+            if values.get(4) is not None:
+                attrs["weight_kg"] = repr(values[4] / 16.0)  # scale 16 (G4)
+            if values.get(0) is not None:
+                attrs["duration_s"] = repr(values[0] / 1000.0)
+            out.append({"activity_id": activity_id, "kind": "set",
+                        "start_ts": start, "end_ts": ts, "attrs": attrs or None})
         elif g == 206:  # developer field description
             didx = values.get(0)
             fnum = values.get(1)

@@ -12,7 +12,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark(
+        "tests", master="local[4]", shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/spark_test_warehouse"},
+    )
     yield s
 
 

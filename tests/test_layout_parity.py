@@ -1,0 +1,111 @@
+"""Physical layout: bucketed joins eliminate shuffles; cell-partitioned
+writes prune partitions. Plus deep-cut parity: FIT set/length messages,
+GPX multi-track."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from activity_files_spark.plans.layout import write_bucketed, write_cell_partitioned
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS pts_b")
+    spark.sql("DROP TABLE IF EXISTS ch_b")
+    shutil.rmtree("/tmp/spark_test_warehouse", ignore_errors=True)
+    pts = spark.range(1000).select(
+        F.col("id").alias("activity_id"), (F.col("id") % 7).alias("x")
+    )
+    ch = spark.range(1000).select(
+        F.col("id").alias("activity_id"), (F.col("id") % 5).alias("v")
+    )
+    write_bucketed(pts, "pts_b", "activity_id", n_buckets=8)
+    write_bucketed(ch, "ch_b", "activity_id", n_buckets=8)
+    # force the shuffle-join path so bucketing (not broadcast) is what
+    # eliminates the exchange — at 100 TB neither side broadcasts
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("pts_b").join(spark.table("ch_b"), "activity_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # co-located: zero shuffles
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cell_partitioned_write_prunes(spark, tmp_path):
+    from activity_files_spark.data.images import synth_images
+    from activity_files_spark.operators.tiling import tile_assign
+
+    tiles = tile_assign(synth_images(spark, 50, partitions=2), resolutions=[8, 12]).select(
+        "image_id", "zoom", "cell_id"
+    )
+    path = str(tmp_path / "tiles")
+    write_cell_partitioned(tiles, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    pruned = back.filter(F.col("zoom") == 8)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter present on zoom (directory pruning)
+    assert back.filter(F.col("zoom") == 8).count() == 50
+
+
+def test_fit_set_and_length_messages():
+    import struct
+
+    from activity_files_spark.sources.fit import (
+        FIT_EPOCH_UNIX,
+        _def_record,
+        fit_crc16,
+        parse_fit,
+    )
+
+    # hand-build a FIT body: length (101) + set (225) messages
+    body = bytearray()
+    body += _def_record(0, 101, [(253, 4, 0x86), (2, 4, 0x86), (3, 4, 0x86), (5, 2, 0x84), (12, 1, 0x00)])
+    t0 = 1_000_000_000
+    body += bytes([0x00]) + struct.pack("<IIIHB", t0 + 30, t0, 30000, 24, 1)
+    body += _def_record(1, 225, [(254, 4, 0x86), (6, 4, 0x86), (3, 2, 0x84), (4, 2, 0x84), (0, 4, 0x86)])
+    body += bytes([0x01]) + struct.pack("<IIHHI", t0 + 90, t0 + 60, 12, 800, 30000)
+    header = struct.pack("<BBHI4s", 14, 0x20, 2140, len(body), b".FIT")
+    header += struct.pack("<H", fit_crc16(header))
+    blob = header + bytes(body)
+    payload = blob + struct.pack("<H", fit_crc16(blob))
+
+    recs = parse_fit("a", payload)
+    lengths = [r for r in recs if r["kind"] == "length"]
+    sets = [r for r in recs if r["kind"] == "set"]
+    assert len(lengths) == 1 and len(sets) == 1
+    la = dict(lengths[0]["attrs"])
+    assert la["total_elapsed_s"] == "30.0" and la["total_strokes"] == "24"
+    assert la["swim_stroke"] == "1"  # backstroke wire value
+    sa = dict(sets[0]["attrs"])
+    assert sa["repetitions"] == "12"
+    assert sa["weight_kg"] == "50.0"  # 800 / 16
+    assert sa["duration_s"] == "30.0"
+
+
+def test_gpx_multi_track_concatenates(spark):
+    from activity_files_spark.sources.gpx import gpx_records
+    from activity_files_spark.sources.records import laps_of, points_of
+
+    xml = """<?xml version="1.0"?><gpx version="1.1" creator="t"
+      xmlns="http://www.topografix.com/GPX/1/1">
+      <trk><name>t1</name><trkseg>
+        <trkpt lat="40.0" lon="-105.0"><time>2024-03-01T10:00:00Z</time></trkpt>
+        <trkpt lat="40.0005" lon="-105.0005"><time>2024-03-01T10:00:10Z</time></trkpt>
+      </trkseg></trk>
+      <trk><name>t2</name><trkseg>
+        <trkpt lat="41.0" lon="-106.0"><time>2024-03-01T11:00:00Z</time></trkpt>
+      </trkseg></trk>
+    </gpx>"""
+    rec = gpx_records(
+        spark.createDataFrame([("m", xml)], "activity_id string, xml string")
+    ).cache()
+    pts = points_of(rec).orderBy("seq").collect()
+    assert len(pts) == 3
+    assert [p["seq"] for p in pts] == [0, 1, 2]  # continuous across tracks
+    assert len(laps_of(rec).collect()) == 2  # one lap per trkseg
