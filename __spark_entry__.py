@@ -1052,6 +1052,34 @@ def _session_summary_sql() -> str:
     """
 
 
+
+def hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style hex ladder (res 6) rollup over the derived trackpoints —
+    the hex twin of quadkey_cells."""
+    from activity_files_spark.functions.hexgrid import hex_cell_col
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    enc = ev.withColumn("hex_id", hex_cell_col(F.col("lat"), F.col("lon"), 6))
+    return enc.groupBy("hex_id").agg(
+        F.count("*").alias("n_points"), F.min("event_id").alias("min_event_id")
+    )
+
+
+def _hex_cells_sql() -> str:
+    from activity_files_spark.functions.hexgrid import hex_cell_sql
+
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon FROM events
+    )
+    SELECT {hex_cell_sql('lat', 'lon', 6)} AS hex_id,
+           COUNT(*) AS n_points, MIN(event_id) AS min_event_id
+    FROM pts GROUP BY 1
+    """
+
+
 # ------------------------------------------------------------ image pipeline
 
 N_IMAGES_CORRECTNESS = 200  # deterministic synthetic table size for oracles
@@ -1243,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_summary_users": session_summary_users,
         "pip_raycast_join": pip_raycast_join,
         "resample_track": resample_track,
+        "hex_cells": hex_cells,
     }
 
 
@@ -1279,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
         "session_summary_users": _session_summary_sql(),
         "pip_raycast_join": _pip_raycast_sql(),
         "resample_track": _resample_sql(),
+        "hex_cells": _hex_cells_sql(),
         # validate_images_summary: intentionally no oracle (pixel decode is
         # not SQL-expressible) -> driver rows-only check; pytest pins it.
     }

@@ -218,3 +218,37 @@ def resample_linear(
             .drop("_pv", "_nv")
         )
     return out.filter(F.col("_is_grid") == 1).select(key, ts, *cols)
+
+
+# per-channel tolerance overrides (encoder_options.dart:22-26, 41-42)
+DEFAULT_CHANNEL_TOLERANCES = {
+    "heart_rate": 5.0,
+    "cadence": 5.0,
+    "power": 5.0,
+    "temperature": 30.0,
+    "distance": 5.0,
+    "speed": 5.0,
+}
+
+
+def map_channels_wide(
+    probes: DataFrame,
+    channels: DataFrame,
+    channel_names: list[str],
+    tolerances: dict[str, float] | None = None,
+    key: str = "activity_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Map several long-format channels onto probe rows as wide columns,
+    each with its own nearest-tolerance as-of join (the encoder-side channel
+    mapping, channel_mapper.dart:97-230 with per-channel overrides)."""
+    tol = dict(DEFAULT_CHANNEL_TOLERANCES)
+    tol.update(tolerances or {})
+    out = probes
+    for ch in channel_names:
+        stream = channels.filter(F.col("channel") == ch).select(key, ts, "value")
+        out = asof_join(
+            out, stream, key=key, ts=ts, value="value",
+            tolerance_s=tol.get(ch, DEFAULT_TOLERANCE_S), out=ch,
+        )
+    return out

@@ -150,7 +150,6 @@ def largest_contiguous_group(
         "_new_grp",
         F.when(gap_s.isNull() | (gap_s <= max_gap_hours * 3600.0), 0).otherwise(1),
     ).withColumn("_grp", F.sum("_new_grp").over(w))
-    wg = Window.partitionBy(key)
     counts = df.groupBy(key, "_grp").agg(F.count("*").alias("_cnt"), F.min("ts").alias("_gts"))
     best = (
         counts.withColumn(
@@ -162,5 +161,29 @@ def largest_contiguous_group(
         .filter(F.col("_rk") == 1)
         .select(key, "_grp")
     )
-    _ = wg
     return df.join(best, [key, "_grp"], "left_semi").drop("_new_grp", "_grp")
+
+
+def insert_pause(df: DataFrame, at, duration_s: float, ts: str = "ts") -> DataFrame:
+    """Shift every row at/after ``at`` later by ``duration_s`` — the
+    reference's pause-insert time edit (raw_editor.dart:412-503). Pure
+    expression; channels/laps shift with the same call."""
+    at_lit = F.lit(at).cast("timestamp")
+    shift = F.expr(f"INTERVAL {int(duration_s)} SECONDS")
+    return df.withColumn(
+        ts, F.when(F.col(ts) >= at_lit, F.col(ts) + shift).otherwise(F.col(ts))
+    )
+
+
+def remove_pause(df: DataFrame, start, end, ts: str = "ts") -> DataFrame:
+    """Delete [start, end) and close the timeline gap: rows at/after ``end``
+    shift earlier by the pause length (raw_editor.dart pause removal)."""
+    s_lit = F.lit(start).cast("timestamp")
+    e_lit = F.lit(end).cast("timestamp")
+    import pandas as pd
+
+    dur = int((pd.Timestamp(end) - pd.Timestamp(start)).total_seconds())
+    shift = F.expr(f"INTERVAL {dur} SECONDS")
+    return df.filter((F.col(ts) < s_lit) | (F.col(ts) >= e_lit)).withColumn(
+        ts, F.when(F.col(ts) >= e_lit, F.col(ts) - shift).otherwise(F.col(ts))
+    )

@@ -199,6 +199,65 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int,
+    dim: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    q_id: str = "query_id",
+    i_id: str = "item_id",
+    vec: str = "vec",
+) -> DataFrame:
+    """IVF-flat approximate top-k: items are assigned to their nearest
+    coarse centroid (deterministic md5-derived centroids — at production
+    scale these come from a k-means fit persisted with the index); each
+    query probes its ``n_probe`` nearest centroids and ranks exact cosine
+    inside those inverted lists.
+
+    The scale path: the cross join is replaced by an equi-join on
+    centroid id; recall is tunable via n_probe (n_probe == n_centroids
+    degrades to exact search).
+    """
+    import numpy as np
+
+    cents = np.array(_hyperplanes(dim, n_centroids, table=99), dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def nearest_centroids(vec_col: str, n: int):
+        """Array column of the n nearest centroid ids by cosine."""
+        sims = []
+        for ci, c in enumerate(cents):
+            arr = F.array(*[F.lit(x) for x in c])
+            sims.append(F.struct((_dot(F.col(vec_col), arr) / _norm(F.col(vec_col))).alias("s"),
+                                 F.lit(ci).alias("c")))
+        ordered = F.reverse(F.array_sort(F.array(*sims)))
+        return F.slice(F.transform(ordered, lambda x: x["c"]), 1, n)
+
+    its = items.select(
+        F.col(i_id), F.col(vec).alias("_iv"),
+        F.element_at(nearest_centroids(vec, 1), 1).alias("_cid"),
+    )
+    qs = queries.select(
+        F.col(q_id), F.col(vec).alias("_qv"),
+        F.explode(nearest_centroids(vec, n_probe)).alias("_cid"),
+    )
+    cand = qs.join(its, "_cid").filter(
+        F.col(q_id) != F.col(i_id) if q_id == i_id else F.lit(True)
+    ).dropDuplicates([q_id, i_id])
+    scored = cand.select(
+        q_id, i_id,
+        (_dot(F.col("_qv"), F.col("_iv")) / (_norm(F.col("_qv")) * _norm(F.col("_iv")))).alias("cos"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(i_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, i_id, "cos", "rank")
+    )
+
+
 def cosine_dup_pairs(
     items: DataFrame, threshold: float, i_id: str = "item_id", vec: str = "vec"
 ) -> DataFrame:

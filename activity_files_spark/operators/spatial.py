@@ -23,8 +23,6 @@ by AQE skew-join plus optional salting in `tiling.py`.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -184,15 +182,6 @@ def pip_join(
     if how == "inner":
         return hit
     raise ValueError(f"unsupported how={how}")
-
-
-def _tile_dims_m(lat: float, z: int) -> float:
-    """Conservative minimum ground dimension (m) of a tile at ``lat``."""
-    n = 1 << z
-    width = EARTH_CIRCUM_M * math.cos(math.radians(min(abs(lat) + 1.0, 85.0))) / n
-    # mercator tile ground height near lat ~= width at that latitude; use
-    # the smaller of the two with a 10% safety margin
-    return 0.9 * width
 
 
 def knn_join(

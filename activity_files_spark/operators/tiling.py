@@ -154,6 +154,68 @@ def salted_repartition(
     return out.repartition(F.col(key), F.col("_salt"))
 
 
+def resize_images(images: DataFrame, size: int = 32) -> DataFrame:
+    """Decode + deterministic area-average resize to size x size, re-encoded
+    as PNG (lossless): (image_id, fmt, bytes -> resized png bytes, w, h).
+    The resize kernel is the same integral-image area average the pHash
+    pipeline uses — real pixels in, real pixels out."""
+    import numpy as np
+    import pandas as pd
+
+    from activity_files_spark.codecs.image import decode, encode_png
+    from activity_files_spark.codecs.image import _resize_area
+
+    schema = "image_id string, png binary, w int, h int"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt)
+                chans = [
+                    np.clip(_resize_area(px[:, :, c].astype(np.float64), size), 0, 255)
+                    for c in range(3)
+                ]
+                small = np.stack(chans, axis=-1).astype(np.uint8)
+                rows.append({"image_id": r.image_id, "png": encode_png(small),
+                             "w": size, "h": size})
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(kernel, schema)
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Per-image features over decoded pixels: mean/std per channel + phash.
+    The feature-extraction stage of a training-data pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    from activity_files_spark.codecs.image import decode, phash64
+
+    schema = (
+        "image_id string, mean_r double, mean_g double, mean_b double, "
+        "std_gray double, phash long"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = decode(bytes(r.bytes), r.fmt).astype(np.float64)
+                gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+                rows.append({
+                    "image_id": r.image_id,
+                    "mean_r": float(px[:, :, 0].mean()),
+                    "mean_g": float(px[:, :, 1].mean()),
+                    "mean_b": float(px[:, :, 2].mean()),
+                    "std_gray": float(gray.std()),
+                    "phash": phash64(px.astype(np.uint8)),
+                })
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(kernel, schema)
+
+
 def tile_histogram(tiles: DataFrame) -> DataFrame:
     """Per (zoom, cell) image counts — the tiling rollup used by bench."""
     return tiles.groupBy("zoom", "cell_id").agg(F.count("*").alias("n_images"))

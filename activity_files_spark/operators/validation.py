@@ -144,3 +144,37 @@ def validate_all(
     if laps is not None:
         out = out.unionByName(validate_laps(laps, points, key))
     return out
+
+
+# Public FIT-SDK manufacturer ids (small subset of the reference's table,
+# models.dart:40-220); valid id range 1..65534 (validation.dart:564-646)
+MANUFACTURER_IDS = {
+    1: "garmin", 2: "garmin_fr405_antfs", 13: "dynastream", 23: "suunto",
+    32: "wahoo_fitness", 38: "sigmasport", 48: "pioneer", 63: "specialized",
+    67: "bryton", 70: "sram", 76: "bkool", 89: "tacx", 98: "bsc",
+    118: "polar", 123: "elite", 255: "development", 260: "zwift",
+    265: "coros", 267: "bryton_sensors", 282: "keiser", 294: "hammerhead",
+}
+
+
+def validate_devices(meta: DataFrame, key: str = "activity_id") -> DataFrame:
+    """Device metadata checks: FIT manufacturer id in [1, 65534]; known-id
+    name cross-check against the broadcast manufacturer table."""
+    dev = meta.filter(F.col("attrs")["device.manufacturer"].isNotNull()).select(
+        F.col(key),
+        F.col("attrs")["device.manufacturer"].cast("int").alias("_mid"),
+    )
+    bad_range = _diag(
+        dev.filter(F.col("_mid").isNull() | (F.col("_mid") < 1) | (F.col("_mid") > 65534)),
+        key, "validation.device_id_range", "error", F.col("_mid"),
+    )
+    spark = meta.sparkSession
+    lookup = spark.createDataFrame(
+        [(k, v) for k, v in MANUFACTURER_IDS.items()], "mid int, name string"
+    )
+    unknown = _diag(
+        dev.filter((F.col("_mid") >= 1) & (F.col("_mid") <= 65534))
+        .join(F.broadcast(lookup), dev["_mid"] == lookup["mid"], "left_anti"),
+        key, "validation.device_id_unknown", "info", F.col("_mid"),
+    )
+    return bad_range.unionByName(unknown)

@@ -147,6 +147,7 @@ def parse_fit(activity_id: str, payload: bytes) -> list[dict]:
 
     defs: dict[int, dict] = {}
     dev_fields: dict[tuple[int, int], dict] = {}
+    csd_state: dict[str, int] = {}  # compressed speed/distance accumulator
     last_ts_raw: int | None = None
     pos = hdr_size
     seq = 0
@@ -216,10 +217,13 @@ def parse_fit(activity_id: str, payload: bytes) -> list[dict]:
             break
         values: dict[int, object] = {}
         dev_values: dict[tuple[int, int], object] = {}
+        raw_fields: dict[int, bytes] = {}
         endian = d["endian"]
         for fnum, fsize, btype, is_dev, didx in d["fields"]:
             raw = payload[pos : pos + fsize]
             pos += fsize
+            if not is_dev:
+                raw_fields[fnum] = raw
             bt = BASE_TYPES.get(btype & 0xFF)
             if bt is None:
                 continue
@@ -275,6 +279,28 @@ def parse_fit(activity_id: str, payload: bytes) -> list[dict]:
                 di = values.get(5)
                 if di is not None:
                     chans["distance"] = di / 100.0
+                # G7: compressed speed/distance (record field 8, 3 bytes):
+                # 12-bit speed (/100 m/s) + 12-bit wrapping distance
+                # accumulator (/16 m); explicit fields win
+                # (fit_parser.dart:448-472)
+                raw8 = raw_fields.get(8)
+                if raw8 is not None and len(raw8) == 3:
+                    b0, b1, b2 = raw8[0], raw8[1], raw8[2]
+                    speed_raw = b0 | ((b1 & 0x0F) << 8)
+                    dist_raw = ((b1 >> 4) & 0x0F) | (b2 << 4)
+                    if "speed" not in chans and speed_raw != 0xFFF:
+                        chans["speed"] = speed_raw / 100.0
+                    if "distance" not in chans and dist_raw != 0xFFF:
+                        # unwrap the 12-bit accumulator (1/16 m units)
+                        prev = csd_state.get("dist")
+                        cur16 = dist_raw
+                        if prev is None:
+                            total16 = cur16
+                        else:
+                            delta = (cur16 - (prev & 0xFFF)) & 0xFFF
+                            total16 = prev + delta
+                        csd_state["dist"] = total16
+                        chans["distance"] = total16 / 16.0
                 for cname, v in chans.items():
                     if v is not None:
                         out.append({"activity_id": activity_id, "kind": "channel",

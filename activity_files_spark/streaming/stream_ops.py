@@ -81,6 +81,47 @@ def stream_cell_histogram(
     )
 
 
+def stream_downsample_time(
+    points: DataFrame,
+    step_s: float,
+    key: str = "activity_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """W7 downsample-time as a CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState): keep a row iff >= step_s since the last KEPT
+    row of the same activity — the keep decision crosses micro-batch
+    boundaries through per-key state (last kept epoch-seconds).
+
+    Divergence from the batch twin (operators/downsample.py): a stream has
+    no "final point", so the reference's always-keep-last rule does not
+    apply; everything else matches.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = points.schema
+    state_schema = "last_kept double"
+
+    def fn(key_tuple, pdf_iter, state):
+        last = state.get[0] if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts, kind="stable")
+            t = pdf[ts].values.astype("datetime64[us]").astype("int64") / 1e6
+            keep = []
+            for i in range(len(pdf)):
+                if last is None or t[i] - last >= step_s:
+                    keep.append(i)
+                    last = t[i]
+            if keep:
+                yield pdf.iloc[keep]
+        if last is not None:
+            state.update((float(last),))
+
+    return points.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

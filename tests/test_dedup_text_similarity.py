@@ -146,3 +146,25 @@ def test_downsample_distance(spark):
     kept = sorted(r["seq"] for r in downsample_distance(df, meters=100.0).collect())
     # ~55.7m steps: keep 0, then 2 (111m), then 4 (111m), final 5
     assert kept == [0, 2, 4, 5]
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    from activity_files_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.col("vec_id").alias("item_id"), as_double_vec(F.col("embedding")).alias("vec")
+    )
+    qs = emb.filter(F.col("item_id") < 10).select(
+        F.col("item_id").alias("query_id"), "vec"
+    )
+    brute = {(r["query_id"], r["item_id"]) for r in
+             cosine_topk(qs, emb, k=5, q_id="query_id", i_id="item_id").collect()}
+    # n_probe = n_centroids degrades to exact search -> recall 1.0
+    exact = {(r["query_id"], r["item_id"]) for r in
+             ivf_topk(qs, emb, k=5, dim=64, n_centroids=8, n_probe=8).collect()}
+    assert exact == brute
+    # partial probing trades recall for candidate count
+    approx = {(r["query_id"], r["item_id"]) for r in
+              ivf_topk(qs, emb, k=5, dim=64, n_centroids=8, n_probe=4).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5, f"IVF recall {recall}"

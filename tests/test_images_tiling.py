@@ -163,3 +163,26 @@ def test_tile_histogram_and_salting(spark):
     salted = salted_repartition(tiles, "cell_id", 8, "image_id", n_partitions=8)
     assert salted.count() == 50  # salting never changes row counts
     assert "_salt" in salted.columns
+
+
+def test_resize_and_features(spark):
+    from activity_files_spark.operators.tiling import image_features, resize_images
+    from activity_files_spark.codecs.image import decode_png
+    from activity_files_spark.data.images import image_index, pixels_for
+
+    imgs = synth_images(spark, 9, partitions=2)
+    resized = {r["image_id"]: r for r in resize_images(imgs, size=16).collect()}
+    assert len(resized) == 9
+    import numpy as np
+
+    r0 = resized["img_000000000000"]
+    px = decode_png(bytes(r0["png"]))
+    assert px.shape == (16, 16, 3)
+    # 16x16 source resized to 16x16 is the identity (area avg of 1x1 blocks)
+    assert np.array_equal(px, pixels_for(0, 16, 16))
+
+    feats = {r["image_id"]: r for r in image_features(imgs).collect()}
+    f0 = feats["img_000000000000"]
+    ref = pixels_for(0, 16, 16).astype(float)
+    assert abs(f0["mean_r"] - ref[:, :, 0].mean()) < 1e-9
+    assert f0["std_gray"] > 0

@@ -1,0 +1,157 @@
+"""Deep-cut reference parity: FIT compressed speed/distance (G7), pause
+edits, per-channel tolerance mapping, device validation, GPX 1.0 / TCX v1
+dialects."""
+
+import struct
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from activity_files_spark.operators.asof import map_channels_wide
+from activity_files_spark.operators.normalize import insert_pause, remove_pause
+from activity_files_spark.operators.validation import validate_devices
+from activity_files_spark.sources.fit import _def_record, fit_crc16, parse_fit
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _fit_payload(body: bytes) -> bytes:
+    header = struct.pack("<BBHI4s", 14, 0x20, 2140, len(body), b".FIT")
+    header += struct.pack("<H", fit_crc16(header))
+    blob = header + body
+    return blob + struct.pack("<H", fit_crc16(blob))
+
+
+def test_fit_compressed_speed_distance_g7():
+    """Record field 8 (3 bytes): 12-bit speed /100, 12-bit wrapping distance
+    accumulator /16 (fit_parser.dart:448-472); explicit fields win."""
+    t0 = 1_000_000_000
+    body = bytearray()
+    body += _def_record(0, 20, [(253, 4, 0x86), (8, 3, 0x0D)])
+
+    def csd(speed_raw, dist_raw):
+        b0 = speed_raw & 0xFF
+        b1 = ((speed_raw >> 8) & 0x0F) | ((dist_raw & 0x0F) << 4)
+        b2 = (dist_raw >> 4) & 0xFF
+        return bytes([b0, b1, b2])
+
+    # speed 2.50 m/s (250), distance accumulator 100 (6.25 m), then a WRAP:
+    # 4000 -> 200 means +296 units mod 4096
+    body += bytes([0x00]) + struct.pack("<I", t0) + csd(250, 100)
+    body += bytes([0x00]) + struct.pack("<I", t0 + 10) + csd(300, 4000)
+    body += bytes([0x00]) + struct.pack("<I", t0 + 20) + csd(310, 200)
+    recs = parse_fit("a", _fit_payload(bytes(body)))
+    speed = [r["value"] for r in recs if r["kind"] == "channel" and r["channel"] == "speed"]
+    dist = [r["value"] for r in recs if r["kind"] == "channel" and r["channel"] == "distance"]
+    assert speed == [2.5, 3.0, 3.1]
+    assert dist[0] == 100 / 16.0
+    assert dist[1] == 4000 / 16.0
+    # wrap: (200 - (4000 & 0xFFF)) & 0xFFF = 296 -> total 4296 units
+    assert dist[2] == 4296 / 16.0
+
+
+def test_insert_and_remove_pause(spark):
+    df = spark.createDataFrame(
+        [("a", i, ts(f"2024-03-01T10:00:{i * 10:02d}")) for i in range(4)],
+        "activity_id string, seq long, ts timestamp",
+    )
+    shifted = {r["seq"]: str(r["ts"]) for r in insert_pause(df, "2024-03-01T10:00:20", 60.0).collect()}
+    assert shifted[0] == "2024-03-01 10:00:00"
+    assert shifted[1] == "2024-03-01 10:00:10"
+    assert shifted[2] == "2024-03-01 10:01:20"  # at boundary: shifted
+    assert shifted[3] == "2024-03-01 10:01:30"
+    # remove a 20s pause: rows inside dropped, later rows pulled earlier
+    removed = {r["seq"]: str(r["ts"]) for r in
+               remove_pause(df, "2024-03-01T10:00:10", "2024-03-01T10:00:30").collect()}
+    assert sorted(removed) == [0, 3]
+    assert removed[3] == "2024-03-01 10:00:10"  # 10:00:30 - 20s
+
+
+def test_map_channels_wide_with_overrides(spark):
+    probes = spark.createDataFrame(
+        [("a", ts("2024-03-01T10:00:00")), ("a", ts("2024-03-01T10:00:10"))],
+        "activity_id string, ts timestamp",
+    )
+    channels = spark.createDataFrame(
+        [
+            ("a", "heart_rate", ts("2024-03-01T10:00:02"), 140.0),
+            ("a", "temperature", ts("2024-03-01T10:00:25"), 21.0),  # 15s from probe1
+        ],
+        "activity_id string, channel string, ts timestamp, value double",
+    )
+    wide = {str(r["ts"]): r for r in
+            map_channels_wide(probes, channels, ["heart_rate", "temperature"]).collect()}
+    p0 = wide["2024-03-01 10:00:00"]
+    p1 = wide["2024-03-01 10:00:10"]
+    assert p0["heart_rate"] == 140.0
+    # temperature tolerance is 30s (encoder_options) -> both probes match
+    assert p0["temperature"] == 21.0
+    assert p1["temperature"] == 21.0
+    assert p1["heart_rate"] is None  # 8s > 5s hr tolerance
+
+
+def test_validate_devices(spark):
+    meta = spark.createDataFrame(
+        [
+            ("a", {"device.manufacturer": "1"}),       # garmin: known
+            ("b", {"device.manufacturer": "54321"}),   # in range, unknown
+            ("c", {"device.manufacturer": "0"}),       # out of range
+            ("d", {"format": "gpx"}),                  # no device info
+        ],
+        "activity_id string, attrs map<string,string>",
+    )
+    diags = {(r["activity_id"], r["code"]) for r in validate_devices(meta).collect()}
+    assert ("c", "validation.device_id_range") in diags
+    assert ("b", "validation.device_id_unknown") in diags
+    assert not any(a == "a" for a, _ in diags)
+    assert not any(a == "d" for a, _ in diags)
+
+
+GPX10 = """<?xml version="1.0"?>
+<gpx version="1.0" creator="old" xmlns="http://www.topografix.com/GPX/1/0">
+  <trk><trkseg>
+    <trkpt lat="40.0" lon="-105.0"><ele>1600.0</ele><time>2024-03-01T10:00:00Z</time></trkpt>
+    <trkpt lat="40.0005" lon="-105.0005"><ele>1601.0</ele><time>2024-03-01T10:00:10Z</time></trkpt>
+  </trkseg></trk>
+</gpx>"""
+
+
+def test_gpx_10_dialect(spark):
+    from activity_files_spark.sources.gpx import gpx_records
+    from activity_files_spark.sources.records import meta_of, points_of
+
+    rec = gpx_records(
+        spark.createDataFrame([("v10", GPX10)], "activity_id string, xml string")
+    ).cache()
+    pts = points_of(rec).orderBy("seq").collect()
+    assert len(pts) == 2 and pts[0]["ele"] == 1600.0
+    meta = dict(meta_of(rec).collect()[0]["attrs"])
+    assert meta["version"] == "1.0"
+
+
+TCX_V1 = """<?xml version="1.0"?>
+<TrainingCenterDatabase xmlns="http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v1">
+  <Activities><Activity Sport="Biking"><Id>x</Id>
+    <Lap StartTime="2024-03-01T10:00:00Z"><TotalTimeSeconds>10</TotalTimeSeconds>
+      <Track><Trackpoint><Time>2024-03-01T10:00:00Z</Time>
+        <Position><LatitudeDegrees>40.0</LatitudeDegrees><LongitudeDegrees>-105.0</LongitudeDegrees></Position>
+      </Trackpoint></Track>
+    </Lap>
+  </Activity></Activities>
+</TrainingCenterDatabase>"""
+
+
+def test_tcx_v1_dialect(spark):
+    from activity_files_spark.sources.records import laps_of, points_of
+    from activity_files_spark.sources.tcx import tcx_records
+
+    rec = tcx_records(
+        spark.createDataFrame([("v1", TCX_V1)], "activity_id string, xml string")
+    ).cache()
+    assert points_of(rec).count() == 1
+    lap = laps_of(rec).collect()[0]
+    assert lap["sport"] == "biking"
+    assert str(lap["end_ts"]) == "2024-03-01 10:00:10"

@@ -63,3 +63,43 @@ def test_stream_cell_histogram(spark, events_dir, tmp_path):
     got = spark.sql("SELECT * FROM hist_test").collect()
     total = sum(r["n_points"] for r in got)
     assert total == spark.read.parquet(events_dir).count()
+
+
+def test_stream_downsample_state_crosses_batches(spark, tmp_path):
+    """applyInPandasWithState: the last-kept timestamp survives across
+    micro-batches (file 2's first point is suppressed by file 1's state)."""
+    from datetime import datetime, timedelta
+
+    from activity_files_spark.streaming.stream_ops import stream_downsample_time
+
+    t0 = datetime(2024, 3, 1, 10, 0, 0)
+    schema = "activity_id string, seq long, ts timestamp, lat double, lon double"
+    rows_a = [("a", i, t0 + timedelta(seconds=i), 40.0, -105.0) for i in range(0, 51, 10)]
+    rows_b = [("a", 100 + i, t0 + timedelta(seconds=52 + i), 40.0, -105.0) for i in (0, 8, 18, 28)]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(str(src / "f2"))
+    # stage as two files in one dir, processed one per trigger
+    import glob
+    import shutil
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    shutil.copy(glob.glob(str(src / "f1" / "part-*.parquet"))[0], d / "0001.parquet")
+    shutil.copy(glob.glob(str(src / "f2" / "part-*.parquet"))[0], d / "0002.parquet")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    ds = stream_downsample_time(stream, step_s=15.0)
+    q = (
+        ds.writeStream.format("memory").queryName("ds_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r["seq"] for r in spark.sql("SELECT * FROM ds_test").collect())
+    # batch A (t=0..50 step 10): keep 0, 20, 40 (state: 40)
+    # batch B (t=52,60,70,80): 52 dropped (d12 from 40), keep 60, 70 dropped, keep 80
+    assert kept == [0, 20, 40, 108, 128]
