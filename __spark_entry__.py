@@ -579,7 +579,8 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("item_id") < 25).select(
         F.col("item_id").alias("query_id"), "vec"
     )
-    out = cosine_topk_kernel(qs, emb, k=5, q_id="query_id", i_id="item_id", vec="vec")
+    out = cosine_topk_kernel(qs, emb, k=5, q_id="query_id", i_id="item_id", vec="vec",
+                             exclude_same_id=True)
     return out.select(
         "query_id",
         F.col("item_id").alias("neighbor_id"),
@@ -817,7 +818,7 @@ def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("item_id") < 10).select(
         F.col("item_id").alias("query_id"), "vec"
     )
-    out = lsh_topk(qs, emb, k=5, dim=64, n_planes=4, n_tables=16)
+    out = lsh_topk(qs, emb, k=5, dim=64, n_planes=4, n_tables=16, exclude_same_id=True)
     return out.select("query_id", "item_id", "rank")
 
 
@@ -895,11 +896,13 @@ def _lap_splits_sql() -> str:
     ),
     lapped AS (
       SELECT user_id, ts, step, c,
-             CAST(FLOOR(c / 500.0) AS INT) AS lap_id
+             CAST(FLOOR((c - greatest(step, 0.0)) / 500.0) AS INT) AS lap_id,
+             MAX(c) OVER (PARTITION BY user_id) AS total
       FROM cum
     )
     SELECT user_id, lap_id, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
-           ROUND(MAX(c) - MIN(c) + MIN(greatest(step, 0.0)), 6) AS distance_m,
+           ROUND(least((CAST(lap_id AS DOUBLE) + 1.0) * 500.0, ANY_VALUE(total))
+                 - CAST(lap_id AS DOUBLE) * 500.0, 6) AS distance_m,
            COUNT(*) AS n_points
     FROM lapped GROUP BY user_id, lap_id
     """

@@ -22,10 +22,12 @@ from pyspark.sql import functions as F
 
 
 def _load_records(spark, args):
+    from activity_files_spark.sources.csvsrc import csv_records
     from activity_files_spark.sources.detect import detect_format_df
     from activity_files_spark.sources.fit import fit_records
     from activity_files_spark.sources.geojson import geojson_records
     from activity_files_spark.sources.gpx import gpx_records
+    from activity_files_spark.sources.records import RECORD_SCHEMA
     from activity_files_spark.sources.tcx import tcx_records
 
     files = spark.read.format("binaryFile").load(args.input).select(
@@ -38,16 +40,26 @@ def _load_records(spark, args):
     text = files.withColumn("xml", F.col("payload").cast("string")).withColumn(
         "text", F.col("payload").cast("string")
     )
-    parts = []
-    for fmt, fn, col in (
-        ("gpx", gpx_records, "xml"),
-        ("tcx", tcx_records, "xml"),
-        ("geojson", geojson_records, "text"),
-    ):
-        sub = text.filter(F.col("fmt") == fmt)
-        parts.append(fn(sub, id_col="activity_id", xml_col=col) if col == "xml"
-                     else fn(sub, id_col="activity_id", text_col=col))
-    parts.append(fit_records(files.filter(F.col("fmt") == "fit"), id_col="activity_id"))
+    parts = [
+        gpx_records(text.filter(F.col("fmt") == "gpx"), id_col="activity_id", xml_col="xml"),
+        tcx_records(text.filter(F.col("fmt") == "tcx"), id_col="activity_id", xml_col="xml"),
+        geojson_records(text.filter(F.col("fmt") == "geojson"), id_col="activity_id", text_col="text"),
+        csv_records(text.filter(F.col("fmt") == "csv"), id_col="activity_id", text_col="text"),
+        fit_records(files.filter(F.col("fmt") == "fit"), id_col="activity_id"),
+    ]
+    # undetectable payloads become diagnostics, never silent drops
+    unknown = files.filter(F.col("fmt").isNull()).select(
+        F.col("activity_id"),
+        F.lit("diag").alias("kind"),
+        F.create_map(
+            F.lit("code"), F.lit("detect.unknown_format"),
+            F.lit("severity"), F.lit("error"),
+            F.lit("message"), F.lit("format not detectable"),
+        ).alias("attrs"),
+    )
+    spark = files.sparkSession
+    empty = spark.createDataFrame([], RECORD_SCHEMA)
+    parts.append(empty.unionByName(unknown, allowMissingColumns=True))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

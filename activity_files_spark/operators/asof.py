@@ -65,8 +65,13 @@ def asof_join(
     order = [F.col("_t").asc(), F.col("_is_probe").asc()]
     wb = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     wf = Window.partitionBy(key).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
-    sample_t = F.when(F.col("_is_probe") == 0, F.col("_t"))
-    sample_v = F.when(F.col("_is_probe") == 0, F.col("_sv"))
+    # a null-valued sample row is NOT a usable sample: gate BOTH the time and
+    # the value on value-non-null so _pt/_pv can never desync (a desync would
+    # pass the tolerance gate with a time from one sample and a value from an
+    # older one)
+    is_sample = (F.col("_is_probe") == 0) & F.col("_sv").isNotNull()
+    sample_t = F.when(is_sample, F.col("_t"))
+    sample_v = F.when(is_sample, F.col("_sv"))
     enriched = (
         u.withColumn("_pt", F.last(sample_t, ignorenulls=True).over(wb))
         .withColumn("_pv", F.last(sample_v, ignorenulls=True).over(wb))
@@ -119,7 +124,7 @@ def asof_join_pandas(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pr = pdf[pdf["_side"] == 1].sort_values(ts, kind="stable")
-        sm = pdf[pdf["_side"] == 0].sort_values(ts, kind="stable")
+        sm = pdf[(pdf["_side"] == 0) & pdf["_sval"].notna()].sort_values(ts, kind="stable")
         res = pr[[c for c in p_cols]].copy()
         if len(sm) == 0 or len(pr) == 0:
             res[out] = np.nan
@@ -197,15 +202,18 @@ def resample_linear(
     order = [F.col("_t").asc(), F.col("_is_grid").asc()]
     wb = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     wf = Window.partitionBy(key).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
-    src_t = F.when(F.col("_is_grid") == 0, F.col("_t"))
     out = u
-    out = out.withColumn("_pt", F.last(src_t, ignorenulls=True).over(wb)).withColumn(
-        "_nt", F.first(src_t, ignorenulls=True).over(wf)
-    )
     for c in cols:
-        src_v = F.when(F.col("_is_grid") == 0, F.col(c))
+        # bracket times are tracked PER COLUMN gated on that column being
+        # non-null, so a point with a null value in one column cannot desync
+        # that column's lerp bracket
+        has_v = (F.col("_is_grid") == 0) & F.col(c).isNotNull()
+        src_t = F.when(has_v, F.col("_t"))
+        src_v = F.when(has_v, F.col(c))
         out = (
-            out.withColumn("_pv", F.last(src_v, ignorenulls=True).over(wb))
+            out.withColumn("_pt", F.last(src_t, ignorenulls=True).over(wb))
+            .withColumn("_nt", F.first(src_t, ignorenulls=True).over(wf))
+            .withColumn("_pv", F.last(src_v, ignorenulls=True).over(wb))
             .withColumn("_nv", F.first(src_v, ignorenulls=True).over(wf))
             .withColumn(
                 c,
@@ -215,7 +223,7 @@ def resample_linear(
                     lerp(F.col("_pt"), F.col("_nt"), F.col("_pv"), F.col("_nv"), F.col("_t"))
                 ),
             )
-            .drop("_pv", "_nv")
+            .drop("_pt", "_nt", "_pv", "_nv")
         )
     return out.filter(F.col("_is_grid") == 1).select(key, ts, *cols)
 
@@ -241,7 +249,13 @@ def map_channels_wide(
 ) -> DataFrame:
     """Map several long-format channels onto probe rows as wide columns,
     each with its own nearest-tolerance as-of join (the encoder-side channel
-    mapping, channel_mapper.dart:97-230 with per-channel overrides)."""
+    mapping, channel_mapper.dart:97-230 with per-channel overrides).
+
+    NOTE: this runs one union+window pass per channel (N shuffles for N
+    channels); when mapping many channels at 100 TB, prefer a single
+    applyInPandas pass per activity (asof_join_pandas's kernel generalizes
+    to all channels in one groupBy) — acceptable here because encoder-side
+    channel sets are small (<10)."""
     tol = dict(DEFAULT_CHANNEL_TOLERANCES)
     tol.update(tolerances or {})
     out = probes

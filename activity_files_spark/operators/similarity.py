@@ -37,18 +37,26 @@ def cosine_topk(
     q_id: str = "query_id",
     i_id: str = "item_id",
     vec: str = "vec",
+    exclude_same_id: bool | None = None,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k; query side broadcast."""
-    q = queries.select(F.col(q_id), F.col(vec).alias("_qv"))
-    it = items.select(F.col(i_id), F.col(vec).alias("_iv"))
-    scored = (
-        F.broadcast(q)
-        .join(it, F.col(q_id) != F.col(i_id) if q_id == i_id else F.lit(True))
-        .select(
-            q_id,
-            i_id,
-            (_dot(F.col("_qv"), F.col("_iv")) / (_norm(F.col("_qv")) * _norm(F.col("_iv")))).alias("cos"),
-        )
+    """Exact brute-force cosine top-k; query side broadcast.
+
+    ``exclude_same_id``: drop pairs whose ids are equal (self-matches when
+    both sides come from the same table). Defaults to True iff the two id
+    column names are identical; pass explicitly when ids share a namespace
+    under different column names."""
+    if exclude_same_id is None:
+        exclude_same_id = q_id == i_id
+    # internal renames avoid ambiguous references in the self-join case
+    q = queries.select(F.col(q_id).alias("_qid"), F.col(vec).alias("_qv"))
+    it = items.select(F.col(i_id).alias("_iid"), F.col(vec).alias("_iv"))
+    cand = F.broadcast(q).join(it)
+    if exclude_same_id:
+        cand = cand.filter(F.col("_qid") != F.col("_iid"))
+    scored = cand.select(
+        F.col("_qid").alias(q_id),
+        F.col("_iid").alias(i_id),
+        (_dot(F.col("_qv"), F.col("_iv")) / (_norm(F.col("_qv")) * _norm(F.col("_iv")))).alias("cos"),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(i_id).asc())
     return (
@@ -65,12 +73,18 @@ def cosine_topk_kernel(
     q_id: str = "query_id",
     i_id: str = "item_id",
     vec: str = "vec",
+    exclude_same_id: bool | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k via a vectorized Arrow kernel: the query
     matrix is collected (small side) and broadcast; each item batch computes
     all similarities with one numpy matmul. ~10x the throughput of the
     expression-fold path on wide vectors; results differ from the exact
-    left-to-right fold only in the last ulp (pairwise summation)."""
+    left-to-right fold only in the last ulp (pairwise summation).
+
+    ``exclude_same_id`` as in :func:`cosine_topk` (default: only when the id
+    column names coincide)."""
+    if exclude_same_id is None:
+        exclude_same_id = q_id == i_id
     import numpy as np
     import pandas as pd
 
@@ -98,9 +112,9 @@ def cosine_topk_kernel(
                 "cos": sims.ravel(),
             })
 
-    scored = items.select(i_id, vec).mapInPandas(kernel, schema).filter(
-        F.col(q_id) != F.col(i_id)
-    )
+    scored = items.select(i_id, vec).mapInPandas(kernel, schema)
+    if exclude_same_id:
+        scored = scored.filter(F.col(q_id) != F.col(i_id))
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(i_id).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -172,23 +186,26 @@ def lsh_topk(
     q_id: str = "query_id",
     i_id: str = "item_id",
     vec: str = "vec",
+    exclude_same_id: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k: multi-table bucket equi-join, dedup candidates,
     exact cosine + window rank inside the candidate set."""
+    if exclude_same_id is None:
+        exclude_same_id = q_id == i_id
     qs = lsh_signature(
-        queries.select(F.col(q_id), F.col(vec).alias("_qv")), "_qv", dim, n_planes, n_tables
+        queries.select(F.col(q_id).alias("_qid"), F.col(vec).alias("_qv")),
+        "_qv", dim, n_planes, n_tables,
     )
     its = lsh_signature(
-        items.select(F.col(i_id), F.col(vec).alias("_iv")), "_iv", dim, n_planes, n_tables
+        items.select(F.col(i_id).alias("_iid"), F.col(vec).alias("_iv")),
+        "_iv", dim, n_planes, n_tables,
     )
-    cand = (
-        qs.join(its, ["tbl", "bucket"])
-        .filter(F.col(q_id) != F.col(i_id) if q_id == i_id else F.lit(True))
-        .select(q_id, i_id, "_qv", "_iv")
-        .dropDuplicates([q_id, i_id])
-    )
+    cand = qs.join(its, ["tbl", "bucket"])
+    if exclude_same_id:
+        cand = cand.filter(F.col("_qid") != F.col("_iid"))
+    cand = cand.select("_qid", "_iid", "_qv", "_iv").dropDuplicates(["_qid", "_iid"])
     scored = cand.select(
-        q_id, i_id,
+        F.col("_qid").alias(q_id), F.col("_iid").alias(i_id),
         (_dot(F.col("_qv"), F.col("_iv")) / (_norm(F.col("_qv")) * _norm(F.col("_iv")))).alias("cos"),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(i_id).asc())
@@ -209,6 +226,7 @@ def ivf_topk(
     q_id: str = "query_id",
     i_id: str = "item_id",
     vec: str = "vec",
+    exclude_same_id: bool | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: items are assigned to their nearest
     coarse centroid (deterministic md5-derived centroids — at production
@@ -222,6 +240,8 @@ def ivf_topk(
     """
     import numpy as np
 
+    if exclude_same_id is None:
+        exclude_same_id = q_id == i_id
     cents = np.array(_hyperplanes(dim, n_centroids, table=99), dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
@@ -236,18 +256,19 @@ def ivf_topk(
         return F.slice(F.transform(ordered, lambda x: x["c"]), 1, n)
 
     its = items.select(
-        F.col(i_id), F.col(vec).alias("_iv"),
+        F.col(i_id).alias("_iid"), F.col(vec).alias("_iv"),
         F.element_at(nearest_centroids(vec, 1), 1).alias("_cid"),
     )
     qs = queries.select(
-        F.col(q_id), F.col(vec).alias("_qv"),
+        F.col(q_id).alias("_qid"), F.col(vec).alias("_qv"),
         F.explode(nearest_centroids(vec, n_probe)).alias("_cid"),
     )
-    cand = qs.join(its, "_cid").filter(
-        F.col(q_id) != F.col(i_id) if q_id == i_id else F.lit(True)
-    ).dropDuplicates([q_id, i_id])
+    cand = qs.join(its, "_cid")
+    if exclude_same_id:
+        cand = cand.filter(F.col("_qid") != F.col("_iid"))
+    cand = cand.dropDuplicates(["_qid", "_iid"])
     scored = cand.select(
-        q_id, i_id,
+        F.col("_qid").alias(q_id), F.col("_iid").alias(i_id),
         (_dot(F.col("_qv"), F.col("_iv")) / (_norm(F.col("_qv")) * _norm(F.col("_iv")))).alias("cos"),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(i_id).asc())

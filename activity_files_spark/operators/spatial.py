@@ -257,9 +257,9 @@ def knn_join(
         )
         resolved_parts.append(part)
         remaining = remaining.join(F.broadcast(done_ids), q_id, "left_anti")
-        if remaining.isEmpty():
+        if r >= max_ring or remaining.isEmpty():
             break
-        r *= 2
+        r = min(r * 2, max_ring)  # always land exactly on max_ring last
 
     out = resolved_parts[0]
     for extra in resolved_parts[1:]:

@@ -98,7 +98,7 @@ def validate_channels(channels: DataFrame, key: str = "activity_id") -> DataFram
         key, "validation.distance_decreasing", "warning", F.col("value"),
     )
     non_finite = _diag(
-        ch.filter(F.isnan("value")),
+        ch.filter(F.isnan("value") | (F.abs(F.col("value")) > 1.5e308)),
         key, "validation.value_not_finite", "error", F.col("channel"),
     )
     singles = _diag(

@@ -124,17 +124,30 @@ def mark_laps_by_distance(
     """
     w = Window.partitionBy(key).orderBy(ts)
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    clamped = F.greatest(F.col("step_m"), F.lit(0.0))
     stepped = step_distance_m(points, key, ts).withColumn(
-        "_cum", F.sum(F.greatest(F.col("step_m"), F.lit(0.0))).over(wcum)
+        "_cum", F.sum(clamped).over(wcum)
     )
-    # lap boundary is crossed when the accumulator passes a multiple of split:
-    # points are assigned to lap floor(prev_cum / split) so the boundary point
-    # closes its lap (reference emits the lap at the boundary sample)
-    lapped = stepped.withColumn("lap_id", F.floor(F.col("_cum") / F.lit(split_m)).cast("int"))
+    # the reference emits the lap AT the boundary sample: a point whose step
+    # crosses a split multiple CLOSES its lap, so lap id = floor of the
+    # accumulator BEFORE this point's step
+    lapped = stepped.withColumn(
+        "lap_id", F.floor((F.col("_cum") - clamped) / F.lit(split_m)).cast("int")
+    )
+    total = F.max("_cum").over(Window.partitionBy(key))
+    lapped = lapped.withColumn("_total", total)
+    # full laps cover exactly `split_m`; the open last lap covers the
+    # leftover (reference subtracts `meters` from the accumulator per lap)
     return lapped.groupBy(key, "lap_id").agg(
         F.min(ts).alias("start_ts"),
         F.max(ts).alias("end_ts"),
-        F.round(F.max("_cum") - F.min("_cum") + F.min(F.greatest(F.col("step_m"), F.lit(0.0))), 6).alias("distance_m"),
+        F.round(
+            F.least(
+                (F.col("lap_id").cast("double") + 1.0) * F.lit(split_m), F.first("_total")
+            )
+            - F.col("lap_id").cast("double") * F.lit(split_m),
+            6,
+        ).alias("distance_m"),
         F.count("*").alias("n_points"),
     )
 

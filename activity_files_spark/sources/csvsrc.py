@@ -96,3 +96,75 @@ def csv_encode_df(points: DataFrame, channels: DataFrame) -> DataFrame:
     for c in KNOWN_CHANNELS + extra:
         sel.append(F.col(c) if c in pivoted.columns else F.lit(None).cast("double").alias(c))
     return out.select(*sel).orderBy("activity_id", "timestamp")
+
+
+def csv_records(
+    files, id_col: str = "activity_id", text_col: str = "text"
+):
+    """(activity_id, csv text) rows -> the shared record stream (same kernel
+    shape as the XML sources; used by the CLI where each file is a payload
+    rather than a path). Unknown numeric columns -> custom channels;
+    malformed rows -> diag records, never exceptions."""
+    import io
+
+    import pandas as pd
+
+    from activity_files_spark.sources.records import RECORD_SCHEMA, records_frame
+
+    def parse_one(aid: str, text: str) -> list[dict]:
+        out: list[dict] = []
+        try:
+            pdf = pd.read_csv(io.StringIO(text))
+        except Exception as e:  # noqa: BLE001 - diagnostics-only contract
+            out.append({"activity_id": aid, "kind": "diag",
+                        "attrs": {"code": "parse.csv.malformed",
+                                  "severity": "error", "message": str(e)}})
+            return out
+        cols = {c.strip().lower(): c for c in pdf.columns}
+        reserved = set(FIXED_COLS) | {"sport", "activity_id"}
+        seq = 0
+        for _, row in pdf.iterrows():
+            ts = None
+            if "timestamp" in cols:
+                try:
+                    ts = pd.to_datetime(row[cols["timestamp"]], utc=True).tz_localize(None)
+                except (ValueError, TypeError):
+                    out.append({"activity_id": aid, "kind": "diag",
+                                "attrs": {"code": "parse.csv.bad_row",
+                                          "severity": "warning",
+                                          "message": f"row {seq} bad timestamp"}})
+                    continue
+
+            def num(name):
+                if name not in cols:
+                    return None
+                try:
+                    v = float(row[cols[name]])
+                    return v if v == v else None
+                except (ValueError, TypeError):
+                    return None
+
+            out.append({"activity_id": aid, "kind": "point", "seq": seq, "ts": ts,
+                        "lat": num("latitude"), "lon": num("longitude"),
+                        "ele": num("elevation"), "attrs": None})
+            if ts is not None:
+                for c in cols:
+                    if c in reserved:
+                        continue
+                    v = num(c)
+                    if v is not None:
+                        out.append({"activity_id": aid, "kind": "channel",
+                                    "channel": c, "ts": ts, "value": v})
+            seq += 1
+        out.append({"activity_id": aid, "kind": "meta",
+                    "attrs": {"format": "csv"}})
+        return out
+
+    def kernel(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for aid, text in zip(pdf[id_col], pdf[text_col]):
+                rows.extend(parse_one(aid, text))
+            yield records_frame(rows)
+
+    return files.mapInPandas(kernel, RECORD_SCHEMA)

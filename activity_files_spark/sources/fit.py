@@ -103,17 +103,35 @@ SPORTS = {
 }
 
 
+def _scalar(raw):
+    """Collapse unexpected array-valued fields to their first element —
+    the parser must never throw on odd layouts (diagnostics-only contract)."""
+    if isinstance(raw, list):
+        return raw[0] if raw else None
+    return raw
+
+
 def _fit_ts(raw):
-    if raw is None or raw == 0 or raw == 0xFFFFFFFF or not (1 <= raw <= FIT_TS_MAX):
+    raw = _scalar(raw)
+    if raw is None or not isinstance(raw, int):
+        return None
+    if raw == 0 or raw == 0xFFFFFFFF or not (1 <= raw <= FIT_TS_MAX):
         return None
     return pd.Timestamp(raw + FIT_EPOCH_UNIX, unit="s")
 
 
 def _semi_deg(raw):
-    if raw is None or raw in (0x7FFFFFFF, -0x80000000):
+    raw = _scalar(raw)
+    if raw is None or not isinstance(raw, int) or raw in (0x7FFFFFFF, -0x80000000):
         return None
     deg = raw * SEMI_TO_DEG
     return deg if abs(deg) <= 180.0 else None
+
+
+def _num(raw):
+    """Scalar numeric or None (never throws on lists/strings)."""
+    raw = _scalar(raw)
+    return raw if isinstance(raw, (int, float)) else None
 
 
 def parse_fit(activity_id: str, payload: bytes) -> list[dict]:
@@ -258,7 +276,7 @@ def parse_fit(activity_id: str, payload: bytes) -> list[dict]:
             lat = _semi_deg(values.get(0))
             lon = _semi_deg(values.get(1))
             ele = None
-            alt_raw = values.get(78, values.get(2))
+            alt_raw = _num(values.get(78, values.get(2)))
             if alt_raw is not None:
                 ele = alt_raw / 5.0 - 500.0
             if ts is not None and lat is not None and lon is not None:
@@ -268,15 +286,15 @@ def parse_fit(activity_id: str, payload: bytes) -> list[dict]:
                 seq += 1
             if ts is not None:
                 chans = {
-                    "heart_rate": values.get(3),
-                    "cadence": values.get(4),
-                    "power": values.get(7),
-                    "temperature": values.get(13),
+                    "heart_rate": _num(values.get(3)),
+                    "cadence": _num(values.get(4)),
+                    "power": _num(values.get(7)),
+                    "temperature": _num(values.get(13)),
                 }
-                sp = values.get(73, values.get(6))
+                sp = _num(values.get(73, values.get(6)))
                 if sp is not None:
                     chans["speed"] = sp / 1000.0
-                di = values.get(5)
+                di = _num(values.get(5))
                 if di is not None:
                     chans["distance"] = di / 100.0
                 # G7: compressed speed/distance (record field 8, 3 bytes):
@@ -314,65 +332,65 @@ def parse_fit(activity_id: str, payload: bytes) -> list[dict]:
             start = _fit_ts(values.get(2))
             end_ts = _fit_ts(values.get(253))
             attrs = {}
-            if values.get(7) is not None:
-                attrs["total_elapsed_s"] = repr(values[7] / 1000.0)
-            if values.get(8) is not None:
-                attrs["total_timer_s"] = repr(values[8] / 1000.0)
-            dist = values.get(9)
+            if _num(values.get(7)) is not None:
+                attrs["total_elapsed_s"] = repr(_num(values[7]) / 1000.0)
+            if _num(values.get(8)) is not None:
+                attrs["total_timer_s"] = repr(_num(values[8]) / 1000.0)
+            dist = _num(values.get(9))
             out.append({"activity_id": activity_id, "kind": "lap", "lap_id": lap_id,
                         "start_ts": start, "end_ts": end_ts,
                         "distance_m": dist / 100.0 if dist is not None else None,
-                        "sport": SPORTS.get(values.get(25)),
+                        "sport": SPORTS.get(_scalar(values.get(25))),
                         "attrs": attrs or None})
             lap_id += 1
         elif g == 18:  # session
-            sport = SPORTS.get(values.get(5))
+            sport = SPORTS.get(_scalar(values.get(5)))
             if sport:
                 meta.setdefault("sport", sport)
-            if values.get(9) is not None:
-                meta.setdefault("session.total_distance_m", repr(values[9] / 100.0))
-            if values.get(7) is not None:
-                meta.setdefault("session.total_elapsed_s", repr(values[7] / 1000.0))
+            if _num(values.get(9)) is not None:
+                meta.setdefault("session.total_distance_m", repr(_num(values[9]) / 100.0))
+            if _num(values.get(7)) is not None:
+                meta.setdefault("session.total_elapsed_s", repr(_num(values[7]) / 1000.0))
         elif g == 0:  # file_id
-            if values.get(1) is not None:
-                meta.setdefault("device.manufacturer", str(values[1]))
-            if values.get(2) is not None:
-                meta.setdefault("device.product", str(values[2]))
+            if _scalar(values.get(1)) is not None:
+                meta.setdefault("device.manufacturer", str(_scalar(values[1])))
+            if _scalar(values.get(2)) is not None:
+                meta.setdefault("device.product", str(_scalar(values[2])))
         elif g == 21:  # event
             ts = _fit_ts(values.get(253))
             if ts is not None:
                 out.append({"activity_id": activity_id, "kind": "channel",
                             "channel": "event", "ts": ts,
-                            "value": float(values.get(0) or 0)})
+                            "value": float(_num(values.get(0)) or 0)})
         elif g == 101:  # swim length (fit_parser.dart:675-699)
             ts = _fit_ts(values.get(253))
             start = _fit_ts(values.get(2))
             attrs = {}
-            if values.get(3) is not None:
-                attrs["total_elapsed_s"] = repr(values[3] / 1000.0)
-            if values.get(5) is not None:
-                attrs["total_strokes"] = str(values[5])
-            if values.get(12) is not None:
-                attrs["swim_stroke"] = str(values[12])
+            if _num(values.get(3)) is not None:
+                attrs["total_elapsed_s"] = repr(_num(values[3]) / 1000.0)
+            if _num(values.get(5)) is not None:
+                attrs["total_strokes"] = str(_num(values[5]))
+            if _scalar(values.get(12)) is not None:
+                attrs["swim_stroke"] = str(_scalar(values[12]))
             out.append({"activity_id": activity_id, "kind": "length",
                         "start_ts": start, "end_ts": ts, "attrs": attrs or None})
         elif g == 225:  # strength set (fit_parser.dart:700-729)
             ts = _fit_ts(values.get(254, values.get(253)))
             start = _fit_ts(values.get(6))
             attrs = {}
-            if values.get(3) is not None:
-                attrs["repetitions"] = str(values[3])
-            if values.get(4) is not None:
-                attrs["weight_kg"] = repr(values[4] / 16.0)  # scale 16 (G4)
-            if values.get(0) is not None:
-                attrs["duration_s"] = repr(values[0] / 1000.0)
+            if _num(values.get(3)) is not None:
+                attrs["repetitions"] = str(_num(values[3]))
+            if _num(values.get(4)) is not None:
+                attrs["weight_kg"] = repr(_num(values[4]) / 16.0)  # scale 16 (G4)
+            if _num(values.get(0)) is not None:
+                attrs["duration_s"] = repr(_num(values[0]) / 1000.0)
             out.append({"activity_id": activity_id, "kind": "set",
                         "start_ts": start, "end_ts": ts, "attrs": attrs or None})
         elif g == 206:  # developer field description
-            didx = values.get(0)
-            fnum = values.get(1)
-            btype = values.get(2)
-            name = values.get(3) or f"fit_dev_{didx}_{fnum}"
+            didx = _scalar(values.get(0))
+            fnum = _scalar(values.get(1))
+            btype = _scalar(values.get(2))
+            name = _scalar(values.get(3)) or f"fit_dev_{didx}_{fnum}"
             if didx is not None and fnum is not None:
                 dev_fields[(didx, fnum)] = {
                     "base_type": btype,
@@ -462,8 +480,12 @@ def encode_fit(points: list[dict], channels_by_ts: dict, laps: list[dict]) -> by
     for p in points:
         ts_raw = int(pd.Timestamp(p["ts"]).timestamp()) - FIT_EPOCH_UNIX
         ch = channels_by_ts.get(_ts_key(p["ts"])) or {}
-        lat_semi = int(round(p["lat"] / SEMI_TO_DEG)) if p.get("lat") is not None else 0x7FFFFFFF
-        lon_semi = int(round(p["lon"] / SEMI_TO_DEG)) if p.get("lon") is not None else 0x7FFFFFFF
+        lat = p.get("lat")
+        lon = p.get("lon")
+        lat_ok = lat is not None and lat == lat
+        lon_ok = lon is not None and lon == lon
+        lat_semi = int(round(lat / SEMI_TO_DEG)) if lat_ok else 0x7FFFFFFF
+        lon_semi = int(round(lon / SEMI_TO_DEG)) if lon_ok else 0x7FFFFFFF
         ele = p.get("ele")
         alt_raw = int(round((ele + 500.0) * 5.0)) if ele is not None and ele == ele else 0xFFFF
         hr = int(round(ch["heart_rate"])) if "heart_rate" in ch else 0xFF

@@ -174,3 +174,21 @@ def test_cell_encode_column(spark):
     df = spark.createDataFrame([(40.0, -105.0)], "lat double, lon double")
     got = cell_encode(df, 12).collect()[0]["cell"]
     assert got == quadkey_py(40.0, -105.0, 12)
+
+
+def test_asof_null_valued_samples_ignored(spark, probes):
+    """Regression: a null-valued sample must not desync the bracket — the
+    old bug returned a value from OUTSIDE the tolerance window."""
+    samples = spark.createDataFrame(
+        [("a", ts("2024-03-01T10:00:03"), 7.0),
+         ("a", ts("2024-03-01T10:00:09"), None)],  # null value 1s from probe 1
+        "activity_id string, ts timestamp, value double",
+    )
+    got = {r["seq"]: r["v"] for r in asof_join(probes, samples, out="v").collect()}
+    # probe 1 (10:00:10): nearest USABLE sample is 10:00:03 (7s > 5s tol) -> null
+    assert got[1] is None
+    assert got[0] == 7.0  # probe 0 at 10:00:00: 3s away, within tolerance
+    # pandas twin agrees
+    got2 = {r["seq"]: r["v"] for r in asof_join_pandas(probes, samples, out="v").collect()}
+    got2 = {k: (None if v != v else v) for k, v in got2.items()}
+    assert got2[1] is None and got2[0] == 7.0

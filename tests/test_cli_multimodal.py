@@ -108,3 +108,32 @@ def test_video_frame_sampling(spark):
 def test_video_real_codec_stubbed():
     with pytest.raises(NotImplementedError):
         decode_video_frame(b"", "mp4", 8, 6, 0)
+
+
+def test_cli_convert_includes_csv_and_flags_unknown(spark, tmp_path, capsys):
+    from activity_files_spark.cli import main
+
+    d = tmp_path / "raw2"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "timestamp,latitude,longitude,elevation,heart_rate\n"
+        "2024-03-01T10:00:00Z,40.0,-105.0,1600.0,140\n"
+        "2024-03-01T10:00:10Z,40.0005,-105.0005,1601.0,142\n"
+    )
+    (d / "junk.bin").write_bytes(b"\x01\x02 not a known format \x03")
+    out = str(tmp_path / "out2")
+    rep = str(tmp_path / "rep2")
+    rc = main(["convert", "--input", str(d), "--from", "auto", "--to", "gpx",
+               "--output", out])
+    assert rc == 0
+    import json as _json
+
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["converted"] >= 1
+    enc = {r["activity_id"]: r["xml"] for r in spark.read.parquet(out).collect()}
+    csv_xml = [x for k, x in enc.items() if k.endswith("a.csv")]
+    assert csv_xml and "<trkpt" in csv_xml[0] and "gpxtpx:hr>140" in csv_xml[0]
+    # unknown file surfaces as a diagnostic through validate
+    rc = main(["validate", "--input", str(d), "--report", rep])
+    diags = {r["code"] for r in spark.read.parquet(rep).collect()}
+    assert "detect.unknown_format" in diags

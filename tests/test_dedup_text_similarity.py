@@ -112,10 +112,10 @@ def test_lsh_topk_recall_vs_brute(spark):
     qs = emb.filter(F.col("item_id") < 10).select(
         F.col("item_id").alias("query_id"), "vec"
     )
-    brute = cosine_topk(qs, emb, k=5, q_id="query_id", i_id="item_id")
+    brute = cosine_topk(qs, emb, k=5, q_id="query_id", i_id="item_id", exclude_same_id=True)
     brute_set = {(r["query_id"], r["item_id"]) for r in brute.collect()
                  if r["query_id"] != r["item_id"]}
-    approx = lsh_topk(qs, emb, k=5, dim=64, n_planes=4, n_tables=16)
+    approx = lsh_topk(qs, emb, k=5, dim=64, n_planes=4, n_tables=16, exclude_same_id=True)
     approx_set = {(r["query_id"], r["item_id"]) for r in approx.collect()
                   if r["query_id"] != r["item_id"]}
     recall = len(brute_set & approx_set) / len(brute_set)
@@ -158,13 +158,16 @@ def test_ivf_topk_recall_vs_brute(spark):
         F.col("item_id").alias("query_id"), "vec"
     )
     brute = {(r["query_id"], r["item_id"]) for r in
-             cosine_topk(qs, emb, k=5, q_id="query_id", i_id="item_id").collect()}
+             cosine_topk(qs, emb, k=5, q_id="query_id", i_id="item_id",
+                         exclude_same_id=True).collect()}
     # n_probe = n_centroids degrades to exact search -> recall 1.0
     exact = {(r["query_id"], r["item_id"]) for r in
-             ivf_topk(qs, emb, k=5, dim=64, n_centroids=8, n_probe=8).collect()}
+             ivf_topk(qs, emb, k=5, dim=64, n_centroids=8, n_probe=8,
+                      exclude_same_id=True).collect()}
     assert exact == brute
     # partial probing trades recall for candidate count
     approx = {(r["query_id"], r["item_id"]) for r in
-              ivf_topk(qs, emb, k=5, dim=64, n_centroids=8, n_probe=4).collect()}
+              ivf_topk(qs, emb, k=5, dim=64, n_centroids=8, n_probe=4,
+                       exclude_same_id=True).collect()}
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.5, f"IVF recall {recall}"

@@ -165,3 +165,33 @@ def test_detect_format_df(spark):
     df = spark.createDataFrame(rows, "path string, payload binary")
     got = {r["path"]: r["fmt"] for r in detect_format_df(df).collect()}
     assert got == {"a.bin": "gpx", "b.bin": "fit", "c.csv": "csv"}
+
+
+def test_fit_array_valued_fields_never_throw():
+    """Regression: a definition declaring array fields (n>1) must produce
+    diagnostics/partial data, never a TypeError that kills the task."""
+    # record def with ARRAY timestamp (2x uint32) and array hr (2x uint8)
+    body = bytearray()
+    body += _def_record_local(0, 20, [(253, 8, 0x86), (3, 2, 0x02), (0, 4, 0x85), (1, 4, 0x85)])
+    t0 = 1_000_000_000
+    body += bytes([0x00]) + struct.pack("<IIBBii", t0, t0 + 1, 140, 141,
+                                        477625322, -1253632716)
+    recs = parse_fit("a", _payload_of(bytes(body)))
+    # array ts -> first element used; array hr -> first element
+    pts = [r for r in recs if r["kind"] == "point"]
+    assert len(pts) == 1
+    hr = [r for r in recs if r["kind"] == "channel" and r["channel"] == "heart_rate"]
+    assert hr and hr[0]["value"] == 140.0
+
+
+def _def_record_local(local, global_num, fields):
+    from activity_files_spark.sources.fit import _def_record
+
+    return _def_record(local, global_num, fields)
+
+
+def _payload_of(body: bytes) -> bytes:
+    header = struct.pack("<BBHI4s", 14, 0x20, 2140, len(body), b".FIT")
+    header += struct.pack("<H", fit_crc16(header))
+    blob = header + body
+    return blob + struct.pack("<H", fit_crc16(blob))

@@ -150,10 +150,14 @@ def test_mark_laps_by_distance(spark):
         for i in range(10)
     ]
     laps = mark_laps_by_distance(mk_points(spark, rows), split_m=150.0).orderBy("lap_id").collect()
-    assert len(laps) >= 3
+    assert len(laps) == 3
     assert sum(lp["n_points"] for lp in laps) == 10
-    # first lap covers points until the accumulator crosses 150m
-    assert laps[0]["n_points"] == 3  # 0m, 55.66m, 111.3m -> lap 0; 166.9m -> lap 1
+    # boundary point CLOSES its lap (reference emits lap at boundary sample):
+    # cum-before-step: 0,0,55.7,111.3 -> lap 0 (4 pts, incl. the crossing pt)
+    assert laps[0]["n_points"] == 4
+    # full laps cover exactly the split distance
+    assert laps[0]["distance_m"] == 150.0
+    assert laps[1]["distance_m"] == 150.0
 
 
 def test_sessionize_gap(spark):
