@@ -266,3 +266,59 @@ def map_channels_wide(
             tolerance_s=tol.get(ch, DEFAULT_TOLERANCE_S), out=ch,
         )
     return out
+
+
+def map_channels_wide_kernel(
+    probes: DataFrame,
+    channels: DataFrame,
+    channel_names: list[str],
+    tolerances: dict[str, float] | None = None,
+    key: str = "activity_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Single-pass wide channel mapping: ONE shuffle on ``key`` and one
+    Arrow kernel maps every channel onto the probe rows (numpy searchsorted
+    per channel inside the group). The scale path for wide encoder-side
+    mappings; semantics identical to :func:`map_channels_wide`
+    (nearest-within-tolerance, earlier wins ties, per-channel overrides)."""
+    import numpy as np
+    import pandas as pd
+
+    tol = dict(DEFAULT_CHANNEL_TOLERANCES)
+    tol.update(tolerances or {})
+    p_cols = probes.columns
+    p = probes.withColumn("_side", F.lit(1))
+    c = channels.filter(F.col("channel").isin(channel_names)).select(
+        F.col(key), F.col(ts), F.col("channel").alias("_ch"),
+        F.col("value").cast("double").alias("_cv"),
+    ).withColumn("_side", F.lit(0))
+    merged = p.unionByName(c, allowMissingColumns=True)
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in probes.schema.fields
+    ) + "".join(f", `{ch}` double" for ch in channel_names)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pr = pdf[pdf["_side"] == 1].sort_values(ts, kind="stable")
+        res = pr[[col for col in p_cols]].copy()
+        pt = pr[ts].values.astype("datetime64[us]").astype("int64") / 1e6
+        for ch in channel_names:
+            sm = pdf[(pdf["_side"] == 0) & (pdf["_ch"] == ch) & pdf["_cv"].notna()]
+            sm = sm.sort_values(ts, kind="stable")
+            if len(sm) == 0 or len(pr) == 0:
+                res[ch] = np.nan
+                continue
+            st = sm[ts].values.astype("datetime64[us]").astype("int64") / 1e6
+            sv = sm["_cv"].values
+            idx = np.searchsorted(st, pt, side="right")
+            prev_i = np.clip(idx - 1, 0, len(st) - 1)
+            next_i = np.clip(idx, 0, len(st) - 1)
+            d_prev = np.where(idx - 1 >= 0, pt - st[prev_i], np.inf)
+            d_next = np.where(idx < len(st), st[next_i] - pt, np.inf)
+            take_prev = d_prev <= d_next  # earlier wins ties
+            best_d = np.where(take_prev, d_prev, d_next)
+            best_v = np.where(take_prev, sv[prev_i], sv[next_i])
+            res[ch] = np.where(best_d <= tol.get(ch, DEFAULT_TOLERANCE_S), best_v, np.nan)
+        return res
+
+    return merged.groupBy(key).applyInPandas(lambda _k, pdf: kernel(pdf), out_schema)

@@ -102,6 +102,12 @@ SPORTS = {
     11: "walking", 17: "hiking", 4: "fitness_equipment",
 }
 
+# FIT wire order 0-6 (reference models.dart:14-22)
+SWIM_STROKES = {
+    0: "freestyle", 1: "backstroke", 2: "breaststroke", 3: "butterfly",
+    4: "drill", 5: "mixed", 6: "im",
+}
+
 
 def _scalar(raw):
     """Collapse unexpected array-valued fields to their first element —
@@ -362,6 +368,21 @@ def parse_fit(activity_id: str, payload: bytes) -> list[dict]:
                 out.append({"activity_id": activity_id, "kind": "channel",
                             "channel": "event", "ts": ts,
                             "value": float(_num(values.get(0)) or 0)})
+        elif g == 23:  # device_info (fit_parser.dart:730-768)
+            if _scalar(values.get(2)) is not None:
+                meta.setdefault("device.manufacturer", str(_scalar(values[2])))
+            if _scalar(values.get(4)) is not None:
+                meta.setdefault("device.product", str(_scalar(values[4])))
+            if _num(values.get(5)) is not None:
+                meta.setdefault("device.software_version",
+                                repr(_num(values[5]) / 100.0))  # scale 100 (G4)
+            if _scalar(values.get(27)) is not None:
+                meta.setdefault("device.product_name", str(_scalar(values[27])))
+        elif g == 49:  # file_creator (fit_parser.dart:777-804)
+            if _num(values.get(0)) is not None:
+                meta.setdefault("creator.software_version", str(_num(values[0])))
+            if _num(values.get(1)) is not None:
+                meta.setdefault("creator.hardware_version", str(_num(values[1])))
         elif g == 101:  # swim length (fit_parser.dart:675-699)
             ts = _fit_ts(values.get(253))
             start = _fit_ts(values.get(2))
@@ -370,8 +391,11 @@ def parse_fit(activity_id: str, payload: bytes) -> list[dict]:
                 attrs["total_elapsed_s"] = repr(_num(values[3]) / 1000.0)
             if _num(values.get(5)) is not None:
                 attrs["total_strokes"] = str(_num(values[5]))
-            if _scalar(values.get(12)) is not None:
-                attrs["swim_stroke"] = str(_scalar(values[12]))
+            stroke = _scalar(values.get(12))
+            if stroke is not None:
+                attrs["swim_stroke"] = str(stroke)
+                if stroke in SWIM_STROKES:
+                    attrs["swim_stroke_name"] = SWIM_STROKES[stroke]
             out.append({"activity_id": activity_id, "kind": "length",
                         "start_ts": start, "end_ts": ts, "attrs": attrs or None})
         elif g == 225:  # strength set (fit_parser.dart:700-729)

@@ -155,3 +155,53 @@ def test_tcx_v1_dialect(spark):
     lap = laps_of(rec).collect()[0]
     assert lap["sport"] == "biking"
     assert str(lap["end_ts"]) == "2024-03-01 10:00:10"
+
+
+def test_map_channels_wide_kernel_matches_native(spark):
+    from activity_files_spark.operators.asof import map_channels_wide_kernel
+
+    probes = spark.createDataFrame(
+        [("a", ts(f"2024-03-01T10:00:{i:02d}")) for i in range(0, 30, 10)],
+        "activity_id string, ts timestamp",
+    )
+    channels = spark.createDataFrame(
+        [
+            ("a", "heart_rate", ts("2024-03-01T10:00:02"), 140.0),
+            ("a", "heart_rate", ts("2024-03-01T10:00:08"), 142.0),
+            ("a", "temperature", ts("2024-03-01T10:00:25"), 21.0),
+            ("a", "power", ts("2024-03-01T10:00:19"), 250.0),
+        ],
+        "activity_id string, channel string, ts timestamp, value double",
+    )
+    names = ["heart_rate", "temperature", "power"]
+    native = {str(r["ts"]): r for r in map_channels_wide(probes, channels, names).collect()}
+    kern = {str(r["ts"]): r for r in map_channels_wide_kernel(probes, channels, names).collect()}
+    for k in native:
+        for ch in names:
+            nv, kv = native[k][ch], kern[k][ch]
+            nv = None if nv != nv else nv if nv is not None else None
+            kv = None if (kv is None or kv != kv) else kv
+            nv = None if nv is None else nv
+            assert nv == kv, (k, ch, native[k][ch], kern[k][ch])
+
+
+def test_fit_device_info_and_creator():
+    t0 = 1_000_000_000
+    body = bytearray()
+    # device_info: manufacturer(2 u16), product(4 u16), software_version(5 u16)
+    body += _def_record_local2(0, 23, [(2, 2, 0x84), (4, 2, 0x84), (5, 2, 0x84)])
+    body += bytes([0x00]) + struct.pack("<HHH", 1, 2337, 950)
+    # file_creator: software(0 u16), hardware(1 u8)
+    body += _def_record_local2(1, 49, [(0, 2, 0x84), (1, 1, 0x02)])
+    body += bytes([0x01]) + struct.pack("<HB", 123, 4)
+    recs = parse_fit("a", _fit_payload(bytes(body)))
+    meta = [r for r in recs if r["kind"] == "meta"][0]["attrs"]
+    assert meta["device.manufacturer"] == "1"
+    assert meta["device.product"] == "2337"
+    assert meta["device.software_version"] == "9.5"
+    assert meta["creator.software_version"] == "123"
+    assert meta["creator.hardware_version"] == "4"
+
+
+def _def_record_local2(local, global_num, fields):
+    return _def_record(local, global_num, fields)
