@@ -225,3 +225,63 @@ def geojson_encode_df(points: DataFrame) -> DataFrame:
     return points.select("activity_id", "ts", "lat", "lon", "ele").groupBy(
         "activity_id"
     ).applyInPandas(kernel, "activity_id string, text string")
+
+
+def encode_geojson_points(
+    points: list[dict], channels_by_ts: dict | None = None
+) -> str:
+    """Points-variant encoder (geojson_encoder.dart:91-125): one Point
+    feature per trackpoint, channel values as numeric properties."""
+    from activity_files_spark.sources.gpx import _ts_key
+
+    channels_by_ts = channels_by_ts or {}
+    feats = []
+    for p in points:
+        coords = [round(p["lon"], 6), round(p["lat"], 6)]
+        if p.get("ele") is not None and p["ele"] == p["ele"]:
+            coords.append(round(p["ele"], 2))
+        props: dict = {}
+        if p.get("ts") is not None:
+            props["time"] = _iso(p["ts"])
+        for k, v in (channels_by_ts.get(_ts_key(p.get("ts"))) or {}).items():
+            props[k] = v
+        feats.append({"type": "Feature",
+                      "geometry": {"type": "Point", "coordinates": coords},
+                      "properties": props})
+    return json.dumps({"type": "FeatureCollection", "features": feats}, sort_keys=True)
+
+
+def geojson_encode_points_df(points: DataFrame, channels: DataFrame | None = None) -> DataFrame:
+    """Per-activity Points-variant documents (round-trips through the
+    Point-collection parser, including channels)."""
+    from pyspark.sql import functions as F
+
+    from activity_files_spark.sources.gpx import _ts_key
+
+    p2 = (
+        points.select("activity_id", "ts", "lat", "lon", "ele")
+        .withColumn("channel", F.lit(None).cast("string"))
+        .withColumn("value", F.lit(None).cast("double"))
+    )
+    if channels is not None:
+        c2 = channels.select(
+            "activity_id", "ts",
+            F.lit(None).cast("double").alias("lat"),
+            F.lit(None).cast("double").alias("lon"),
+            F.lit(None).cast("double").alias("ele"),
+            "channel", "value",
+        )
+        u = p2.unionByName(c2)
+    else:
+        u = p2
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        aid = key[0]
+        pts = pdf[pdf["channel"].isna()].sort_values("ts", kind="stable").to_dict("records")
+        chmap: dict = {}
+        for r in pdf[~pdf["channel"].isna()].itertuples(index=False):
+            chmap.setdefault(_ts_key(r.ts), {})[r.channel] = r.value
+        return pd.DataFrame([{"activity_id": aid,
+                              "text": encode_geojson_points(pts, chmap)}])
+
+    return u.groupBy("activity_id").applyInPandas(kernel, "activity_id string, text string")

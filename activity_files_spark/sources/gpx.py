@@ -227,20 +227,55 @@ def _fmt_coord(v: float) -> str:
     return f"{v:.6f}".rstrip("0").rstrip(".") if v == v else ""
 
 
+GPX_NAMESPACES = {
+    "1.1": "http://www.topografix.com/GPX/1/1",
+    "1.0": "http://www.topografix.com/GPX/1/0",
+}
+
+
 def encode_gpx(
-    points: list[dict], channels: dict[tuple, dict[str, float]], meta: dict | None = None
+    points: list[dict],
+    channels: dict[tuple, dict[str, float]],
+    meta: dict | None = None,
+    waypoints: list[dict] | None = None,
+    version: str = "1.1",
+    coord_dp: int = 6,
+    ele_dp: int = 2,
 ) -> str:
     """points: sorted dicts(seq, ts, lat, lon, ele); channels keyed by ts ->
-    {channel: value} (exact-ts association, encoder_utils.dart:9-19)."""
+    {channel: value} (exact-ts association, encoder_utils.dart:9-19).
+
+    Options mirror the reference encoder options (encoder_options.dart:11-42):
+    GPX 1.0/1.1 dialect, coordinate precision (default 6 dp), elevation
+    precision (default 2 dp); waypoints are written before the track
+    (gpx_encoder.dart wpt/rte/trk ordering)."""
     meta = meta or {}
     buf = io.StringIO()
     buf.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+    ns = GPX_NAMESPACES.get(version, GPX_NAMESPACES["1.1"])
+    tpx_ns = (
+        ' xmlns:gpxtpx="http://www.garmin.com/xmlschemas/TrackPointExtension/v1"'
+        if version == "1.1"
+        else ""
+    )
     buf.write(
-        '<gpx version="1.1" creator="{}" xmlns="http://www.topografix.com/GPX/1/1" '
-        'xmlns:gpxtpx="http://www.garmin.com/xmlschemas/TrackPointExtension/v1">\n'.format(
-            meta.get("creator", "activity_files_spark")
+        '<gpx version="{}" creator="{}" xmlns="{}"{}>\n'.format(
+            version, meta.get("creator", "activity_files_spark"), ns, tpx_ns
         )
     )
+    for wp in waypoints or []:
+        buf.write(
+            f'  <wpt lat="{wp["lat"]:.{coord_dp}f}" lon="{wp["lon"]:.{coord_dp}f}">\n'
+        )
+        if wp.get("ele") is not None and wp["ele"] == wp["ele"]:
+            buf.write(f"    <ele>{wp['ele']:.{ele_dp}f}</ele>\n")
+        if wp.get("ts") is not None:
+            buf.write(f"    <time>{_iso(wp['ts'])}</time>\n")
+        for k in ("name", "desc", "sym"):
+            v = (wp.get("attrs") or {}).get(k)
+            if v:
+                buf.write(f"    <{k}>{_xml_escape(v)}</{k}>\n")
+        buf.write("  </wpt>\n")
     name = meta.get("metadata.name") or meta.get("trk.name")
     buf.write("  <trk>\n")
     if name:
@@ -249,16 +284,16 @@ def encode_gpx(
         buf.write(f"    <type>{_xml_escape(meta['trk.type'])}</type>\n")
     buf.write("    <trkseg>\n")
     for p in points:
-        lat = f"{p['lat']:.6f}"
-        lon = f"{p['lon']:.6f}"
+        lat = f"{p['lat']:.{coord_dp}f}"
+        lon = f"{p['lon']:.{coord_dp}f}"
         buf.write(f'      <trkpt lat="{lat}" lon="{lon}">\n')
         if p.get("ele") is not None and not (
             isinstance(p["ele"], float) and math.isnan(p["ele"])
         ):
-            buf.write(f"        <ele>{p['ele']:.2f}</ele>\n")
+            buf.write(f"        <ele>{p['ele']:.{ele_dp}f}</ele>\n")
         if p.get("ts") is not None:
             buf.write(f"        <time>{_iso(p['ts'])}</time>\n")
-        ch = channels.get(_ts_key(p.get("ts")))
+        ch = channels.get(_ts_key(p.get("ts"))) if version == "1.1" else None
         if ch:
             buf.write("        <extensions>\n          <gpxtpx:TrackPointExtension>\n")
             for cname in sorted(ch):

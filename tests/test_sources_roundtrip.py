@@ -250,3 +250,49 @@ def test_csv_roundtrip_with_custom_channel(spark, tmp_path):
     assert "my_sensor" in wide.columns  # sorted extra channel column
     rows = wide.orderBy("timestamp").collect()
     assert rows[0]["heart_rate"] == 140.0 and rows[2]["my_sensor"] == 3.5
+
+
+def test_gpx_10_encoder_dialect_and_precision(spark, gpx_df):
+    from activity_files_spark.sources.gpx import encode_gpx, gpx_records
+
+    rec = gpx_records(gpx_df).cache()
+    pts = sorted(
+        (r.asDict() for r in points_of(rec).collect()), key=lambda r: r["seq"]
+    )
+    xml10 = encode_gpx(pts, {}, version="1.0", coord_dp=4, ele_dp=0)
+    assert 'version="1.0"' in xml10 and "GPX/1/0" in xml10
+    assert 'lat="40.0005"' in xml10  # 4 dp
+    assert "<ele>1601</ele>" in xml10  # 0 dp
+    assert "gpxtpx" not in xml10  # no TPX namespace in the 1.0 dialect
+    # still reparses losslessly at the reduced precision
+    rec2 = gpx_records(
+        spark.createDataFrame([("v10", xml10)], "activity_id string, xml string")
+    )
+    assert points_of(rec2).count() == 3
+
+
+def test_gpx_encoder_waypoints(spark):
+    from activity_files_spark.sources.gpx import encode_gpx, parse_gpx
+
+    wps = [{"lat": 40.5, "lon": -105.5, "ele": 1700.0,
+            "ts": None, "attrs": {"name": "Summit", "sym": "Peak"}}]
+    xml = encode_gpx([], {}, waypoints=wps)
+    recs = parse_gpx("w", xml)
+    wp = [r for r in recs if r["kind"] == "waypoint"]
+    assert len(wp) == 1
+    assert wp[0]["lat"] == 40.5 and wp[0]["attrs"]["name"] == "Summit"
+
+
+def test_geojson_points_variant_roundtrip(spark):
+    from activity_files_spark.sources.geojson import geojson_encode_points_df
+
+    df = spark.createDataFrame([("act_000", SAMPLE_GPX)], "activity_id string, xml string")
+    from activity_files_spark.sources.gpx import gpx_records
+
+    rec = gpx_records(df).cache()
+    text = geojson_encode_points_df(points_of(rec), channels_of(rec)).collect()[0]["text"]
+    rec2 = geojson_records(
+        spark.createDataFrame([("act_000", text)], "activity_id string, text string")
+    ).cache()
+    check_points(points_of(rec2).collect())
+    check_channels(channels_of(rec2).collect())
