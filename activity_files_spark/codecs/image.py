@@ -9,8 +9,9 @@ No image libraries exist in this container (no PIL/cv2), so:
   (checked against the PNG spec CRC/chunk layout).
 - **jpeg**: DETERMINISTIC FAKE LOSSY CODEC — a clearly-marked stand-in that
   exercises the lossy path (PSNR >= 40 dB invariant) without a real JPEG
-  implementation: 5-bit uniform quantization per channel + zlib, wrapped in
-  a `FAKEJPG1` magic header. Decoding a *real* JPEG bitstream raises
+  implementation: 6-bit uniform quantization per channel + zlib, wrapped in
+  a `FAKEJPG1` magic header (worst-case PSNR 20*log10(255/2) = 42.1 dB,
+  always above the 40 dB gate). Decoding a *real* JPEG bitstream raises
   NotImplementedError. The Spark-side plumbing (schema, batching, UDF
   signatures) is identical to what a real codec would use; swap
   encode_jpeg/decode_jpeg for a libjpeg binding in production.
@@ -29,7 +30,9 @@ import zlib
 import numpy as np
 
 FAKE_JPEG_MAGIC = b"FAKEJPG1"
-_QUANT_BITS = 5  # 5-bit quantization: max err 4 -> PSNR ~41-46 dB (>= 40 gate)
+_QUANT_BITS = 6  # 6-bit quantization: max err 2 -> PSNR floor 20*log10(255/2)=42.1 dB,
+# so the >=40 dB invariant holds for EVERY image (hypothesis found that 5-bit
+# quantization can dip to 36 dB on pathological single-pixel images)
 
 
 # ------------------------------------------------------------------ BMP
@@ -157,7 +160,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     q = np.frombuffer(
         zlib.decompress(data[len(FAKE_JPEG_MAGIC) + 8 :]), dtype=np.uint8
     ).reshape(h, w, 3)
-    # dequantize to bin centers: (q << 3) | 4 recovers mid-bin (max err 4)
+    # dequantize to bin centers: mid-bin reconstruction (max err 2 at 6 bits)
     return ((q.astype(np.uint16) << (8 - _QUANT_BITS)) | (1 << (7 - _QUANT_BITS))).astype(
         np.uint8
     )

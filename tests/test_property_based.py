@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis): the pure-python goldens are the
+specification; randomized inputs probe edge cases the fixtures miss.
+
+Spark is deliberately absent here — these pin the KERNEL semantics
+(the four-way implementation parity tests in test_functions/test_hexgrid
+already prove the Column/SQL twins equal the goldens)."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from activity_files_spark.codecs.image import (
+    decode_bmp,
+    decode_jpeg,
+    decode_png,
+    encode_bmp,
+    encode_jpeg,
+    encode_png,
+    psnr_db,
+)
+from activity_files_spark.functions.geo import haversine_m_py
+from activity_files_spark.functions.hexgrid import hex_cell_np, hex_cell_py
+from activity_files_spark.functions.quadkey import (
+    cell_id_py,
+    cell_id_to_quadkey,
+    quadkey_py,
+    tile_bounds_py,
+    tile_xy_py,
+)
+
+lat_st = st.floats(min_value=-85.0, max_value=85.0, allow_nan=False)
+lon_st = st.floats(min_value=-179.999, max_value=179.999, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat_st, lon_st, st.integers(min_value=1, max_value=18))
+def test_quadkey_point_in_own_tile_bounds(lat, lon, z):
+    x, y = tile_xy_py(lat, lon, z)
+    lon_w, lat_s, lon_e, lat_n = tile_bounds_py(x, y, z)
+    assert lon_w - 1e-9 <= lon <= lon_e + 1e-9
+    assert lat_s - 1e-6 <= lat <= lat_n + 1e-6
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat_st, lon_st, st.integers(min_value=2, max_value=18))
+def test_quadkey_ladder_prefix_property(lat, lon, z):
+    assert quadkey_py(lat, lon, z)[: z - 1] == quadkey_py(lat, lon, z - 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat_st, lon_st, st.integers(min_value=1, max_value=18))
+def test_packed_cell_id_bijective_with_quadkey(lat, lon, z):
+    assert cell_id_to_quadkey(cell_id_py(lat, lon, z), z) == quadkey_py(lat, lon, z)
+
+
+@settings(max_examples=150, deadline=None)
+@given(lat_st, lon_st, st.integers(min_value=0, max_value=12))
+def test_hex_py_np_agree(lat, lon, res):
+    assert hex_cell_np(np.array([lat]), np.array([lon]), res)[0] == hex_cell_py(lat, lon, res)
+
+
+@settings(max_examples=100, deadline=None)
+@given(lat_st, lon_st, lat_st, lon_st)
+def test_haversine_metric_properties(a, b, c, d):
+    dab = haversine_m_py(a, b, c, d)
+    dba = haversine_m_py(c, d, a, b)
+    assert dab >= 0
+    assert math.isclose(dab, dba, rel_tol=1e-9, abs_tol=1e-9)  # symmetry
+    assert dab <= math.pi * 6_371_000 + 1  # bounded by half circumference
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_image_codecs_random_roundtrip(w, h, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+    lossy = decode_jpeg(encode_jpeg(px))
+    assert lossy.shape == px.shape
+    assert psnr_db(px, lossy) >= 40.0 or np.array_equal(px, lossy)
+
+
+def _asof_reference(probes, samples, tol):
+    """Plain-python nearest-within-tolerance, earlier-wins-ties oracle."""
+    out = {}
+    ss = sorted(samples)
+    for pt in probes:
+        best = None
+        for (t, v) in ss:
+            d = abs(t - pt)
+            if d <= tol and (best is None or d < best[0]):
+                best = (d, v)
+        out[pt] = None if best is None else best[1]
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=12, unique=True),
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=300),
+                  st.integers(min_value=0, max_value=1000)),
+        min_size=0, max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_asof_numpy_kernel_matches_reference(probe_ts, samples):
+    """The numpy searchsorted kernel (the exact code inside
+    asof_join_pandas) agrees with a brute-force oracle, including the
+    earlier-wins tie rule, on arbitrary integer timelines."""
+    tol = 5.0
+    st_arr = np.array(sorted(t for t, _ in samples), dtype=np.float64)
+    sv_arr = np.array([v for t, v in sorted(samples)], dtype=np.float64)
+    pt_arr = np.array(sorted(probe_ts), dtype=np.float64)
+    if len(st_arr) == 0:
+        return
+    idx = np.searchsorted(st_arr, pt_arr, side="right")
+    prev_i = np.clip(idx - 1, 0, len(st_arr) - 1)
+    next_i = np.clip(idx, 0, len(st_arr) - 1)
+    d_prev = np.where(idx - 1 >= 0, pt_arr - st_arr[prev_i], np.inf)
+    d_next = np.where(idx < len(st_arr), st_arr[next_i] - pt_arr, np.inf)
+    take_prev = d_prev <= d_next
+    best_d = np.where(take_prev, d_prev, d_next)
+    best_v = np.where(take_prev, sv_arr[prev_i], sv_arr[next_i])
+    got = {
+        float(p): (None if d > tol else float(v))
+        for p, d, v in zip(pt_arr, best_d, best_v)
+    }
+    want = _asof_reference([float(p) for p in pt_arr],
+                           [(float(t), float(v)) for t, v in samples], tol)
+    assert got == want
