@@ -219,3 +219,27 @@ def image_features(images: DataFrame) -> DataFrame:
 def tile_histogram(tiles: DataFrame) -> DataFrame:
     """Per (zoom, cell) image counts — the tiling rollup used by bench."""
     return tiles.groupBy("zoom", "cell_id").agg(F.count("*").alias("n_images"))
+
+
+def skew_safe_histogram(
+    tiles: DataFrame,
+    salt_buckets: int = 16,
+    unique_col: str = "image_id",
+) -> DataFrame:
+    """Two-phase per-cell rollup for pathologically dense cells (the
+    dense-urban-cell case in the north star): phase 1 aggregates per
+    (zoom, cell, salt) — the hot cell's rows spread over ``salt_buckets``
+    reducers — phase 2 merges the tiny per-salt partials.
+
+    Identical result to :func:`tile_histogram`; use when one cell holds a
+    disproportionate share of the table (AQE skew-join handles skewed JOINS
+    automatically, but a skewed AGGREGATION key still funnels to one task
+    without salting).
+    """
+    salted = tiles.withColumn(
+        "_salt", F.pmod(F.hash(F.col(unique_col)), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("zoom", "cell_id", "_salt").agg(
+        F.count("*").alias("_n")
+    )
+    return partial.groupBy("zoom", "cell_id").agg(F.sum("_n").alias("n_images"))

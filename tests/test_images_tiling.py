@@ -186,3 +186,34 @@ def test_resize_and_features(spark):
     ref = pixels_for(0, 16, 16).astype(float)
     assert abs(f0["mean_r"] - ref[:, :, 0].mean()) < 1e-9
     assert f0["std_gray"] > 0
+
+
+def test_skew_safe_histogram_pathological_cell(spark):
+    """90% of points in ONE cell: the salted two-phase rollup spreads the
+    hot cell across salt_buckets partial groups and still returns exactly
+    the same histogram as the direct rollup."""
+    from activity_files_spark.operators.tiling import skew_safe_histogram
+
+    n = 5000
+    # 90% of ids at one location (one hot cell), the rest spread out
+    pts = spark.range(n).selectExpr(
+        "concat('img_', id) AS image_id",
+        "CASE WHEN id % 10 < 9 THEN 40.0 ELSE 40.0 + (id % 97) * 0.01 END AS lat",
+        "CASE WHEN id % 10 < 9 THEN -105.0 ELSE -105.0 - (id % 89) * 0.01 END AS lon",
+    )
+    tiles = tile_assign(pts, resolutions=[12])
+    direct = {(r["zoom"], r["cell_id"]): r["n_images"] for r in tile_histogram(tiles).collect()}
+    salted = {(r["zoom"], r["cell_id"]): r["n_images"] for r in
+              skew_safe_histogram(tiles, salt_buckets=16).collect()}
+    assert salted == direct
+    hot = max(direct.values())
+    assert hot >= 0.9 * n * 0.99  # the skew really exists
+    # phase-1 partials spread the hot cell across ~16 groups
+    from pyspark.sql import functions as F
+
+    partials = (
+        tiles.withColumn("_salt", F.pmod(F.hash(F.col("image_id")), F.lit(16)))
+        .groupBy("zoom", "cell_id", "_salt").count()
+    )
+    hot_parts = partials.groupBy("zoom", "cell_id").count().agg(F.max("count")).collect()[0][0]
+    assert hot_parts == 16
