@@ -158,8 +158,12 @@ N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "20000"))
 
 def _images_parquet(spark, n: int, cpus: int) -> str:
     """Materialize the deterministic image table once (cached on disk) so
-    measured jobs read a real columnar source (pruning/pushdown apply)."""
-    path = os.path.join(IMG_CACHE_DIR, f"images_{n}.parquet")
+    measured jobs read a real columnar source (pruning/pushdown apply).
+    The cache key includes the generator version so codec changes invalidate
+    stale tables (the stored phash depends on the codec bits)."""
+    from activity_files_spark.codecs.image import _QUANT_BITS
+
+    path = os.path.join(IMG_CACHE_DIR, f"images_v{_QUANT_BITS}_{n}.parquet")
     if not os.path.exists(path):
         from activity_files_spark.data.images import synth_images
 
