@@ -299,7 +299,7 @@ def run_scaling() -> None:
     # pair twice and keep each level's best throughputs (the least-interfered
     # observation approximates the uncontended machine)
     results = {4: None, 16: None}
-    for _attempt in range(2):
+    for _attempt in range(3):
         for cpus in (4, 16):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
             env.setdefault("SPARK_GRAFT_BENCH_ROWS", "204800000")
