@@ -207,7 +207,7 @@ def _sort_dedup_sql() -> str:
 def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6/A6 gap sessionization: 30-min gap splits per user; session stats."""
     ev = _read(spark, sf_dir, "events")
-    s = sessionize_gap(ev, gap_s=1800.0, key="user_id", ts="ts")
+    s = sessionize_gap(ev, gap_s=1800.0, key="user_id", ts="ts", tiebreak="event_id")
     return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
@@ -219,14 +219,14 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sessionize_sql() -> str:
     return """
     WITH g AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 1000000.0 > 1800.0
                   THEN 1 ELSE 0 END AS new_s
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, ts, value,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM g
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -742,7 +742,8 @@ def _simhash_sql() -> str:
       GROUP BY doc_id, i
     )
     SELECT doc_id,
-           SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """
 
@@ -914,7 +915,9 @@ def contiguous_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from activity_files_spark.operators.normalize import largest_contiguous_group
 
     ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    out = largest_contiguous_group(ev, key="user_id", max_gap_hours=1.0 / 6.0)
+    out = largest_contiguous_group(
+        ev, key="user_id", max_gap_hours=1.0 / 6.0, tiebreak="event_id"
+    )
     return out.select("event_id", "user_id")
 
 
@@ -924,11 +927,11 @@ def _contiguous_sql() -> str:
       SELECT event_id, user_id, ts,
              CASE WHEN (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 1000000.0 > 600.0
                   THEN 1 ELSE 0 END AS new_g
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     grp AS (
       SELECT event_id, user_id, ts,
-             SUM(new_g) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_g) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS gid
       FROM g
     ),

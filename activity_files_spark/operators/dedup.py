@@ -191,7 +191,7 @@ def simhash64(
     return votes.groupBy(id_col).agg(
         F.sum(
             F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
-        ).alias("simhash")
+        ).cast("long").alias("simhash")
     )
 
 

@@ -137,19 +137,25 @@ def largest_contiguous_group(
     points: DataFrame,
     key: str = "activity_id",
     max_gap_hours: float = 24.0,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """FIT contiguous-group outlier filter (fit_parser.dart:1252-1332):
     sessionize on time gaps > ``max_gap_hours``; keep the largest group.
 
     Pure window composition: lag-gap flag → running sum = group id →
     count per group → keep max-count group (earliest wins ties).
+    ``tiebreak`` adds a deterministic order column for tied timestamps;
+    the running sum uses an explicit ROWS frame (the default RANGE frame
+    merges tied-ts peers into one frame and mis-groups them).
     """
-    w = Window.partitionBy(key).orderBy("ts")
+    order = ["ts", tiebreak] if tiebreak else ["ts"]
+    w = Window.partitionBy(key).orderBy(*order)
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap_s = ts_seconds(F.col("ts")) - F.lag(ts_seconds(F.col("ts"))).over(w)
     df = points.withColumn(
         "_new_grp",
         F.when(gap_s.isNull() | (gap_s <= max_gap_hours * 3600.0), 0).otherwise(1),
-    ).withColumn("_grp", F.sum("_new_grp").over(w))
+    ).withColumn("_grp", F.sum("_new_grp").over(wrows))
     counts = df.groupBy(key, "_grp").agg(F.count("*").alias("_cnt"), F.min("ts").alias("_gts"))
     best = (
         counts.withColumn(

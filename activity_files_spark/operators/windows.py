@@ -158,11 +158,22 @@ def sessionize_gap(
     key: str = "user_id",
     ts: str = "ts",
     session_col: str = "session_id",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Generic gap sessionization (the batch analogue of session_window):
-    a new session starts when the gap from the previous row > gap_s."""
-    w = Window.partitionBy(key).orderBy(ts)
+    a new session starts when the gap from the previous row > gap_s.
+
+    ``tiebreak``: extra deterministic order column for tied timestamps.
+    The running sum uses an explicit ROWS frame — the default RANGE frame
+    would collapse tied-ts peers to one session id and make lag(ts)
+    nondeterministic over ties.
+    """
+    order = [ts, tiebreak] if tiebreak else [ts]
+    w = Window.partitionBy(key).orderBy(*order)
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap = ts_seconds(F.col(ts)) - F.lag(ts_seconds(F.col(ts))).over(w)
-    return df.withColumn(
-        "_new", F.when(gap.isNull() | (gap <= gap_s), 0).otherwise(1)
-    ).withColumn(session_col, F.sum("_new").over(w)).drop("_new")
+    return (
+        df.withColumn("_new", F.when(gap.isNull() | (gap <= gap_s), 0).otherwise(1))
+        .withColumn(session_col, F.sum("_new").over(wrows).cast("long"))
+        .drop("_new")
+    )
