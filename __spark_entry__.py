@@ -778,31 +778,61 @@ def _lang_quality_sql() -> str:
 
 
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 closest embedding pairs by cosine (near-dup candidates)."""
-    from activity_files_spark.operators.similarity import as_double_vec, cosine_dup_pairs
+    """Embedding near-dup mining at scale: every 4th vector gets a
+    deterministic perturbed copy planted (±2% per element, id +1e6), then
+    LSH-bucketed candidate pairs + exact cosine >= 0.99 recover exactly the
+    planted pairs. The executed plan is an equi-join on (table, bucket) —
+    no cartesian product (the brute all-pairs twin remains the pytest
+    oracle). The DuckDB oracle replays the same plant and does the exact
+    all-pairs threshold scan."""
+    from activity_files_spark.operators.similarity import (
+        as_double_vec,
+        cosine_dup_pairs_lsh,
+    )
 
     emb = _read(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("item_id"), as_double_vec(F.col("embedding")).alias("vec")
     )
-    pairs = cosine_dup_pairs(emb, threshold=-2.0, i_id="item_id", vec="vec")
-    return (
-        pairs.orderBy(F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc())
-        .limit(20)
-        .select("id_a", "id_b", F.round(F.col("cos"), 9).alias("cos_sim"))
+    # perturbation factor 1 + 0.01*k, k = (id*7 + i) % 5 - 2 in {-2..2}
+    # (i 0-based) — bit-identical to the oracle's list_transform twin
+    pert = F.transform(
+        F.col("vec"),
+        lambda x, i: x
+        * (
+            F.lit(1.0)
+            + F.lit(0.01)
+            * (((F.col("item_id") * F.lit(7) + i.cast("long")) % 5) - 2).cast("double")
+        ),
     )
+    copies = emb.filter(F.col("item_id") % 4 == 0).select(
+        (F.col("item_id") + F.lit(1000000)).alias("item_id"), pert.alias("vec")
+    )
+    items = emb.unionByName(copies)
+    pairs = cosine_dup_pairs_lsh(items, threshold=0.99, i_id="item_id", vec="vec", dim=64)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cos"), 9).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
 
 
 def _embedding_dup_sql() -> str:
     return """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cop AS (
+      SELECT src_id + 1000000 AS id,
+             list_transform(v, (x, i) -> x * (CAST(1.0 AS DOUBLE)
+               + CAST(0.01 AS DOUBLE)
+               * CAST((src_id*7 + (i-1)) % 5 - 2 AS DOUBLE))) AS v
+      FROM (SELECT id AS src_id, v FROM e WHERE id % 4 = 0)
+    ),
+    allv AS (SELECT * FROM e UNION ALL SELECT * FROM cop),
     pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      SELECT a.id AS id_a, b.id AS id_b,
              list_dot_product(a.v, b.v)
                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      FROM allv a JOIN allv b ON a.id < b.id
     )
     SELECT id_a, id_b, ROUND(cos, 9) AS cos_sim
-    FROM pairs ORDER BY cos DESC, id_a, id_b LIMIT 20
+    FROM pairs WHERE cos >= CAST(0.99 AS DOUBLE)
     """
 
 

@@ -74,6 +74,7 @@ def cosine_topk_kernel(
     i_id: str = "item_id",
     vec: str = "vec",
     exclude_same_id: bool | None = None,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Brute-force cosine top-k via a vectorized Arrow kernel: the query
     matrix is collected (small side) and broadcast; each item batch computes
@@ -82,13 +83,25 @@ def cosine_topk_kernel(
     left-to-right fold only in the last ulp (pairwise summation).
 
     ``exclude_same_id`` as in :func:`cosine_topk` (default: only when the id
-    column names coincide)."""
+    column names coincide).
+
+    The query side is collected to the driver and broadcast — correct only
+    for small query sets. ``max_query_rows`` (default 100k) guards the
+    collect; for larger query tables use :func:`lsh_topk` / :func:`ivf_topk`,
+    whose candidate generation is a distributed equi-join on both sides."""
     if exclude_same_id is None:
         exclude_same_id = q_id == i_id
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(q_id, vec).collect()
+    q_rows = queries.select(q_id, vec).limit(max_query_rows + 1).collect()
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"cosine_topk_kernel collects the query side to the driver; got "
+            f"> {max_query_rows} query rows. Raise max_query_rows only if the "
+            f"driver can hold them, or use lsh_topk / ivf_topk for large "
+            f"query tables."
+        )
     q_ids = np.array([r[q_id] for r in q_rows])
     qm = np.array([list(r[vec]) for r in q_rows], dtype=np.float64)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -282,12 +295,61 @@ def ivf_topk(
 def cosine_dup_pairs(
     items: DataFrame, threshold: float, i_id: str = "item_id", vec: str = "vec"
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= threshold, id_a < id_b."""
+    """Embedding near-duplicate pairs, exact brute force: cosine >= threshold,
+    id_a < id_b. O(n^2) all-pairs — the small-n correctness oracle for
+    :func:`cosine_dup_pairs_lsh`, NOT the scale path (the join compiles to a
+    nested-loop product)."""
     a = items.select(F.col(i_id).alias("id_a"), F.col(vec).alias("_va"))
     b = items.select(F.col(i_id).alias("id_b"), F.col(vec).alias("_vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
+            "id_a", "id_b",
+            (_dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def cosine_dup_pairs_lsh(
+    items: DataFrame,
+    threshold: float,
+    i_id: str = "item_id",
+    vec: str = "vec",
+    dim: int = 64,
+    n_planes: int = 12,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: hyperplane-LSH bucketed
+    candidates + exact cosine verify, keeping only cosine >= threshold.
+
+    Plan shape: each row explodes to its L (table, bucket) signatures, the
+    self-join is an EQUI-join on (tbl, bucket) — no cartesian / nested-loop
+    product — then candidate pairs are deduped and exact cosine is the final
+    filter. A true pair at angle θ collides in one table with probability
+    (1 - θ/π)^b and is missed entirely with probability
+    (1 - (1 - θ/π)^b)^L: for near-dups (cos >= 0.99, θ <= 0.045π·…) with
+    b=12, L=8 the miss rate is < 1e-9, and the hyperplanes are md5-derived
+    constants so recall on a fixed dataset is deterministic and testable.
+    At 10^12 rows the equi-join shuffles on (tbl, bucket) with ~uniform
+    bucket occupancy (b=12 → 4096 buckets/table); the brute twin is kept as
+    the test oracle only.
+    """
+    a = lsh_signature(
+        items.select(F.col(i_id).alias("id_a"), F.col(vec).alias("_va")),
+        "_va", dim, n_planes, n_tables,
+    )
+    b = lsh_signature(
+        items.select(F.col(i_id).alias("id_b"), F.col(vec).alias("_vb")),
+        "_vb", dim, n_planes, n_tables,
+    )
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
             "id_a", "id_b",
             (_dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))).alias("cos"),
         )

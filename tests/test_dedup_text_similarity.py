@@ -171,3 +171,54 @@ def test_ivf_topk_recall_vs_brute(spark):
                        exclude_same_id=True).collect()}
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_cosine_dup_pairs_lsh_matches_brute_and_is_equijoin(spark):
+    """The LSH-bucketed near-dup miner returns exactly the brute-force
+    pairs on planted duplicates, and its executed plan contains no
+    cartesian / nested-loop product (the whole point of the bucketing)."""
+    from activity_files_spark.operators.similarity import (
+        cosine_dup_pairs,
+        cosine_dup_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.col("vec_id").alias("item_id"), as_double_vec(F.col("embedding")).alias("vec")
+    )
+    pert = F.transform(
+        F.col("vec"),
+        lambda x, i: x
+        * (F.lit(1.0) + F.lit(0.01)
+           * (((F.col("item_id") * F.lit(7) + i.cast("long")) % 5) - 2).cast("double")),
+    )
+    copies = emb.filter(F.col("item_id") % 4 == 0).select(
+        (F.col("item_id") + F.lit(1000000)).alias("item_id"), pert.alias("vec")
+    )
+    items = emb.unionByName(copies)
+    lsh = cosine_dup_pairs_lsh(items, threshold=0.99, i_id="item_id", vec="vec", dim=64)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    want = {(r["id_a"], r["id_b"]) for r in
+            cosine_dup_pairs(items, threshold=0.99, i_id="item_id", vec="vec").collect()}
+    assert got == want
+    n_planted = items.filter(F.col("item_id") >= 1000000).count()
+    assert len(want) == n_planted  # exactly the planted (orig, copy) pairs
+
+
+def test_cosine_topk_kernel_query_cap(spark):
+    """The Arrow-kernel brute path collects the query side; the cap guards
+    the driver against unbounded collects and points at lsh/ivf."""
+    from activity_files_spark.operators.similarity import cosine_topk_kernel
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.col("vec_id").alias("item_id"), as_double_vec(F.col("embedding")).alias("vec")
+    )
+    qs = emb.select(F.col("item_id").alias("query_id"), "vec")
+    with pytest.raises(ValueError, match="lsh_topk"):
+        cosine_topk_kernel(qs, emb, k=3, max_query_rows=5)
+    # under the cap it works
+    small = qs.filter(F.col("query_id") < 3)
+    out = cosine_topk_kernel(small, emb, k=3, max_query_rows=5, exclude_same_id=True)
+    assert out.count() == 9
