@@ -1251,6 +1251,125 @@ def validate_images_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fit_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S9 FIT full-profile round-trip, driver-gated: per user, build a
+    synthetic activity from the events table (points + a developer-field
+    channel + swim lengths + strength sets, all derived arithmetically from
+    event_id/ts), encode it to REAL FIT binary (fit_encode_records), decode
+    it back (fit_records), and aggregate counts/sums of what survived. The
+    oracle computes the same aggregates directly from the arithmetic — so a
+    hash match proves the binary encoder/decoder round-trips every record
+    kind bit-exactly (dev-field float64s, scale-16 weights, stroke enums).
+
+    Derivations (all engine-portable integer/double ops):
+      value  = floor(epoch(ts)) % 1000 / 16   (exact multiples of 1/16)
+      length for event_id % 5 == 0: strokes = event_id % 40, stroke id % 7
+      set    for event_id % 7 == 0: reps = event_id % 20,
+                                    weight = (event_id % 160) / 16
+    """
+    from activity_files_spark.functions.time import ts_seconds
+    from activity_files_spark.sources.fit import fit_encode_records, fit_records
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("activity_id"),
+        "event_id", "ts",
+        _lat_col().alias("lat"), _lon_col().alias("lon"),
+    )
+    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+    base = {
+        "seq": nul("long"), "lat": nul("double"), "lon": nul("double"),
+        "ele": nul("double"), "channel": nul("string"), "value": nul("double"),
+        "lap_id": nul("int"), "start_ts": nul("timestamp"),
+        "end_ts": nul("timestamp"), "distance_m": nul("double"),
+        "sport": nul("string"), "attrs": nul("map<string,string>"),
+        "ts": nul("timestamp"),
+    }
+
+    def rec(kind: str, **over):
+        cols = dict(base)
+        cols.update(over)
+        return [F.col("activity_id"), F.lit(kind).alias("kind")] + [
+            cols[c].alias(c) for c in
+            ["seq", "ts", "lat", "lon", "ele", "channel", "value", "lap_id",
+             "start_ts", "end_ts", "distance_m", "sport", "attrs"]
+        ]
+
+    metric = ((F.floor(ts_seconds(F.col("ts"))).cast("long") % 1000)
+              .cast("double") / F.lit(16.0))
+    points = ev.select(*rec(
+        "point", seq=F.col("event_id"), ts=F.col("ts"),
+        lat=F.col("lat"), lon=F.col("lon"),
+    ))
+    chans = ev.select(*rec(
+        "channel", ts=F.col("ts"),
+        channel=F.lit("custom_metric"), value=metric,
+    ))
+    lengths = ev.filter(F.col("event_id") % 5 == 0).select(*rec(
+        "length", start_ts=F.col("ts"),
+        end_ts=F.col("ts") + F.expr("INTERVAL 30 SECONDS"),
+        attrs=F.create_map(
+            F.lit("total_elapsed_s"), F.lit("30.0"),
+            F.lit("total_strokes"), (F.col("event_id") % 40).cast("string"),
+            F.lit("swim_stroke"), (F.col("event_id") % 7).cast("string"),
+            F.lit("length_type"), F.lit("1"),
+        ),
+    ))
+    sets = ev.filter(F.col("event_id") % 7 == 0).select(*rec(
+        "set", start_ts=F.col("ts"),
+        end_ts=F.col("ts") + F.expr("INTERVAL 45 SECONDS"),
+        attrs=F.create_map(
+            F.lit("duration_s"), F.lit("45.0"),
+            F.lit("repetitions"), (F.col("event_id") % 20).cast("string"),
+            F.lit("weight_kg"),
+            ((F.col("event_id") % 160).cast("double") / F.lit(16.0)).cast("string"),
+            F.lit("set_type"), F.lit("1"),
+            F.lit("category"), (F.col("event_id") % 30).cast("string"),
+        ),
+    ))
+    recs = points.unionByName(chans).unionByName(lengths).unionByName(sets)
+    back = fit_records(fit_encode_records(recs))
+    agg = back.groupBy("activity_id").agg(
+        F.count(F.when(F.col("kind") == "point", 1)).alias("n_points"),
+        F.count(F.when((F.col("kind") == "channel")
+                       & (F.col("channel") == "custom_metric"), 1)).alias("n_channels"),
+        F.sum(F.when((F.col("kind") == "channel")
+                     & (F.col("channel") == "custom_metric"),
+                     F.col("value"))).alias("sum_metric"),
+        F.count(F.when(F.col("kind") == "length", 1)).alias("n_lengths"),
+        F.sum(F.when(F.col("kind") == "length",
+                     F.col("attrs")["total_strokes"].cast("long")))
+        .cast("long").alias("sum_strokes"),
+        F.count(F.when(F.col("kind") == "set", 1)).alias("n_sets"),
+        F.sum(F.when(F.col("kind") == "set",
+                     F.col("attrs")["repetitions"].cast("long")))
+        .cast("long").alias("sum_reps"),
+        F.sum(F.when(F.col("kind") == "set",
+                     F.col("attrs")["weight_kg"].cast("double"))).alias("sum_weight"),
+    )
+    return agg.select(
+        F.substring("activity_id", 2, 20).cast("long").alias("user_id"),
+        "n_points", "n_channels", "sum_metric", "n_lengths", "sum_strokes",
+        "n_sets", "sum_reps", "sum_weight",
+    )
+
+
+def _fit_roundtrip_sql() -> str:
+    return """
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           COUNT(*) AS n_channels,
+           SUM(CAST((epoch_us(ts) // 1000000) % 1000 AS DOUBLE)
+               / CAST(16.0 AS DOUBLE)) AS sum_metric,
+           COUNT(*) FILTER (event_id % 5 = 0) AS n_lengths,
+           CAST(SUM(event_id % 40) FILTER (event_id % 5 = 0) AS BIGINT) AS sum_strokes,
+           COUNT(*) FILTER (event_id % 7 = 0) AS n_sets,
+           CAST(SUM(event_id % 20) FILTER (event_id % 7 = 0) AS BIGINT) AS sum_reps,
+           SUM(CAST(event_id % 160 AS DOUBLE) / CAST(16.0 AS DOUBLE))
+               FILTER (event_id % 7 = 0) AS sum_weight
+    FROM events GROUP BY user_id
+    """
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1308,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_raycast_join": pip_raycast_join,
         "resample_track": resample_track,
         "hex_cells": hex_cells,
+        "fit_roundtrip_stats": fit_roundtrip_stats,
     }
 
 
@@ -1345,6 +1465,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_raycast_join": _pip_raycast_sql(),
         "resample_track": _resample_sql(),
         "hex_cells": _hex_cells_sql(),
+        "fit_roundtrip_stats": _fit_roundtrip_sql(),
         # validate_images_summary: intentionally no oracle (pixel decode is
         # not SQL-expressible) -> driver rows-only check; pytest pins it.
     }

@@ -384,21 +384,36 @@ def parse_fit(activity_id: str, payload: bytes) -> list[dict]:
             if _num(values.get(1)) is not None:
                 meta.setdefault("creator.hardware_version", str(_num(values[1])))
         elif g == 101:  # swim length (fit_parser.dart:675-699)
-            ts = _fit_ts(values.get(253))
+            # profile fields: 253 timestamp(end), 2 start, 3 elapsed (ms),
+            # 5 total_strokes, 6 avg_speed (scale 1000), 7 swim_stroke,
+            # 12 length_type (0 idle / 1 active)
             start = _fit_ts(values.get(2))
+            elapsed = _num(values.get(3))
+            ts = _fit_ts(values.get(253))
+            if ts is None and start is not None and elapsed is not None:
+                # reference falls back to start + elapsed (fit_parser.dart:682-686)
+                ts = start + pd.Timedelta(seconds=elapsed / 1000.0)
             attrs = {}
-            if _num(values.get(3)) is not None:
-                attrs["total_elapsed_s"] = repr(_num(values[3]) / 1000.0)
+            if elapsed is not None:
+                attrs["total_elapsed_s"] = repr(elapsed / 1000.0)
             if _num(values.get(5)) is not None:
                 attrs["total_strokes"] = str(_num(values[5]))
-            stroke = _scalar(values.get(12))
+            if _num(values.get(6)) is not None:
+                attrs["avg_speed_mps"] = repr(_num(values[6]) / 1000.0)
+            stroke = _scalar(values.get(7))
             if stroke is not None:
                 attrs["swim_stroke"] = str(stroke)
                 if stroke in SWIM_STROKES:
                     attrs["swim_stroke_name"] = SWIM_STROKES[stroke]
+            ltype = _scalar(values.get(12))
+            if ltype is not None:
+                attrs["length_type"] = str(ltype)
             out.append({"activity_id": activity_id, "kind": "length",
                         "start_ts": start, "end_ts": ts, "attrs": attrs or None})
         elif g == 225:  # strength set (fit_parser.dart:700-729)
+            # profile fields: 254 timestamp(end), 6 start, 0 duration (ms),
+            # 5 set_type (0 rest / 1 active), 3 repetitions,
+            # 4 weight (kg, scale 16), 7 category
             ts = _fit_ts(values.get(254, values.get(253)))
             start = _fit_ts(values.get(6))
             attrs = {}
@@ -408,6 +423,10 @@ def parse_fit(activity_id: str, payload: bytes) -> list[dict]:
                 attrs["weight_kg"] = repr(_num(values[4]) / 16.0)  # scale 16 (G4)
             if _num(values.get(0)) is not None:
                 attrs["duration_s"] = repr(_num(values[0]) / 1000.0)
+            if _num(values.get(5)) is not None:
+                attrs["set_type"] = str(_num(values[5]))
+            if _num(values.get(7)) is not None:
+                attrs["category"] = str(_num(values[7]))
             out.append({"activity_id": activity_id, "kind": "set",
                         "start_ts": start, "end_ts": ts, "attrs": attrs or None})
         elif g == 206:  # developer field description
@@ -437,6 +456,8 @@ def _decode_dev(desc, raw: bytes, endian: str):
     v = struct.unpack_from(endian + ch, raw)[0]
     if invalid is not None and v == invalid:
         return None
+    if isinstance(v, float) and v != v:
+        return None  # NaN is the float invalid sentinel (absent dev value)
     return v
 
 
@@ -466,9 +487,19 @@ def fit_records(files: DataFrame, id_col: str = "activity_id", bin_col: str = "p
 
 # ------------------------------------------------------------------ encoder
 
-def _def_record(local: int, global_num: int, fields: list[tuple[int, int, int]]) -> bytes:
-    head = bytes([0x40 | local, 0, 0]) + struct.pack("<H", global_num) + bytes([len(fields)])
+def _def_record(
+    local: int,
+    global_num: int,
+    fields: list[tuple[int, int, int]],
+    dev_fields: list[tuple[int, int, int]] | None = None,
+) -> bytes:
+    hdr = 0x40 | (0x20 if dev_fields else 0) | local
+    head = bytes([hdr, 0, 0]) + struct.pack("<H", global_num) + bytes([len(fields)])
     body = b"".join(bytes([f, s, t]) for f, s, t in fields)
+    if dev_fields:
+        body += bytes([len(dev_fields)]) + b"".join(
+            bytes([f, s, d]) for f, s, d in dev_fields
+        )
     return head + body
 
 
@@ -482,6 +513,7 @@ REC_DEF = [
     (5, 4, 0x86),    # distance uint32
     (6, 2, 0x84),    # speed uint16
     (7, 2, 0x84),    # power uint16
+    (13, 1, 0x01),   # temperature sint8
 ]
 
 LAP_DEF = [
@@ -489,20 +521,149 @@ LAP_DEF = [
     (2, 4, 0x86),    # start_time
     (7, 4, 0x86),    # total_elapsed_time ms
     (9, 4, 0x86),    # total_distance cm
+    (25, 1, 0x00),   # sport enum
 ]
 
+SESSION_DEF = [
+    (253, 4, 0x86),  # timestamp
+    (5, 1, 0x00),    # sport enum
+    (7, 4, 0x86),    # total_elapsed_time ms
+    (9, 4, 0x86),    # total_distance cm
+]
 
-def encode_fit(points: list[dict], channels_by_ts: dict, laps: list[dict]) -> bytes:
-    """points sorted by ts; channels_by_ts iso-ts -> {channel: value}."""
+LENGTH_DEF = [
+    (253, 4, 0x86),  # timestamp (end)
+    (2, 4, 0x86),    # start_time
+    (3, 4, 0x86),    # total_elapsed_time ms
+    (5, 2, 0x84),    # total_strokes
+    (6, 2, 0x84),    # avg_speed (scale 1000)
+    (7, 1, 0x00),    # swim_stroke
+    (12, 1, 0x00),   # length_type (0 idle / 1 active)
+]
+
+SET_DEF = [
+    (254, 4, 0x86),  # timestamp (set end)
+    (6, 4, 0x86),    # start_time
+    (0, 4, 0x86),    # duration ms
+    (5, 1, 0x02),    # set_type (0 rest / 1 active)
+    (3, 2, 0x84),    # repetitions
+    (4, 2, 0x84),    # weight (kg, scale 16)
+    (7, 2, 0x84),    # category
+]
+
+EVENT_DEF = [
+    (253, 4, 0x86),  # timestamp
+    (0, 1, 0x00),    # event
+    (1, 1, 0x00),    # event_type
+    (3, 4, 0x86),    # data
+]
+
+# channels with a native record-message field (everything else is re-emitted
+# as a float64 developer field, matching fit_encoder.dart:473-516)
+NATIVE_RECORD_CHANNELS = frozenset(
+    {"heart_rate", "cadence", "power", "temperature", "speed", "distance"}
+)
+
+SPORT_IDS_INV = {v: k for k, v in SPORTS.items()}
+SWIM_STROKE_IDS = {v: k for k, v in SWIM_STROKES.items()}
+
+
+def _fit_secs(ts) -> int:
+    return int(pd.Timestamp(ts).timestamp()) - FIT_EPOCH_UNIX
+
+
+def _attr_num(attrs: dict | None, key: str):
+    if not attrs or key not in attrs or attrs[key] is None:
+        return None
+    try:
+        return float(attrs[key])
+    except (TypeError, ValueError):
+        return None
+
+
+def encode_fit(
+    points: list[dict],
+    channels_by_ts: dict,
+    laps: list[dict],
+    lengths: list[dict] | None = None,
+    sets: list[dict] | None = None,
+    events: list[dict] | None = None,
+    meta: dict | None = None,
+) -> bytes:
+    """Full-profile FIT encode (fit_encoder.dart message sequence):
+    file_id -> session (sport + summary) -> field_description/developer_data
+    (206/207) for non-native channels -> records (with float64 developer
+    fields) -> laps -> lengths (swim, 101) -> sets (strength, 225) ->
+    events (21). Absent values encode as FIT invalid sentinels (NaN for
+    float64 developer fields) so they round-trip as null.
+
+    points sorted by ts; channels_by_ts iso-ts -> {channel: value};
+    lengths/sets are dicts with start_ts/end_ts/attrs; events are
+    {ts, value} (event id); meta is the string attr map (sport,
+    session.total_*, device.*)."""
     from activity_files_spark.sources.gpx import _ts_key
 
-    body = bytearray()
-    body += _def_record(0, 0, [(0, 1, 0x00), (1, 2, 0x84)])  # file_id: type, manufacturer
-    body += bytes([0x00, 4, 0xFF, 0xFF])  # type=4 (activity), manufacturer invalid
+    lengths = lengths or []
+    sets = sets or []
+    events = events or []
+    meta = meta or {}
 
-    body += _def_record(1, 20, REC_DEF)
+    # developer channels: every channel without a native record field,
+    # in deterministic name order (write-back per fit_encoder.dart:477-516)
+    dev_channels = sorted(
+        {c for ch in channels_by_ts.values() for c in ch} - NATIVE_RECORD_CHANNELS
+    )
+
+    def _meta_uint(key, invalid):
+        try:
+            v = int(float(meta[key]))
+            return v if 0 <= v < invalid else invalid
+        except (KeyError, TypeError, ValueError):
+            return invalid
+
+    body = bytearray()
+    # file_id: type, manufacturer, product
+    body += _def_record(0, 0, [(0, 1, 0x00), (1, 2, 0x84), (2, 2, 0x84)])
+    body += bytes([0x00, 4]) + struct.pack(
+        "<HH",
+        _meta_uint("device.manufacturer", 0xFFFF),
+        _meta_uint("device.product", 0xFFFF),
+    )
+
+    # session: sport + activity summary (fit_encoder.dart:144-248)
+    sport_id = SPORT_IDS_INV.get(meta.get("sport"), 0xFF)
+    sess_dist = _attr_num(meta, "session.total_distance_m")
+    sess_elapsed = _attr_num(meta, "session.total_elapsed_s")
+    if sport_id != 0xFF or sess_dist is not None or sess_elapsed is not None:
+        body += _def_record(8, 18, SESSION_DEF)
+        sess_ts = _fit_secs(points[0]["ts"]) if points else 0xFFFFFFFF
+        body += bytes([0x08]) + struct.pack(
+            "<IBII",
+            sess_ts,
+            sport_id,
+            int(round(sess_elapsed * 1000.0)) if sess_elapsed is not None else 0xFFFFFFFF,
+            int(round(sess_dist * 100.0)) if sess_dist is not None else 0xFFFFFFFF,
+        )
+
+    # developer-field descriptions must precede the record definition that
+    # references them (fit_encoder.dart:479-516)
+    if dev_channels:
+        body += _def_record(6, 207, [(3, 1, 0x02)])  # developer_data_id
+        body += bytes([0x06, 0])  # developer_data_index 0
+        for i, name in enumerate(dev_channels):
+            nb = name.encode("utf-8")[:63]  # G18: 63-byte cap, NUL-terminated
+            body += _def_record(
+                7, 206,
+                [(0, 1, 0x02), (1, 1, 0x02), (2, 1, 0x02), (3, len(nb) + 1, 0x07)],
+            )
+            body += bytes([0x07, 0, i, 0x89]) + nb + b"\x00"
+
+    body += _def_record(
+        1, 20, REC_DEF,
+        dev_fields=[(i, 8, 0) for i in range(len(dev_channels))],
+    )
     for p in points:
-        ts_raw = int(pd.Timestamp(p["ts"]).timestamp()) - FIT_EPOCH_UNIX
+        ts_raw = _fit_secs(p["ts"])
         ch = channels_by_ts.get(_ts_key(p["ts"])) or {}
         lat = p.get("lat")
         lon = p.get("lon")
@@ -517,19 +678,78 @@ def encode_fit(points: list[dict], channels_by_ts: dict, laps: list[dict]) -> by
         dist = int(round(ch["distance"] * 100.0)) if "distance" in ch else 0xFFFFFFFF
         speed = int(round(ch["speed"] * 1000.0)) if "speed" in ch else 0xFFFF
         power = int(round(ch["power"])) if "power" in ch else 0xFFFF
+        temp = int(round(ch["temperature"])) if "temperature" in ch else 0x7F
         body += bytes([0x01]) + struct.pack(
-            "<IiiHBBIHH", ts_raw, lat_semi, lon_semi, alt_raw, hr, cad, dist, speed, power
+            "<IiiHBBIHHb", ts_raw, lat_semi, lon_semi, alt_raw, hr, cad,
+            dist, speed, power, temp,
         )
+        for name in dev_channels:
+            v = ch.get(name)
+            body += struct.pack("<d", float(v) if v is not None else float("nan"))
 
     if laps:
         body += _def_record(2, 19, LAP_DEF)
         for lap in laps:
-            s = int(pd.Timestamp(lap["start_ts"]).timestamp()) - FIT_EPOCH_UNIX
-            e = int(pd.Timestamp(lap["end_ts"]).timestamp()) - FIT_EPOCH_UNIX
+            s = _fit_secs(lap["start_ts"])
+            e = _fit_secs(lap["end_ts"])
             elapsed_ms = max(0, (e - s) * 1000)
             dm = lap.get("distance_m")
             dist_cm = int(round(dm * 100.0)) if dm is not None and dm == dm else 0xFFFFFFFF
-            body += bytes([0x02]) + struct.pack("<IIII", e, s, elapsed_ms, dist_cm)
+            body += bytes([0x02]) + struct.pack(
+                "<IIIIB", e, s, elapsed_ms, dist_cm,
+                SPORT_IDS_INV.get(lap.get("sport"), 0xFF),
+            )
+
+    if lengths:
+        body += _def_record(3, 101, LENGTH_DEF)
+        for ln in lengths:
+            a = ln.get("attrs") or {}
+            elapsed = _attr_num(a, "total_elapsed_s")
+            strokes = _attr_num(a, "total_strokes")
+            avg_sp = _attr_num(a, "avg_speed_mps")
+            stroke = a.get("swim_stroke")
+            ltype = _attr_num(a, "length_type")
+            body += bytes([0x03]) + struct.pack(
+                "<IIIHHBB",
+                _fit_secs(ln["end_ts"]) if ln.get("end_ts") is not None else 0xFFFFFFFF,
+                _fit_secs(ln["start_ts"]) if ln.get("start_ts") is not None else 0xFFFFFFFF,
+                int(round(elapsed * 1000.0)) if elapsed is not None else 0xFFFFFFFF,
+                int(strokes) if strokes is not None else 0xFFFF,
+                int(round(avg_sp * 1000.0)) if avg_sp is not None else 0xFFFF,
+                int(stroke) if stroke is not None else 0xFF,
+                int(ltype) if ltype is not None else 0xFF,
+            )
+
+    if sets:
+        body += _def_record(4, 225, SET_DEF)
+        for st in sets:
+            a = st.get("attrs") or {}
+            dur = _attr_num(a, "duration_s")
+            stype = _attr_num(a, "set_type")
+            reps = _attr_num(a, "repetitions")
+            wkg = _attr_num(a, "weight_kg")
+            cat = _attr_num(a, "category")
+            body += bytes([0x04]) + struct.pack(
+                "<IIIBHHH",
+                _fit_secs(st["end_ts"]) if st.get("end_ts") is not None else 0xFFFFFFFF,
+                _fit_secs(st["start_ts"]) if st.get("start_ts") is not None else 0xFFFFFFFF,
+                int(round(dur * 1000.0)) if dur is not None else 0xFFFFFFFF,
+                int(stype) if stype is not None else 0xFF,
+                int(reps) if reps is not None else 0xFFFF,
+                int(round(wkg * 16.0)) if wkg is not None else 0xFFFF,
+                int(cat) if cat is not None else 0xFFFF,
+            )
+
+    if events:
+        body += _def_record(5, 21, EVENT_DEF)
+        for ev in events:
+            body += bytes([0x05]) + struct.pack(
+                "<IBBI",
+                _fit_secs(ev["ts"]),
+                int(ev.get("value") or 0) & 0xFF,
+                0,  # event_type: start
+                0xFFFFFFFF,
+            )
 
     header = struct.pack("<BBHI4s", 14, 0x20, 2140, len(body), b".FIT")
     header += struct.pack("<H", fit_crc16(header))
@@ -537,63 +757,97 @@ def encode_fit(points: list[dict], channels_by_ts: dict, laps: list[dict]) -> by
     return blob + struct.pack("<H", fit_crc16(blob))
 
 
-def fit_encode_df(
-    points: DataFrame, channels: DataFrame | None = None, laps: DataFrame | None = None
-) -> DataFrame:
-    """Per-activity FIT payloads (same union+kernel shape as tcx_encode_df)."""
-    from pyspark.sql import functions as F
+def fit_encode_records(records: DataFrame) -> DataFrame:
+    """Unified record stream (RECORD_SCHEMA) -> per-activity FIT payloads.
 
+    Encodes the full message set: points + channels (native fields or
+    float64 developer-field write-back), laps, swim lengths (101),
+    strength sets (225), events (21), and the session/file_id metadata —
+    so decode -> encode -> decode round-trips every record kind
+    (fit_encoder.dart message sequence). One applyInPandas over
+    activity_id; each activity is an independent unit of parallelism."""
     from activity_files_spark.sources.gpx import _ts_key
-
-    p2 = (
-        points.select("activity_id", "ts", "lat", "lon", "ele")
-        .withColumn("channel", F.lit(None).cast("string"))
-        .withColumn("value", F.lit(None).cast("double"))
-        .withColumn("_kind", F.lit("p"))
-        .withColumn("start_ts", F.lit(None).cast("timestamp"))
-        .withColumn("end_ts", F.lit(None).cast("timestamp"))
-        .withColumn("distance_m", F.lit(None).cast("double"))
-    )
-    parts = [p2]
-    if channels is not None:
-        parts.append(
-            channels.select(
-                "activity_id", "ts",
-                F.lit(None).cast("double").alias("lat"),
-                F.lit(None).cast("double").alias("lon"),
-                F.lit(None).cast("double").alias("ele"),
-                "channel", "value",
-            ).withColumn("_kind", F.lit("c"))
-            .withColumn("start_ts", F.lit(None).cast("timestamp"))
-            .withColumn("end_ts", F.lit(None).cast("timestamp"))
-            .withColumn("distance_m", F.lit(None).cast("double"))
-        )
-    if laps is not None:
-        parts.append(
-            laps.select(
-                "activity_id",
-                F.lit(None).cast("timestamp").alias("ts"),
-                F.lit(None).cast("double").alias("lat"),
-                F.lit(None).cast("double").alias("lon"),
-                F.lit(None).cast("double").alias("ele"),
-                F.lit(None).cast("string").alias("channel"),
-                F.lit(None).cast("double").alias("value"),
-                F.lit("l").alias("_kind"),
-                "start_ts", "end_ts", "distance_m",
-            )
-        )
-    u = parts[0]
-    for x in parts[1:]:
-        u = u.unionByName(x)
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         aid = key[0]
-        pts = pdf[pdf["_kind"] == "p"].sort_values("ts", kind="stable").to_dict("records")
+        pts = (
+            pdf[pdf["kind"] == "point"]
+            .sort_values(["ts", "seq"], kind="stable")
+            .to_dict("records")
+        )
         chmap: dict = {}
-        for r in pdf[pdf["_kind"] == "c"].itertuples(index=False):
-            chmap.setdefault(_ts_key(r.ts), {})[r.channel] = r.value
-        lp = pdf[pdf["_kind"] == "l"].sort_values("start_ts", kind="stable").to_dict("records")
-        payload = encode_fit(pts, chmap, lp)
+        events: list[dict] = []
+        for r in pdf[pdf["kind"] == "channel"].itertuples(index=False):
+            if r.channel == "event":
+                events.append({"ts": r.ts, "value": r.value})
+            else:
+                chmap.setdefault(_ts_key(r.ts), {})[r.channel] = r.value
+        lp = (
+            pdf[pdf["kind"] == "lap"]
+            .sort_values(["lap_id", "start_ts"], kind="stable")
+            .to_dict("records")
+        )
+        lengths = (
+            pdf[pdf["kind"] == "length"]
+            .sort_values(["start_ts", "end_ts"], kind="stable")
+            .to_dict("records")
+        )
+        sets = (
+            pdf[pdf["kind"] == "set"]
+            .sort_values(["start_ts", "end_ts"], kind="stable")
+            .to_dict("records")
+        )
+        events.sort(key=lambda e: pd.Timestamp(e["ts"]))
+        meta_rows = pdf[pdf["kind"] == "meta"]
+        meta = {}
+        for r in meta_rows.itertuples(index=False):
+            if isinstance(r.attrs, dict):
+                meta.update(r.attrs)
+            if isinstance(getattr(r, "sport", None), str):
+                meta.setdefault("sport", r.sport)
+        payload = encode_fit(pts, chmap, lp, lengths=lengths, sets=sets,
+                             events=events, meta=meta)
         return pd.DataFrame([{"activity_id": aid, "payload": payload}])
 
-    return u.groupBy("activity_id").applyInPandas(kernel, "activity_id string, payload binary")
+    return records.groupBy("activity_id").applyInPandas(
+        kernel, "activity_id string, payload binary"
+    )
+
+
+def fit_encode_df(
+    points: DataFrame, channels: DataFrame | None = None, laps: DataFrame | None = None
+) -> DataFrame:
+    """Per-activity FIT payloads from split points/channels/laps tables
+    (CLI path) — normalized to the unified record stream and delegated to
+    :func:`fit_encode_records`."""
+    from pyspark.sql import functions as F
+
+    nulls = {
+        "seq": "long", "ts": "timestamp", "lat": "double", "lon": "double",
+        "ele": "double", "channel": "string", "value": "double",
+        "lap_id": "int", "start_ts": "timestamp", "end_ts": "timestamp",
+        "distance_m": "double", "sport": "string",
+    }
+
+    def widen(df: DataFrame, kind: str) -> DataFrame:
+        out = df.withColumn("kind", F.lit(kind))
+        for c, t in nulls.items():
+            if c not in out.columns:
+                out = out.withColumn(c, F.lit(None).cast(t))
+        if "attrs" not in out.columns:
+            out = out.withColumn("attrs", F.lit(None).cast("map<string,string>"))
+        return out.select(
+            "activity_id", "kind", *nulls.keys(), "attrs"
+        )
+
+    u = widen(points.select("activity_id", "ts", "lat", "lon", "ele"), "point")
+    if channels is not None:
+        u = u.unionByName(
+            widen(channels.select("activity_id", "channel", "ts", "value"), "channel")
+        )
+    if laps is not None:
+        cols = ["activity_id", "start_ts", "end_ts", "distance_m"] + (
+            ["lap_id"] if "lap_id" in laps.columns else []
+        ) + (["sport"] if "sport" in laps.columns else [])
+        u = u.unionByName(widen(laps.select(*cols), "lap"))
+    return fit_encode_records(u)

@@ -195,3 +195,156 @@ def _payload_of(body: bytes) -> bytes:
     header += struct.pack("<H", fit_crc16(header))
     blob = header + body
     return blob + struct.pack("<H", fit_crc16(blob))
+
+
+# --------------------------------------------------------- full-profile encode
+
+def _strip(recs, kinds):
+    """Comparable projection of decoded records for the given kinds."""
+    out = []
+    for r in recs:
+        if r["kind"] not in kinds:
+            continue
+        d = {k: v for k, v in r.items() if k != "activity_id"}
+        out.append(d)
+    return out
+
+
+def test_fit_swim_roundtrip_lengths():
+    """Swim fixture: length messages (101) decode -> encode -> decode equal
+    (fit_encoder.dart:675-699 / writeLength)."""
+    lengths = [
+        {"start_ts": TS0, "end_ts": datetime(2024, 3, 1, 10, 0, 30),
+         "attrs": {"total_elapsed_s": "30.0", "total_strokes": "22",
+                   "avg_speed_mps": "0.833", "swim_stroke": "0",
+                   "swim_stroke_name": "freestyle", "length_type": "1"}},
+        {"start_ts": datetime(2024, 3, 1, 10, 0, 35),
+         "end_ts": datetime(2024, 3, 1, 10, 1, 5),
+         "attrs": {"total_elapsed_s": "30.0", "total_strokes": "18",
+                   "avg_speed_mps": "0.9", "swim_stroke": "3",
+                   "swim_stroke_name": "butterfly", "length_type": "1"}},
+    ]
+    meta = {"sport": "swimming", "session.total_distance_m": "50.0",
+            "session.total_elapsed_s": "65.0"}
+    p1 = encode_fit(PTS, {}, [], lengths=lengths, meta=meta)
+    r1 = parse_fit("a", p1)
+    assert [r for r in r1 if r["kind"] == "diag"] == []
+    got1 = _strip(r1, {"length"})
+    assert len(got1) == 2
+    assert got1[0]["attrs"]["swim_stroke_name"] == "freestyle"
+    assert got1[1]["attrs"]["swim_stroke"] == "3"
+    assert got1[0]["attrs"]["length_type"] == "1"
+    meta1 = [r for r in r1 if r["kind"] == "meta"][0]
+    assert meta1["sport"] == "swimming"
+    assert meta1["attrs"]["session.total_distance_m"] == "50.0"
+    # second round trip is a fixed point
+    p2 = encode_fit(
+        [r for r in r1 if r["kind"] == "point"],
+        {}, [], lengths=[r for r in r1 if r["kind"] == "length"],
+        meta=meta1["attrs"],
+    )
+    r2 = parse_fit("a", p2)
+    assert _strip(r2, {"length"}) == got1
+    assert _strip(r2, {"point"}) == _strip(r1, {"point"})
+
+
+def test_fit_strength_roundtrip_sets():
+    """Strength fixture: set messages (225) with set_type/category
+    round-trip (fit_encoder.dart:700-729 / writeSet)."""
+    sets = [
+        {"start_ts": TS0, "end_ts": datetime(2024, 3, 1, 10, 0, 45),
+         "attrs": {"duration_s": "45.0", "repetitions": "12",
+                   "weight_kg": "52.5", "set_type": "1", "category": "7"}},
+        {"start_ts": datetime(2024, 3, 1, 10, 1, 0),
+         "end_ts": datetime(2024, 3, 1, 10, 1, 30),
+         "attrs": {"duration_s": "30.0", "set_type": "0"}},  # rest set
+    ]
+    p1 = encode_fit(PTS, {}, [], sets=sets, meta={"sport": "generic"})
+    r1 = parse_fit("a", p1)
+    assert [r for r in r1 if r["kind"] == "diag"] == []
+    got = _strip(r1, {"set"})
+    assert len(got) == 2
+    assert got[0]["attrs"]["repetitions"] == "12"
+    assert got[0]["attrs"]["weight_kg"] == "52.5"  # scale-16 exact
+    assert got[0]["attrs"]["set_type"] == "1"
+    assert got[0]["attrs"]["category"] == "7"
+    assert got[1]["attrs"]["set_type"] == "0"
+    assert "repetitions" not in (got[1]["attrs"] or {})
+    p2 = encode_fit([r for r in r1 if r["kind"] == "point"], {}, [],
+                    sets=[r for r in r1 if r["kind"] == "set"])
+    assert _strip(parse_fit("a", p2), {"set"}) == got
+
+
+def test_fit_developer_field_writeback():
+    """Channels without a native record field re-emit as float64 developer
+    fields (206/207 descriptions precede the record definition), and decode
+    back bit-exact (fit_encoder.dart:473-516)."""
+    from activity_files_spark.sources.gpx import _ts_key
+
+    ch = {
+        _ts_key(PTS[0]["ts"]): {"water_temperature": 18.25, "heart_rate": 120.0},
+        _ts_key(PTS[1]["ts"]): {"water_temperature": 18.5},
+        # PTS[2]: absent -> NaN sentinel -> no channel row
+    }
+    p = encode_fit(PTS, ch, [])
+    recs = parse_fit("a", p)
+    assert [r for r in recs if r["kind"] == "diag"] == []
+    wt = [(r["ts"], r["value"]) for r in recs
+          if r["kind"] == "channel" and r["channel"] == "water_temperature"]
+    assert wt == [(pd_ts(PTS[0]["ts"]), 18.25), (pd_ts(PTS[1]["ts"]), 18.5)]
+    hr = [r["value"] for r in recs
+          if r["kind"] == "channel" and r["channel"] == "heart_rate"]
+    assert hr == [120.0]
+
+
+def pd_ts(dt):
+    import pandas as pd
+    return pd.Timestamp(dt)
+
+
+def test_fit_event_roundtrip():
+    """Event messages (21) re-emit from event channel rows."""
+    events = [{"ts": PTS[0]["ts"], "value": 0.0}, {"ts": PTS[2]["ts"], "value": 4.0}]
+    p = encode_fit(PTS, {}, [], events=events)
+    recs = parse_fit("a", p)
+    got = [(r["ts"], r["value"]) for r in recs
+           if r["kind"] == "channel" and r["channel"] == "event"]
+    assert got == [(pd_ts(PTS[0]["ts"]), 0.0), (pd_ts(PTS[2]["ts"]), 4.0)]
+
+
+def test_fit_encode_records_full_stream(spark):
+    """fit_encode_records: unified record stream -> FIT -> identical
+    points/channels/lengths/sets/laps through the Spark kernels."""
+    from activity_files_spark.sources.fit import fit_encode_records
+    from activity_files_spark.sources.records import records_frame, RECORD_SCHEMA
+
+    rows = parse_fit("act_x", encode_fit(
+        PTS, mk_channels(),
+        [{"start_ts": PTS[0]["ts"], "end_ts": PTS[-1]["ts"],
+          "distance_m": 140.0, "sport": "running"}],
+        lengths=[{"start_ts": TS0, "end_ts": datetime(2024, 3, 1, 10, 0, 30),
+                  "attrs": {"total_elapsed_s": "30.0", "total_strokes": "22",
+                            "swim_stroke": "1", "length_type": "1"}}],
+        sets=[{"start_ts": TS0, "end_ts": datetime(2024, 3, 1, 10, 0, 45),
+               "attrs": {"duration_s": "45.0", "repetitions": "10",
+                         "weight_kg": "20.0", "set_type": "1", "category": "3"}}],
+        events=[{"ts": PTS[1]["ts"], "value": 4.0}],
+        meta={"sport": "running"},
+    ))
+    rec_df = spark.createDataFrame(records_frame(rows), RECORD_SCHEMA)
+    payloads = fit_encode_records(rec_df)
+    back = fit_records(payloads)
+    b = [r.asDict(recursive=True) for r in back.collect()]
+    for kind, n in [("point", 3), ("lap", 1), ("length", 1), ("set", 1)]:
+        assert sum(1 for r in b if r["kind"] == kind) == n, kind
+    evs = [r for r in b if r["kind"] == "channel" and r["channel"] == "event"]
+    assert len(evs) == 1 and evs[0]["value"] == 4.0
+    hr = sorted(r["value"] for r in b if r["kind"] == "channel" and r["channel"] == "heart_rate")
+    assert hr == [140.0, 142.0, 145.0]
+    ln = [r for r in b if r["kind"] == "length"][0]
+    assert ln["attrs"]["swim_stroke_name"] == "backstroke"
+    st = [r for r in b if r["kind"] == "set"][0]
+    assert st["attrs"]["weight_kg"] == "20.0" and st["attrs"]["category"] == "3"
+    meta = [r for r in b if r["kind"] == "meta"][0]
+    assert meta["sport"] == "running"
+    assert [r for r in b if r["kind"] == "diag"] == []
