@@ -26,6 +26,7 @@ the Spark boundary is Arrow batches of flat records.
 from __future__ import annotations
 
 import io
+import json
 import math
 import xml.etree.ElementTree as ET
 from datetime import datetime, timezone
@@ -53,6 +54,41 @@ TPX_CHANNELS = {
 
 def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1].lower()
+
+
+def _split_tag(tag: str) -> tuple[str | None, str]:
+    """ElementTree '{uri}local' -> (uri, local); prefixes are not
+    recoverable from ET, so the namespace URI is what round-trips
+    (models.dart:978-1026 keeps prefix+uri; URI is the semantic part)."""
+    if tag.startswith("{"):
+        uri, local = tag[1:].split("}", 1)
+        return uri, local
+    return None, tag
+
+
+def _ext_node(el) -> dict:
+    """One extension element -> JSON-able node (gpx_parser.dart:570-596):
+    name, namespace uri, attributes, trimmed text, children (recursive)."""
+    ns, local = _split_tag(el.tag)
+    d: dict = {"name": local}
+    if ns:
+        d["ns"] = ns
+    attrs = {_split_tag(k)[1]: v for k, v in el.attrib.items()}
+    if attrs:
+        d["attrs"] = attrs
+    txt = (el.text or "").strip()
+    if txt:
+        d["value"] = txt
+    kids = [_ext_node(c) for c in el]
+    if kids:
+        d["children"] = kids
+    return d
+
+
+def _ext_tree_json(nodes: list) -> str | None:
+    """Serialize preserved extension subtrees to a JSON attr value."""
+    trees = [_ext_node(n) for n in nodes]
+    return json.dumps(trees, separators=(",", ":"), sort_keys=True) if trees else None
 
 
 def _parse_time(s: str | None):
@@ -90,6 +126,7 @@ def parse_gpx(activity_id: str, xml: str) -> list[dict]:
     seq = 0
     lap_id = 0
     wseq = 0
+    route_id = 0
     for el in root:
         tag = _local(el.tag)
         if tag == "metadata":
@@ -97,17 +134,55 @@ def parse_gpx(activity_id: str, xml: str) -> list[dict]:
                 ctag = _local(child.tag)
                 if ctag in ("name", "desc", "time") and child.text:
                     meta[f"metadata.{ctag}"] = child.text.strip()
+                elif ctag == "extensions":
+                    j = _ext_tree_json(list(child))
+                    if j:
+                        meta["metadata.extensions_json"] = j
         elif tag == "wpt":
             rec = _point_record(activity_id, el, wseq, kind="waypoint")
             if rec:
                 out.append(rec)
                 wseq += 1
+        elif tag == "rte":
+            # routes are planned geometry, preserved as structured data with
+            # their name/metadata rather than folded into the track
+            # (gpx_parser.dart:364-403)
+            rmeta: dict[str, str] = {}
+            rseq = 0
+            for child in el:
+                ctag = _local(child.tag)
+                if ctag == "rtept":
+                    rec = _point_record(activity_id, child, rseq, kind="route_point")
+                    if rec is None:
+                        out.append(
+                            {"activity_id": activity_id, "kind": "diag",
+                             "attrs": {"code": "parse.gpx.bad_route_point",
+                                       "severity": "warning",
+                                       "message": f"rte #{route_id} rtept #{rseq}"}}
+                        )
+                        continue
+                    rec["lap_id"] = route_id
+                    out.append(rec)
+                    rseq += 1
+                elif ctag == "extensions":
+                    j = _ext_tree_json(list(child))
+                    if j:
+                        rmeta["extensions_json"] = j
+                elif child.text and child.text.strip():
+                    rmeta[ctag] = child.text.strip()
+            out.append({"activity_id": activity_id, "kind": "route",
+                        "lap_id": route_id, "attrs": rmeta or None})
+            route_id += 1
         elif tag == "trk":
             trk_meta = {}
             for child in el:
                 ctag = _local(child.tag)
                 if ctag in ("name", "type", "desc") and child.text:
                     trk_meta[ctag] = child.text.strip()
+                if ctag == "extensions":
+                    j = _ext_tree_json(list(child))
+                    if j:
+                        trk_meta["extensions_json"] = j
                 if ctag == "trkseg":
                     seg_pts = []
                     for pt in child:
@@ -122,8 +197,12 @@ def parse_gpx(activity_id: str, xml: str) -> list[dict]:
                                            "message": f"trkpt #{seq} unparseable"}}
                             )
                             continue
+                        chan_recs, leftover = _channel_records(activity_id, pt, rec["ts"])
+                        if leftover:
+                            rec["attrs"] = dict(rec["attrs"] or {})
+                            rec["attrs"]["extensions_json"] = leftover
                         out.append(rec)
-                        out.extend(_channel_records(activity_id, pt, rec["ts"]))
+                        out.extend(chan_recs)
                         seg_pts.append(rec)
                         seq += 1
                     if seg_pts:
@@ -173,32 +252,59 @@ def _point_record(activity_id: str, el, seq: int, kind: str) -> dict | None:
     }
 
 
-def _channel_records(activity_id: str, pt, ts) -> list[dict]:
-    recs = []
-    if ts is None:
-        return recs
+def _channel_records(activity_id: str, pt, ts) -> tuple[list[dict], str | None]:
+    """Extension children of a trkpt -> (channel records, leftover JSON).
+
+    TrackPointExtension subtrees and simple numeric tags are *consumed* as
+    channels (gpx_parser.dart:34-46, 283-289); everything else (vendor
+    subtrees, non-numeric values) is preserved losslessly as a serialized
+    extension tree so encode can re-emit it (gpx_parser.dart:561-596)."""
+    recs: list[dict] = []
+    leftover_nodes: list = []
     for ext in pt:
         if _local(ext.tag) != "extensions":
             continue
-        for node in ext.iter():
-            tag = _local(node.tag)
-            if tag in ("extensions", "trackpointextension"):
-                continue
-            if node.text is None:
-                continue
-            txt = node.text.strip()
-            if not txt:
-                continue
-            try:
-                val = float(txt)
-            except ValueError:
-                continue
-            channel = TPX_CHANNELS.get(tag, tag)  # custom channels keep tag name
-            recs.append(
-                {"activity_id": activity_id, "kind": "channel",
-                 "channel": channel, "ts": ts, "value": val}
-            )
-    return recs
+        for child in ext:
+            ctag = _local(child.tag)
+            if ctag == "trackpointextension":
+                for node in child.iter():
+                    tag = _local(node.tag)
+                    if tag == "trackpointextension":
+                        continue
+                    val = _num_text(node)
+                    if ts is not None and val is not None:
+                        recs.append(
+                            {"activity_id": activity_id, "kind": "channel",
+                             "channel": TPX_CHANNELS.get(tag, tag), "ts": ts,
+                             "value": val}
+                        )
+                    elif not len(node):
+                        # unconsumed TPX leaf survives in the preserved tree
+                        leftover_nodes.append(node)
+            else:
+                val = _num_text(child) if not len(child) else None
+                if ts is not None and val is not None:
+                    # unknown numeric extension tag -> custom channel
+                    recs.append(
+                        {"activity_id": activity_id, "kind": "channel",
+                         "channel": TPX_CHANNELS.get(ctag, ctag), "ts": ts,
+                         "value": val}
+                    )
+                else:
+                    leftover_nodes.append(child)
+    return recs, _ext_tree_json(leftover_nodes)
+
+
+def _num_text(node) -> float | None:
+    if node.text is None:
+        return None
+    txt = node.text.strip()
+    if not txt:
+        return None
+    try:
+        return float(txt)
+    except ValueError:
+        return None
 
 
 def gpx_records(files: DataFrame, id_col: str = "activity_id", xml_col: str = "xml") -> DataFrame:
@@ -233,26 +339,66 @@ GPX_NAMESPACES = {
 }
 
 
+def _ext_xml(node: dict, pad: str, parent_ns: str | None) -> str:
+    """Re-serialize one preserved extension node (inverse of _ext_node).
+
+    Namespace URIs re-emit as default xmlns declarations whenever the node's
+    namespace differs from its parent's (including xmlns="" to escape an
+    inherited default) — prefix spelling is not preserved, the URI is."""
+    name = node["name"]
+    ns = node.get("ns")
+    nsattr = ""
+    if ns != parent_ns:
+        nsattr = f' xmlns="{_xml_escape(ns or "")}"'
+    attrs = "".join(
+        f' {k}="{_xml_escape(str(v))}"' for k, v in sorted((node.get("attrs") or {}).items())
+    )
+    kids = node.get("children") or []
+    val = node.get("value")
+    if not kids and val is None:
+        return f"{pad}<{name}{nsattr}{attrs}/>\n"
+    s = f"{pad}<{name}{nsattr}{attrs}>"
+    if val is not None:
+        s += _xml_escape(str(val))
+    if kids:
+        s += "\n" + "".join(_ext_xml(k, pad + "  ", ns) for k in kids) + pad
+    return s + f"</{name}>\n"
+
+
+def _ext_json_xml(ext_json: str | None, pad: str, parent_ns: str | None) -> str:
+    if not ext_json:
+        return ""
+    try:
+        nodes = json.loads(ext_json)
+    except (ValueError, TypeError):
+        return ""
+    return "".join(_ext_xml(n, pad, parent_ns) for n in nodes)
+
+
 def encode_gpx(
     points: list[dict],
     channels: dict[tuple, dict[str, float]],
     meta: dict | None = None,
     waypoints: list[dict] | None = None,
+    routes: list[dict] | None = None,
     version: str = "1.1",
     coord_dp: int = 6,
     ele_dp: int = 2,
 ) -> str:
-    """points: sorted dicts(seq, ts, lat, lon, ele); channels keyed by ts ->
-    {channel: value} (exact-ts association, encoder_utils.dart:9-19).
+    """points: sorted dicts(seq, ts, lat, lon, ele, attrs); channels keyed by
+    ts -> {channel: value} (exact-ts association, encoder_utils.dart:9-19).
 
     Options mirror the reference encoder options (encoder_options.dart:11-42):
     GPX 1.0/1.1 dialect, coordinate precision (default 6 dp), elevation
-    precision (default 2 dp); waypoints are written before the track
-    (gpx_encoder.dart wpt/rte/trk ordering)."""
+    precision (default 2 dp); document order is wpt, rte, trk per the GPX
+    schema (gpx_encoder.dart). routes: [{attrs: {name, ...meta,
+    extensions_json}, points: [point dicts]}] (gpx_parser.dart:364-403).
+    Preserved extension trees (``extensions_json`` attrs on points, routes,
+    trk./metadata. meta keys) are re-serialized losslessly."""
     meta = meta or {}
+    gpx_ns = GPX_NAMESPACES.get(version, GPX_NAMESPACES["1.1"])
     buf = io.StringIO()
     buf.write('<?xml version="1.0" encoding="UTF-8"?>\n')
-    ns = GPX_NAMESPACES.get(version, GPX_NAMESPACES["1.1"])
     tpx_ns = (
         ' xmlns:gpxtpx="http://www.garmin.com/xmlschemas/TrackPointExtension/v1"'
         if version == "1.1"
@@ -260,28 +406,57 @@ def encode_gpx(
     )
     buf.write(
         '<gpx version="{}" creator="{}" xmlns="{}"{}>\n'.format(
-            version, meta.get("creator", "activity_files_spark"), ns, tpx_ns
+            version, meta.get("creator", "activity_files_spark"), gpx_ns, tpx_ns
         )
     )
+    if meta.get("metadata.extensions_json"):
+        buf.write("  <metadata>\n    <extensions>\n")
+        buf.write(_ext_json_xml(meta["metadata.extensions_json"], "      ", gpx_ns))
+        buf.write("    </extensions>\n  </metadata>\n")
     for wp in waypoints or []:
         buf.write(
             f'  <wpt lat="{wp["lat"]:.{coord_dp}f}" lon="{wp["lon"]:.{coord_dp}f}">\n'
         )
         if wp.get("ele") is not None and wp["ele"] == wp["ele"]:
             buf.write(f"    <ele>{wp['ele']:.{ele_dp}f}</ele>\n")
-        if wp.get("ts") is not None:
+        if _has_ts(wp.get("ts")):
             buf.write(f"    <time>{_iso(wp['ts'])}</time>\n")
         for k in ("name", "desc", "sym"):
             v = (wp.get("attrs") or {}).get(k)
             if v:
                 buf.write(f"    <{k}>{_xml_escape(v)}</{k}>\n")
         buf.write("  </wpt>\n")
+    for rt in routes or []:
+        rmeta = dict(rt.get("attrs") or {})
+        buf.write("  <rte>\n")
+        for k in sorted(rmeta):
+            if k == "extensions_json":
+                continue
+            buf.write(f"    <{k}>{_xml_escape(rmeta[k])}</{k}>\n")
+        if rmeta.get("extensions_json"):
+            buf.write("    <extensions>\n")
+            buf.write(_ext_json_xml(rmeta["extensions_json"], "      ", gpx_ns))
+            buf.write("    </extensions>\n")
+        for p in rt.get("points") or []:
+            buf.write(
+                f'    <rtept lat="{p["lat"]:.{coord_dp}f}" lon="{p["lon"]:.{coord_dp}f}">\n'
+            )
+            if p.get("ele") is not None and p["ele"] == p["ele"]:
+                buf.write(f"      <ele>{p['ele']:.{ele_dp}f}</ele>\n")
+            if _has_ts(p.get("ts")):
+                buf.write(f"      <time>{_iso(p['ts'])}</time>\n")
+            buf.write("    </rtept>\n")
+        buf.write("  </rte>\n")
     name = meta.get("metadata.name") or meta.get("trk.name")
     buf.write("  <trk>\n")
     if name:
         buf.write(f"    <name>{_xml_escape(name)}</name>\n")
     if meta.get("trk.type"):
         buf.write(f"    <type>{_xml_escape(meta['trk.type'])}</type>\n")
+    if meta.get("trk.extensions_json"):
+        buf.write("    <extensions>\n")
+        buf.write(_ext_json_xml(meta["trk.extensions_json"], "      ", gpx_ns))
+        buf.write("    </extensions>\n")
     buf.write("    <trkseg>\n")
     for p in points:
         lat = f"{p['lat']:.{coord_dp}f}"
@@ -291,21 +466,30 @@ def encode_gpx(
             isinstance(p["ele"], float) and math.isnan(p["ele"])
         ):
             buf.write(f"        <ele>{p['ele']:.{ele_dp}f}</ele>\n")
-        if p.get("ts") is not None:
+        if _has_ts(p.get("ts")):
             buf.write(f"        <time>{_iso(p['ts'])}</time>\n")
         ch = channels.get(_ts_key(p.get("ts"))) if version == "1.1" else None
-        if ch:
-            buf.write("        <extensions>\n          <gpxtpx:TrackPointExtension>\n")
-            for cname in sorted(ch):
-                tag = _CHANNEL_TO_TPX.get(cname, cname)
-                v = ch[cname]
-                sval = f"{int(round(v))}" if cname in ("heart_rate", "cadence", "power") else f"{v:g}"
-                buf.write(f"            <gpxtpx:{tag}>{sval}</gpxtpx:{tag}>\n")
-            buf.write("          </gpxtpx:TrackPointExtension>\n        </extensions>\n")
+        p_ext = (p.get("attrs") or {}).get("extensions_json")
+        if ch or p_ext:
+            buf.write("        <extensions>\n")
+            if ch:
+                buf.write("          <gpxtpx:TrackPointExtension>\n")
+                for cname in sorted(ch):
+                    tag = _CHANNEL_TO_TPX.get(cname, cname)
+                    v = ch[cname]
+                    sval = f"{int(round(v))}" if cname in ("heart_rate", "cadence", "power") else f"{v:g}"
+                    buf.write(f"            <gpxtpx:{tag}>{sval}</gpxtpx:{tag}>\n")
+                buf.write("          </gpxtpx:TrackPointExtension>\n")
+            buf.write(_ext_json_xml(p_ext, "          ", gpx_ns))
+            buf.write("        </extensions>\n")
         buf.write("      </trkpt>\n")
     buf.write("    </trkseg>\n  </trk>\n</gpx>\n")
     return buf.getvalue()
 
+
+
+def _has_ts(v) -> bool:
+    return v is not None and not pd.isna(v)
 
 def _ts_key(ts):
     return None if ts is None else pd.Timestamp(ts).isoformat()
@@ -365,3 +549,44 @@ def gpx_encode_df(points: DataFrame, channels: DataFrame | None = None) -> DataF
         return pd.DataFrame([{"activity_id": aid, "xml": xml}])
 
     return u.groupBy("activity_id").applyInPandas(kernel, "activity_id string, xml string")
+
+
+def gpx_encode_records(records: DataFrame, version: str = "1.1") -> DataFrame:
+    """Unified record stream (RECORD_SCHEMA) -> per-activity GPX documents,
+    including waypoints, routes (kind=route/route_point, gpx_parser.dart:
+    364-403), preserved extension trees, and trk/metadata fields — the
+    lossless round-trip path."""
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        aid = key[0]
+        pts = (
+            pdf[pdf["kind"] == "point"]
+            .sort_values(["ts", "seq"], kind="stable")
+            .to_dict("records")
+        )
+        chmap: dict = {}
+        for r in pdf[pdf["kind"] == "channel"].itertuples(index=False):
+            chmap.setdefault(_ts_key(r.ts), {})[r.channel] = r.value
+        wps = (
+            pdf[pdf["kind"] == "waypoint"].sort_values("seq", kind="stable").to_dict("records")
+        )
+        routes = []
+        route_hdrs = pdf[pdf["kind"] == "route"].sort_values("lap_id", kind="stable")
+        rpts = pdf[pdf["kind"] == "route_point"]
+        for r in route_hdrs.itertuples(index=False):
+            routes.append({
+                "attrs": r.attrs if isinstance(r.attrs, dict) else None,
+                "points": rpts[rpts["lap_id"] == r.lap_id]
+                .sort_values("seq", kind="stable").to_dict("records"),
+            })
+        meta: dict = {}
+        for r in pdf[pdf["kind"] == "meta"].itertuples(index=False):
+            if isinstance(r.attrs, dict):
+                meta.update(r.attrs)
+        xml = encode_gpx(pts, chmap, meta=meta, waypoints=wps, routes=routes,
+                         version=version)
+        return pd.DataFrame([{"activity_id": aid, "xml": xml}])
+
+    return records.groupBy("activity_id").applyInPandas(
+        kernel, "activity_id string, xml string"
+    )

@@ -7,13 +7,19 @@ the Spark boundary. Splitting the stream into points/channels/laps tables
 is then a plain filter (cache the records DF when extracting several).
 
 kinds:
-  point    -> seq, ts, lat, lon, ele, attrs
-  channel  -> channel, ts, value
-  lap      -> lap_id, start_ts, end_ts, distance_m, sport, stats(json attrs)
-  waypoint -> seq, ts, lat, lon, ele, attrs(name/desc/sym)
-  meta     -> attrs (string key/value metadata, incl. sport/device/creator)
-  diag     -> attrs{code, severity, message} (parsers never throw on
-              malformed data — reference parse_result.dart:69-100)
+  point       -> seq, ts, lat, lon, ele, attrs (attrs may carry a preserved
+                 extensions_json tree for lossless GPX round-trips)
+  channel     -> channel, ts, value
+  lap         -> lap_id, start_ts, end_ts, distance_m, sport, stats(json attrs)
+  waypoint    -> seq, ts, lat, lon, ele, attrs(name/desc/sym)
+  route       -> lap_id (route index), attrs(name/desc/extensions_json) —
+                 GPX <rte> planned geometry (gpx_parser.dart:364-403)
+  route_point -> lap_id (route index), seq, ts, lat, lon, ele, attrs
+  length      -> start_ts, end_ts, attrs (swim lengths, FIT msg 101)
+  set         -> start_ts, end_ts, attrs (strength sets, FIT msg 225)
+  meta        -> attrs (string key/value metadata, incl. sport/device/creator)
+  diag        -> attrs{code, severity, message} (parsers never throw on
+                 malformed data — reference parse_result.dart:69-100)
 """
 
 from __future__ import annotations
@@ -73,6 +79,19 @@ def laps_of(records: DataFrame) -> DataFrame:
 def waypoints_of(records: DataFrame) -> DataFrame:
     return records.filter(F.col("kind") == "waypoint").select(
         "activity_id", "seq", "ts", "lat", "lon", "ele", "attrs"
+    )
+
+
+def routes_of(records: DataFrame) -> DataFrame:
+    return records.filter(F.col("kind") == "route").select(
+        "activity_id", F.col("lap_id").alias("route_id"), "attrs"
+    )
+
+
+def route_points_of(records: DataFrame) -> DataFrame:
+    return records.filter(F.col("kind") == "route_point").select(
+        "activity_id", F.col("lap_id").alias("route_id"), "seq", "ts",
+        "lat", "lon", "ele", "attrs"
     )
 
 

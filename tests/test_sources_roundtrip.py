@@ -296,3 +296,127 @@ def test_geojson_points_variant_roundtrip(spark):
     ).cache()
     check_points(points_of(rec2).collect())
     check_channels(channels_of(rec2).collect())
+
+
+GPX_ROUTE_EXT = """<?xml version="1.0" encoding="UTF-8"?>
+<gpx version="1.1" creator="vendor-app" xmlns="http://www.topografix.com/GPX/1/1"
+     xmlns:gpxtpx="http://www.garmin.com/xmlschemas/TrackPointExtension/v1"
+     xmlns:vnd="http://example.com/vendor/v2">
+  <metadata>
+    <extensions>
+      <vnd:source device="sim-7"><vnd:firmware>2.1</vnd:firmware></vnd:source>
+    </extensions>
+  </metadata>
+  <rte>
+    <name>Morning commute</name>
+    <desc>planned</desc>
+    <rtept lat="40.0" lon="-105.0"><ele>1600.0</ele></rtept>
+    <rtept lat="40.1" lon="-105.1"><ele>1610.5</ele></rtept>
+    <rtept lat="40.2" lon="-105.2"/>
+  </rte>
+  <trk>
+    <name>actual</name>
+    <type>running</type>
+    <trkseg>
+      <trkpt lat="40.0" lon="-105.0">
+        <ele>1600.0</ele><time>2024-03-01T10:00:00Z</time>
+        <extensions>
+          <gpxtpx:TrackPointExtension>
+            <gpxtpx:hr>140</gpxtpx:hr>
+          </gpxtpx:TrackPointExtension>
+          <vnd:telemetry mode="live"><vnd:battery>87</vnd:battery><vnd:status>ok</vnd:status></vnd:telemetry>
+        </extensions>
+      </trkpt>
+      <trkpt lat="40.0005" lon="-105.0005">
+        <ele>1601.0</ele><time>2024-03-01T10:00:10Z</time>
+      </trkpt>
+    </trkseg>
+  </trk>
+</gpx>
+"""
+
+
+def test_gpx_route_parsed():
+    """<rte> routes parse as structured route/route_point records
+    (gpx_parser.dart:364-403), not folded into the track."""
+    recs = parse_gpx("r1", GPX_ROUTE_EXT)
+    assert [r for r in recs if r["kind"] == "diag"] == []
+    routes = [r for r in recs if r["kind"] == "route"]
+    rpts = [r for r in recs if r["kind"] == "route_point"]
+    assert len(routes) == 1
+    assert routes[0]["attrs"]["name"] == "Morning commute"
+    assert routes[0]["attrs"]["desc"] == "planned"
+    assert [(p["seq"], p["lat"], p["ele"]) for p in rpts] == [
+        (0, 40.0, 1600.0), (1, 40.1, 1610.5), (2, 40.2, None)]
+    # track still parses independently of the route
+    assert sum(1 for r in recs if r["kind"] == "point") == 2
+
+
+def test_gpx_extension_tree_preserved_roundtrip():
+    """Vendor extension subtrees (metadata-level and trkpt-level) survive
+    parse -> encode -> parse losslessly, with namespace URIs and attributes
+    intact (gpx_parser.dart:561-596, models.dart:978-1026). Routes survive
+    the same round trip."""
+    import json
+    from activity_files_spark.sources.gpx import encode_gpx
+
+    r1 = parse_gpx("r1", GPX_ROUTE_EXT)
+    meta1 = [r for r in r1 if r["kind"] == "meta"][0]["attrs"]
+    # vendor tree captured on the first point
+    p0 = [r for r in r1 if r["kind"] == "point"][0]
+    tree = json.loads(p0["attrs"]["extensions_json"])
+    assert tree == [{
+        "name": "telemetry", "ns": "http://example.com/vendor/v2",
+        "attrs": {"mode": "live"},
+        "children": [
+            {"name": "battery", "ns": "http://example.com/vendor/v2", "value": "87"},
+            {"name": "status", "ns": "http://example.com/vendor/v2", "value": "ok"},
+        ]}]
+    assert "metadata.extensions_json" in meta1
+    # hr consumed as a channel, not duplicated into the preserved tree
+    assert [r["value"] for r in r1 if r["kind"] == "channel"] == [140.0]
+
+    # encode the full stream back and re-parse: fixed point
+    chmap = {}
+    from activity_files_spark.sources.gpx import _ts_key
+    for r in r1:
+        if r["kind"] == "channel":
+            chmap.setdefault(_ts_key(r["ts"]), {})[r["channel"]] = r["value"]
+    routes = [{
+        "attrs": [r for r in r1 if r["kind"] == "route"][0]["attrs"],
+        "points": [r for r in r1 if r["kind"] == "route_point"],
+    }]
+    xml2 = encode_gpx(
+        [r for r in r1 if r["kind"] == "point"], chmap, meta=meta1,
+        waypoints=[], routes=routes,
+    )
+    r2 = parse_gpx("r1", xml2)
+    assert [r for r in r2 if r["kind"] == "diag"] == []
+    p0b = [r for r in r2 if r["kind"] == "point"][0]
+    assert json.loads(p0b["attrs"]["extensions_json"]) == tree
+    meta2 = [r for r in r2 if r["kind"] == "meta"][0]["attrs"]
+    assert meta2["metadata.extensions_json"] == meta1["metadata.extensions_json"]
+    assert [r["value"] for r in r2 if r["kind"] == "channel"] == [140.0]
+    routes2 = [r for r in r2 if r["kind"] == "route"]
+    rpts2 = [(p["seq"], p["lat"], p["lon"], p["ele"])
+             for p in r2 if p["kind"] == "route_point"]
+    assert routes2[0]["attrs"]["name"] == "Morning commute"
+    assert rpts2 == [(0, 40.0, -105.0, 1600.0), (1, 40.1, -105.1, 1610.5),
+                     (2, 40.2, -105.2, None)]
+
+
+def test_gpx_encode_records_stream(spark):
+    """gpx_encode_records: the unified stream (points/channels/waypoints/
+    routes/meta) encodes per activity and re-parses identically."""
+    from activity_files_spark.sources.gpx import gpx_encode_records, gpx_records
+    from activity_files_spark.sources.records import records_frame, RECORD_SCHEMA
+
+    rows = parse_gpx("a1", GPX_ROUTE_EXT)
+    rec_df = spark.createDataFrame(records_frame(rows), RECORD_SCHEMA)
+    out = gpx_encode_records(rec_df).collect()
+    assert len(out) == 1
+    back = parse_gpx("a1", out[0]["xml"])
+    assert sum(1 for r in back if r["kind"] == "route") == 1
+    assert sum(1 for r in back if r["kind"] == "route_point") == 3
+    assert sum(1 for r in back if r["kind"] == "point") == 2
+    assert [r for r in back if r["kind"] == "diag"] == []
