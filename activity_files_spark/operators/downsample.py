@@ -73,3 +73,117 @@ def downsample_distance(
         return pdf[_keep_by_distance(pdf["lat"].values, pdf["lon"].values, meters)]
 
     return points.groupBy(key).applyInPandas(lambda _k, pdf: kernel(pdf), schema)
+
+
+# -------------------------------------------------- channel grid snapping
+
+_CHANNELS_SCHEMA = "activity_id string, channel string, ts timestamp, value double"
+
+
+def _us(col: pd.Series) -> np.ndarray:
+    return col.values.astype("datetime64[us]").astype("int64")
+
+
+def _nearest_retained(ret_us: np.ndarray, t_us: np.ndarray, prefer_lower: bool):
+    """Index of the nearest retained time for each t (ties -> lower retained
+    index for the time path, upper for the distance path, matching the
+    reference cursor walks)."""
+    idx = np.searchsorted(ret_us, t_us, side="left")
+    idx = np.clip(idx, 0, len(ret_us) - 1)
+    lower = np.clip(idx - 1, 0, len(ret_us) - 1)
+    d_up = np.abs(ret_us[idx] - t_us)
+    d_lo = np.abs(t_us - ret_us[lower])
+    if prefer_lower:
+        use_lower = (idx > 0) & (d_lo <= d_up)
+    else:
+        use_lower = (idx > 0) & (d_lo < d_up)
+    return np.where(use_lower, lower, idx)
+
+
+def downsample_time_channels(
+    points: DataFrame,
+    channels: DataFrame,
+    step_s: float,
+    key: str = "activity_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """W7 channel half: keep each channel sample (at its own timestamp) iff
+    its nearest retained point time is within max(1us, step/2) — the
+    reference's closestIndex cursor + tolerance gate
+    (raw_editor.dart:529-563). Cogrouped Arrow kernel per activity."""
+    tol_us = max(1, int(step_s * 1_000_000) // 2)
+
+    def kernel(pts: pd.DataFrame, ch: pd.DataFrame) -> pd.DataFrame:
+        if len(pts) == 0 or len(ch) == 0:
+            return pd.DataFrame(columns=["activity_id", "channel", "ts", "value"])
+        pts = pts.sort_values(ts, kind="stable")
+        t = _us(pts[ts]).astype("float64") / 1e6
+        ret_us = _us(pts[ts])[_keep_by_time(t, step_s)]
+        ch = ch.sort_values(ts, kind="stable")
+        s_us = _us(ch[ts])
+        near = _nearest_retained(ret_us, s_us, prefer_lower=True)
+        ok = np.abs(ret_us[near] - s_us) <= tol_us
+        out = ch[ok]
+        return out[["activity_id", "channel", "ts", "value"]]
+
+    return points.groupBy(key).cogroup(channels.groupBy(key)).applyInPandas(
+        lambda p, c: kernel(p, c), _CHANNELS_SCHEMA
+    )
+
+
+def _adaptive_snap_tol_us(ret_us: np.ndarray) -> int:
+    """transform_utils.dart:74-93: half the average retained spacing,
+    clamped to [200ms, 10s]; 1s for <2 points, 500ms for nonpositive span."""
+    if len(ret_us) < 2:
+        return 1_000_000
+    total = int(ret_us[-1] - ret_us[0])
+    if total <= 0:
+        return 500_000
+    half = max(1, (total // (len(ret_us) - 1)) // 2)
+    return int(min(max(half, 200_000), 10_000_000))
+
+
+def downsample_distance_channels(
+    points: DataFrame,
+    channels: DataFrame,
+    meters: float,
+    key: str = "activity_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """W8 channel half: nearest-sample resample ONTO the retained point
+    grid — one output sample per (channel, retained time) whose nearest
+    input sample lies within the adaptive tolerance; the output timestamp
+    is the retained grid time (transform_utils.dart:95-140 _resampleNearest
+    via raw_editor.dart:595-608)."""
+
+    def kernel(pts: pd.DataFrame, ch: pd.DataFrame) -> pd.DataFrame:
+        if len(pts) == 0 or len(ch) == 0:
+            return pd.DataFrame(columns=["activity_id", "channel", "ts", "value"])
+        pts = pts.sort_values(ts, kind="stable")
+        keep = _keep_by_distance(pts["lat"].values, pts["lon"].values, meters)
+        ret_us = _us(pts[ts])[keep]
+        tol_us = _adaptive_snap_tol_us(ret_us)
+        aid = pts["activity_id"].iloc[0]
+        frames = []
+        for cname, grp in ch.groupby("channel", sort=True):
+            grp = grp.sort_values(ts, kind="stable")
+            s_us = _us(grp[ts])
+            # nearest input sample for each retained time (ties -> the
+            # later/>= sample, matching _resampleNearest's consider order)
+            idx = _nearest_retained(s_us, ret_us, prefer_lower=False)
+            ok = np.abs(s_us[idx] - ret_us) <= tol_us
+            if not ok.any():
+                continue
+            frames.append(pd.DataFrame({
+                "activity_id": aid,
+                "channel": cname,
+                "ts": pd.to_datetime(ret_us[ok], unit="us"),
+                "value": grp["value"].values[idx[ok]],
+            }))
+        if not frames:
+            return pd.DataFrame(columns=["activity_id", "channel", "ts", "value"])
+        return pd.concat(frames, ignore_index=True)
+
+    return points.groupBy(key).cogroup(channels.groupBy(key)).applyInPandas(
+        lambda p, c: kernel(p, c), _CHANNELS_SCHEMA
+    )

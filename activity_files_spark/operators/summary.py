@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -133,26 +135,99 @@ def fill_time_gaps(
     return points.select(key, "seq", "ts", "lat", "lon", "ele").unionByName(synth)
 
 
-# G8 sport inference: keyword priority order (facade:1012-1093)
+# G8 sport inference (activity_files_facade.dart:1012-1093):
+# keyword TOKEN match (text split on non-alphanumerics, not substring —
+# 'runway' must not match), priority order running > cycling > swimming >
+# walking > hiking > other; numeric ids index _sportByNumericId.
 SPORT_KEYWORDS = [
-    ("triathlon", "multisport"),
-    ("run", "running"),
-    ("jog", "running"),
-    ("bike", "cycling"),
-    ("cycl", "cycling"),
-    ("ride", "cycling"),
-    ("swim", "swimming"),
-    ("walk", "walking"),
-    ("hik", "hiking"),
+    ("running", ["run", "running", "jog", "jogging"]),
+    ("cycling", ["cycle", "cycling", "bike", "biking", "ride"]),
+    ("swimming", ["swim", "swimming"]),
+    ("walking", ["walk", "walking"]),
+    ("hiking", ["hike", "hiking"]),
+    ("other", ["other"]),
 ]
 
-SPORT_IDS = {1: "running", 2: "cycling", 5: "swimming", 11: "walking", 17: "hiking"}
+# facade _sportByNumericId (positional, NOT the FIT sport enum)
+SPORT_IDS = ["other", "running", "cycling", "swimming", "walking", "hiking"]
+
+# pluggable mapper registry, checked last-in-first-out so callers can
+# override the built-in heuristics (facade:386-398)
+_SPORT_MAPPERS: list = []
+
+
+def register_sport_mapper(mapper) -> None:
+    """Register a ``source -> sport|None`` callable; LIFO priority."""
+    if mapper not in _SPORT_MAPPERS:
+        _SPORT_MAPPERS.append(mapper)
+
+
+def unregister_sport_mapper(mapper) -> bool:
+    try:
+        _SPORT_MAPPERS.remove(mapper)
+        return True
+    except ValueError:
+        return False
+
+
+def clear_sport_mappers() -> None:
+    _SPORT_MAPPERS.clear()
+
+
+def _sport_from_string(text: str) -> str | None:
+    tokens = {t for t in re.split(r"[^a-z0-9]+", text.strip().lower()) if t}
+    for sport, kws in SPORT_KEYWORDS:
+        if tokens.intersection(kws):
+            return sport
+    return None
+
+
+def resolve_sport(source) -> str | None:
+    """Driver-side sport resolution (facade:1012-1047): registered mappers
+    (LIFO) -> primitive inference (string token match, numeric id lookup)
+    -> recursive descent into dict values / iterables."""
+    for mapper in reversed(_SPORT_MAPPERS):
+        result = mapper(source)
+        if result is not None:
+            return result
+    if isinstance(source, str):
+        got = _sport_from_string(source)
+        if got is not None:
+            return got
+    elif isinstance(source, bool):
+        return None
+    elif isinstance(source, (int, float)):
+        idx = int(source)
+        if 0 <= idx < len(SPORT_IDS) and float(source) == idx:
+            return SPORT_IDS[idx]
+        return None
+    if isinstance(source, dict):
+        for value in source.values():
+            nested = resolve_sport(value)
+            if nested is not None:
+                return nested
+    elif isinstance(source, (list, tuple, set)):
+        for value in source:
+            nested = resolve_sport(value)
+            if nested is not None:
+                return nested
+    return None
 
 
 def infer_sport(text_col) -> "F.Column":
-    """Keyword-priority sport inference as a when-chain (no UDF)."""
-    low = F.lower(text_col)
+    """Column twin of the string path of :func:`resolve_sport`: token-set
+    keyword match in priority order — pure expressions, no UDF."""
+    tokens = F.split(F.lower(F.trim(text_col)), r"[^a-z0-9]+")
     expr = F.lit(None).cast("string")
-    for kw, sport in reversed(SPORT_KEYWORDS):
-        expr = F.when(low.contains(kw), sport).otherwise(expr)
+    for sport, kws in reversed(SPORT_KEYWORDS):
+        hit = F.arrays_overlap(tokens, F.array(*[F.lit(k) for k in kws]))
+        expr = F.when(hit, sport).otherwise(expr)
+    return expr
+
+
+def infer_sport_numeric(id_col) -> "F.Column":
+    """Column twin of the numeric-id path (facade _sportByNumericId)."""
+    expr = F.lit(None).cast("string")
+    for idx, sport in enumerate(SPORT_IDS):
+        expr = F.when(id_col == idx, sport).otherwise(expr)
     return expr

@@ -140,10 +140,38 @@ def _num(raw):
     return raw if isinstance(raw, (int, float)) else None
 
 
-def parse_fit(activity_id: str, payload: bytes) -> list[dict]:
+INTEGRITY_MODES = ("strict", "report", "silent")
+
+
+def parse_fit(
+    activity_id: str,
+    payload: bytes,
+    integrity: str = "report",
+    collect_stats: bool = True,
+) -> list[dict]:
+    """``integrity`` selects the reference's integrity gates
+    (integrity_mode.dart:7-55): 'strict' raises ValueError on the first
+    integrity issue (fail-fast for trusted pipelines — inside fit_records
+    this aborts the Spark job), 'report' (default) emits diag records and
+    continues best-effort, 'silent' suppresses integrity diags entirely.
+    With ``collect_stats`` (report mode), the meta record carries
+    integrity.* counters (integrity_mode.dart:57-124)."""
+    if integrity not in INTEGRITY_MODES:
+        raise ValueError(f"integrity must be one of {INTEGRITY_MODES}")
     out: list[dict] = []
+    stats = {"crc_mismatches": 0, "truncated_sections": 0, "invalid_messages": 0}
 
     def diag(code, severity, msg):
+        if "crc_mismatch" in code:
+            stats["crc_mismatches"] += 1
+        elif "truncated" in code or "too_short" in code:
+            stats["truncated_sections"] += 1
+        else:
+            stats["invalid_messages"] += 1
+        if integrity == "strict":
+            raise ValueError(f"FIT integrity failure [{code}]: {msg}")
+        if integrity == "silent":
+            return
         out.append({"activity_id": activity_id, "kind": "diag",
                     "attrs": {"code": code, "severity": severity, "message": msg}})
 
@@ -439,6 +467,10 @@ def parse_fit(activity_id: str, payload: bytes) -> list[dict]:
                     "base_type": btype,
                     "channel": _sanitize_dev_name(str(name), didx, fnum),
                 }
+    if collect_stats and integrity == "report":
+        for k, v in stats.items():
+            if v:
+                meta[f"integrity.{k}"] = str(v)
     out.append({"activity_id": activity_id, "kind": "meta",
                 "sport": meta.get("sport"), "attrs": meta})
     return out
@@ -472,14 +504,21 @@ def _sanitize_dev_name(name: str, didx: int, fnum: int) -> str:
     return s
 
 
-def fit_records(files: DataFrame, id_col: str = "activity_id", bin_col: str = "payload") -> DataFrame:
-    """(activity_id, payload binary) rows -> record stream."""
+def fit_records(
+    files: DataFrame,
+    id_col: str = "activity_id",
+    bin_col: str = "payload",
+    integrity: str = "report",
+) -> DataFrame:
+    """(activity_id, payload binary) rows -> record stream. ``integrity``
+    as in :func:`parse_fit`; 'strict' makes the first corrupted file abort
+    the Spark job (fail-fast gate, integrity_mode.dart:10-12)."""
 
     def kernel(batches):
         for pdf in batches:
             rows: list[dict] = []
             for aid, payload in zip(pdf[id_col], pdf[bin_col]):
-                rows.extend(parse_fit(aid, bytes(payload)))
+                rows.extend(parse_fit(aid, bytes(payload), integrity=integrity))
             yield records_frame(rows)
 
     return files.mapInPandas(kernel, RECORD_SCHEMA)

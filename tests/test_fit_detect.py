@@ -348,3 +348,40 @@ def test_fit_encode_records_full_stream(spark):
     meta = [r for r in b if r["kind"] == "meta"][0]
     assert meta["sport"] == "running"
     assert [r for r in b if r["kind"] == "diag"] == []
+
+
+def test_fit_integrity_modes(spark):
+    """integrity_mode.dart:7-55: strict raises on a corrupted trailer CRC,
+    report emits diagnostics (+ integrity.* stats in meta), silent
+    suppresses integrity diags but still returns best-effort data."""
+    good = bytearray(encode_fit(PTS, {}, []))
+    good[-1] ^= 0xFF  # corrupt the trailing CRC
+
+    with pytest.raises(ValueError, match="fit.trailer.crc_mismatch"):
+        parse_fit("a", bytes(good), integrity="strict")
+
+    rep = parse_fit("a", bytes(good), integrity="report")
+    codes = [r["attrs"]["code"] for r in rep if r["kind"] == "diag"]
+    assert "fit.trailer.crc_mismatch" in codes
+    meta = [r for r in rep if r["kind"] == "meta"][0]
+    assert meta["attrs"]["integrity.crc_mismatches"] == "1"
+    assert sum(1 for r in rep if r["kind"] == "point") == 3  # best-effort data
+
+    sil = parse_fit("a", bytes(good), integrity="silent")
+    assert [r for r in sil if r["kind"] == "diag"] == []
+    assert sum(1 for r in sil if r["kind"] == "point") == 3
+    assert "integrity.crc_mismatches" not in ([r for r in sil if r["kind"] == "meta"][0]["attrs"] or {})
+
+    with pytest.raises(ValueError, match="integrity must be"):
+        parse_fit("a", bytes(good), integrity="nope")
+
+    # strict mode aborts the Spark job through fit_records
+    files = spark.createDataFrame(
+        [("a", bytes(good))], "activity_id string, payload binary"
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+    with pytest.raises((Py4JJavaError, PythonException, Exception)):
+        fit_records(files, integrity="strict").collect()
+    # report mode on the same file succeeds
+    assert fit_records(files, integrity="report").count() > 0

@@ -205,3 +205,97 @@ def test_fit_device_info_and_creator():
 
 def _def_record_local2(local, global_num, fields):
     return _def_record(local, global_num, fields)
+
+
+# --------------------------------------------------------- G8 sport inference
+
+def test_resolve_sport_token_not_substring():
+    """facade:1060-1093: keyword match is on delimiter-split tokens, so
+    'runway' must not match running; priority order running > cycling."""
+    from activity_files_spark.operators.summary import resolve_sport
+
+    assert resolve_sport("Morning Run") == "running"
+    assert resolve_sport("runway inspection") is None
+    assert resolve_sport("bike-ride to work") == "cycling"
+    assert resolve_sport("run then bike") == "running"  # priority order
+    assert resolve_sport("OTHER") == "other"
+    assert resolve_sport("") is None
+
+
+def test_resolve_sport_numeric_id():
+    """facade _sportByNumericId: 0..5 positional lookup; out-of-range and
+    non-integral floats resolve to nothing."""
+    from activity_files_spark.operators.summary import resolve_sport
+
+    assert resolve_sport(1) == "running"
+    assert resolve_sport(5) == "hiking"
+    assert resolve_sport(0) == "other"
+    assert resolve_sport(6) is None
+    assert resolve_sport(-1) is None
+    assert resolve_sport(2.0) == "cycling"
+    assert resolve_sport(2.5) is None
+    assert resolve_sport(True) is None
+
+
+def test_resolve_sport_recursive_descent():
+    """facade:1020-1035: maps descend into values, iterables into elements,
+    first hit wins."""
+    from activity_files_spark.operators.summary import resolve_sport
+
+    assert resolve_sport({"meta": {"label": "evening swim"}}) == "swimming"
+    assert resolve_sport(["garbage", {"x": 4}]) == "walking"
+    assert resolve_sport({"a": None, "b": []}) is None
+
+
+def test_sport_mapper_registry_lifo():
+    """facade:386-398: registered mappers run before built-ins, LIFO."""
+    from activity_files_spark.operators.summary import (
+        clear_sport_mappers,
+        register_sport_mapper,
+        resolve_sport,
+        unregister_sport_mapper,
+    )
+
+    def m1(src):
+        return "cycling" if src == "zwift" else None
+
+    def m2(src):
+        return "other" if src == "zwift" else None
+
+    try:
+        register_sport_mapper(m1)
+        assert resolve_sport("zwift") == "cycling"
+        register_sport_mapper(m2)  # later registration wins (LIFO)
+        assert resolve_sport("zwift") == "other"
+        # mappers can override built-in keyword hits
+        register_sport_mapper(lambda s: "hiking" if s == "trail run" else None)
+        assert resolve_sport("trail run") == "hiking"
+        assert unregister_sport_mapper(m2)
+        assert resolve_sport("zwift") == "cycling"
+    finally:
+        clear_sport_mappers()
+    assert resolve_sport("zwift") is None
+
+
+def test_infer_sport_column_twins(spark):
+    """Column twins agree with resolve_sport on strings and numeric ids."""
+    from pyspark.sql import functions as F
+    from activity_files_spark.operators.summary import (
+        infer_sport,
+        infer_sport_numeric,
+        resolve_sport,
+    )
+
+    rows = [(i, t) for i, t in enumerate(
+        ["morning run", "runway", "Bike-Ride", "pool swim!", "dog walk",
+         "hike up", "other", "nothing here", "JOGGING time"])]
+    df = spark.createDataFrame(rows, "id long, label string")
+    got = {r["label"]: r["sport"] for r in
+           df.select("label", infer_sport(F.col("label")).alias("sport")).collect()}
+    for label, sport in got.items():
+        assert sport == resolve_sport(label), label
+    ids = spark.createDataFrame([(i,) for i in range(-1, 7)], "sid int")
+    gotn = {r["sid"]: r["sport"] for r in
+            ids.select("sid", infer_sport_numeric(F.col("sid")).alias("sport")).collect()}
+    for sid, sport in gotn.items():
+        assert sport == resolve_sport(sid), sid

@@ -164,9 +164,42 @@ def test_fill_time_gaps(spark):
 
 
 def test_infer_sport(spark):
+    # faithful to facade:1060-1093: token match (no substring), reference
+    # keyword table — 'triathlon' is NOT a keyword (Sport enum has no
+    # multisport; merge handles triathlons via per-lap sports)
     df = spark.createDataFrame(
         [("Morning Run",), ("Lunch RIDE",), ("ocean swim",), ("Triathlon race",), ("unknown",)],
         "name string",
     )
     got = [r["s"] for r in df.select(infer_sport(F.col("name")).alias("s")).collect()]
-    assert got == ["running", "cycling", "swimming", "multisport", None]
+    assert got == ["running", "cycling", "swimming", None, None]
+
+
+def test_manufacturer_table_full_reference_parity(spark):
+    """validation §2.11: the manufacturer table carries the reference's full
+    public FIT-SDK id set (models.dart:40-220) — no device_id_unknown for
+    any reference-known id."""
+    from activity_files_spark.operators.validation import (
+        MANUFACTURER_IDS,
+        validate_devices,
+    )
+    from pyspark.sql import functions as F
+
+    assert len(MANUFACTURER_IDS) >= 179
+    # spot-check ids across the table incl. the sparse tail
+    assert MANUFACTURER_IDS[1] == "Garmin"
+    assert MANUFACTURER_IDS[294] == "Coros"
+    assert MANUFACTURER_IDS[260] == "Zwift"
+    assert MANUFACTURER_IDS[5759] == "Actigraphcorp"
+    rows = [(f"a{mid}", {"device.manufacturer": str(mid)})
+            for mid in MANUFACTURER_IDS]
+    meta = spark.createDataFrame(rows, "activity_id string, attrs map<string,string>")
+    diags = validate_devices(meta)
+    unknown = diags.filter(F.col("code") == "validation.device_id_unknown").count()
+    assert unknown == 0
+    # a genuinely unknown id still flags
+    meta2 = spark.createDataFrame(
+        [("ax", {"device.manufacturer": "777"})],
+        "activity_id string, attrs map<string,string>")
+    assert validate_devices(meta2).filter(
+        F.col("code") == "validation.device_id_unknown").count() == 1
