@@ -114,6 +114,11 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * 3 + 1)
     filters = raw[:, 0]
+    # fast path: filter 0 everywhere (what our encoder emits) — one uint8
+    # copy, no int32 inflation, no per-row python (the unfilter loop was the
+    # memory-traffic hot spot of the whole validate kernel)
+    if not filters.any():
+        return raw[:, 1:].reshape(h, w, 3).copy()
     px = raw[:, 1:].reshape(h, w, 3).astype(np.int32)
     # support filter types 0 (None), 1 (Sub), 2 (Up) — we emit 0 only, but a
     # spec-conformant reader tolerates the common ones
@@ -194,9 +199,15 @@ LOSSLESS_FMTS = {"png", "bmp"}
 # ------------------------------------------------------------------ metrics
 
 def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
-    """PSNR over uint8 pixel arrays; inf for identical."""
-    diff = a.astype(np.float64) - b.astype(np.float64)
-    mse = float(np.mean(diff * diff))
+    """PSNR over uint8 pixel arrays; inf for identical.
+
+    The squared-error sum runs in exact integer arithmetic (int16 diff,
+    int32 squares, int64 sum — 8x less memory traffic than float64 temps;
+    exact for any image under 2^53 total error, so the resulting mse is the
+    mathematically exact value)."""
+    diff = a.astype(np.int16) - b.astype(np.int16)
+    sq = diff.astype(np.int32)
+    mse = float(np.sum(sq * sq, dtype=np.int64)) / diff.size
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)

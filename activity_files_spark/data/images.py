@@ -46,12 +46,19 @@ def image_meta(i: int) -> tuple[int, int, str, float, float]:
 
 
 def pixels_for(i: int, w: int, h: int) -> np.ndarray:
-    """Procedural pixels: channel c at (x, y) is a small affine fn mod 256."""
-    y, x = np.mgrid[0:h, 0:w]
-    r = (x * 3 + y * 5 + i * 7) % 256
-    g = (x * 7 + y * 11 + i * 13) % 256
-    b = (x * 13 + y * 17 + i * 19) % 256
-    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+    """Procedural pixels: channel c at (x, y) is a small affine fn mod 256.
+
+    Computed entirely in uint8 ring arithmetic (wrapping add/mul in Z/256
+    is exactly `% 256`) — identical values to the original int64 mgrid
+    formulation at 1/8th the memory traffic."""
+    xs = (np.arange(w) % 256).astype(np.uint8)
+    ys = (np.arange(h) % 256).astype(np.uint8)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for c, (cx, cy, ci) in enumerate(((3, 5, 7), (7, 11, 13), (13, 17, 19))):
+        out[:, :, c] = (ys * np.uint8(cy))[:, None] + (
+            xs * np.uint8(cx) + np.uint8((i * ci) % 256)
+        )[None, :]
+    return out
 
 
 def caption_for(i: int) -> str:
@@ -59,9 +66,17 @@ def caption_for(i: int) -> str:
     return f"caption for img_{i:012d} at cell {quadkey_py(lat, lon, 12)}"
 
 
-def make_image_row(i: int) -> dict:
-    """One fully-materialized row (golden-path twin of the Spark generator)."""
+def make_image_row(i: int, dims: list | None = None) -> dict:
+    """One fully-materialized row (golden-path twin of the Spark generator).
+
+    ``dims``: optional [(w, h), ...] cycle overriding the default tiny
+    16-64px sizes — bench tables use representative hundreds-of-KB images
+    (the shape real 10^12-image corpora have) so per-image decode compute
+    dominates fixed per-row overhead. Every invariant (pixels, phash,
+    caption) derives from the row itself, so validation is dims-agnostic."""
     w, h, fmt, lat, lon = image_meta(i)
+    if dims is not None:
+        w, h = dims[i % len(dims)]
     px = pixels_for(i, w, h)
     data = encode(px, fmt)
     # phash is computed from the DECODED pixels so the stored value is the
@@ -84,12 +99,15 @@ def image_index(image_id: str) -> int:
     return int(image_id.removeprefix("img_"))
 
 
-def synth_images(spark: SparkSession, n: int, partitions: int = 32) -> DataFrame:
-    """Distributed deterministic image table: n rows, executor-side encode."""
+def synth_images(
+    spark: SparkSession, n: int, partitions: int = 32, dims: list | None = None
+) -> DataFrame:
+    """Distributed deterministic image table: n rows, executor-side encode.
+    ``dims`` as in :func:`make_image_row`."""
 
     def gen(batches):
         for pdf in batches:
-            rows = [make_image_row(int(i)) for i in pdf["id"]]
+            rows = [make_image_row(int(i), dims=dims) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
     return spark.range(n, numPartitions=partitions).mapInPandas(gen, IMAGE_SCHEMA)

@@ -86,6 +86,77 @@ def merge_activities(dfs: list[DataFrame], key: str = "activity_id") -> DataFram
     return out.orderBy(key, "ts")
 
 
+def merge_records(
+    sources: list[DataFrame],
+    merged_id: str,
+    preserve_sport_per_lap: bool = False,
+    normalize: bool = True,
+    creator: str | None = None,
+) -> DataFrame:
+    """J5/U1 full-stream merge (facade:751-803): union the unified record
+    streams of several activities into one.
+
+    ``preserve_sport_per_lap``: laps lacking a sport inherit their SOURCE
+    activity's sport (from its meta record) — the multisport-merge path
+    (e.g. swim + bike + run files into a triathlon; facade:786-794). The
+    merged activity's own sport/meta come from the FIRST source;
+    ``creator`` overrides the creator attr. ``normalize`` applies the O1
+    sortAndDedup last-wins pass to points (normalizeActivity).
+
+    Plan: per-source sport is a tiny broadcast map join; everything else is
+    unions + one window for the dedup — no driver-side loops over rows.
+    """
+    if not sources:
+        raise ValueError("merge_records: the input list is empty")
+    parts = [df.withColumn("_src", F.lit(i)) for i, df in enumerate(sources)]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    if preserve_sport_per_lap:
+        sport_map = (
+            u.filter(F.col("kind") == "meta")
+            .select("_src", "activity_id", F.col("sport").alias("_src_sport"))
+            .dropDuplicates(["_src", "activity_id"])
+        )
+        u = u.join(F.broadcast(sport_map), ["_src", "activity_id"], "left").withColumn(
+            "sport",
+            F.when(
+                (F.col("kind") == "lap") & F.col("sport").isNull(),
+                F.col("_src_sport"),
+            ).otherwise(F.col("sport")),
+        ).drop("_src_sport")
+    # merged meta = first source's meta (sport, device, creator)
+    u = u.filter((F.col("kind") != "meta") | (F.col("_src") == 0))
+    if creator is not None:
+        u = u.withColumn(
+            "attrs",
+            F.when(
+                F.col("kind") == "meta",
+                F.map_concat(
+                    F.map_filter(
+                        F.coalesce(F.col("attrs"), F.expr("map()")),
+                        lambda k, _v: k != "creator",
+                    ),
+                    F.create_map(F.lit("creator"), F.lit(creator)),
+                ),
+            ).otherwise(F.col("attrs")),
+        )
+    merged = u.withColumn("activity_id", F.lit(merged_id))
+    if normalize:
+        # O1 sortAndDedup last-wins on points: later SOURCE wins on tied ts
+        w = Window.partitionBy("kind", "ts").orderBy(
+            F.col("_src").desc(), F.col("seq").desc_nulls_last()
+        )
+        pts = (
+            merged.filter(F.col("kind") == "point")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        merged = merged.filter(F.col("kind") != "point").unionByName(pts)
+    return merged.drop("_src")
+
+
 def fill_time_gaps(
     points: DataFrame,
     gap_s: float = 300.0,

@@ -68,8 +68,12 @@ def tile_assign(
     lat: str = "lat",
     lon: str = "lon",
     with_quadkey: bool = True,
+    extra_cols: tuple = (),
 ) -> DataFrame:
-    """Explode each row to its res-ladder cells: (id, zoom, cell_id[, quadkey])."""
+    """Explode each row to its res-ladder cells: (id, zoom, cell_id
+    [, quadkey][, extra_cols...]). ``extra_cols`` carry through the explode
+    (e.g. a geofence label from an upstream PIP join) so fused
+    tile+join plans keep a single pass."""
     cells = ladder_cell_ids(F.col(lat), F.col(lon), list(resolutions))
     ladder = F.array(
         *[
@@ -77,9 +81,11 @@ def tile_assign(
             for z, c in zip(resolutions, cells)
         ]
     )
+    keep = [F.col(c) for c in extra_cols]
     out = (
-        df.select(F.col(id_col), F.explode(ladder).alias("t"))
-        .select(id_col, F.col("t.zoom").alias("zoom"), F.col("t.cell_id").alias("cell_id"))
+        df.select(F.col(id_col), *keep, F.explode(ladder).alias("t"))
+        .select(id_col, *extra_cols, F.col("t.zoom").alias("zoom"),
+                F.col("t.cell_id").alias("cell_id"))
     )
     if with_quadkey:
         # zoom values are disjoint, so a when-chain dispatches each exploded
@@ -92,23 +98,29 @@ def tile_assign(
     return out
 
 
-def validate_images(images: DataFrame) -> DataFrame:
+def validate_images(images: DataFrame, passthrough: tuple = ()) -> DataFrame:
     """Per-row invariant check (input_hint): returns a diagnostics DataFrame
-    (image_id, fmt, psnr_db, pixels_ok, caption_ok, phash_ok, ok).
+    (image_id, fmt, psnr_db, pixels_ok, caption_ok, phash_ok, ok
+    [, passthrough...]).
 
     Arrow kernel: regenerates the expected pixels from the row index encoded
     in image_id, decodes `bytes`, and checks exact equality (lossless) or
     PSNR >= 40 dB (lossy), caption equality, and phash equality.
-    """
+    ``passthrough`` columns (e.g. lat/lon) are carried to the output so a
+    downstream tile/PIP stage consumes the validated rows without a join —
+    the fused shape of the north-star pipeline (decode+invariants and
+    tiling in one pass over the scan)."""
     from activity_files_spark.data.images import (
         caption_for,
         image_index,
         pixels_for,
     )
 
+    extra = [c for c in passthrough if c in images.columns]
     schema = (
         "image_id string, fmt string, psnr_db double, pixels_ok boolean, "
         "caption_ok boolean, phash_ok boolean, ok boolean"
+        + "".join(f", {c} {images.schema[c].dataType.simpleString()}" for c in extra)
     )
 
     def kernel(batches):
@@ -126,17 +138,18 @@ def validate_images(images: DataFrame) -> DataFrame:
                     pixels_ok = p >= PSNR_GATE_DB
                 caption_ok = row.caption == caption_for(i)
                 phash_ok = int(row.phash) == phash64(px)
-                recs.append(
-                    {
-                        "image_id": row.image_id,
-                        "fmt": row.fmt,
-                        "psnr_db": p if np.isfinite(p) else 99.0,
-                        "pixels_ok": pixels_ok,
-                        "caption_ok": caption_ok,
-                        "phash_ok": phash_ok,
-                        "ok": pixels_ok and caption_ok and phash_ok,
-                    }
-                )
+                rec = {
+                    "image_id": row.image_id,
+                    "fmt": row.fmt,
+                    "psnr_db": p if np.isfinite(p) else 99.0,
+                    "pixels_ok": pixels_ok,
+                    "caption_ok": caption_ok,
+                    "phash_ok": phash_ok,
+                    "ok": pixels_ok and caption_ok and phash_ok,
+                }
+                for c in extra:
+                    rec[c] = getattr(row, c)
+                recs.append(rec)
             yield pd.DataFrame(recs)
 
     return images.mapInPandas(kernel, schema)

@@ -299,3 +299,58 @@ def test_infer_sport_column_twins(spark):
             ids.select("sid", infer_sport_numeric(F.col("sid")).alias("sport")).collect()}
     for sid, sport in gotn.items():
         assert sport == resolve_sport(sid), sid
+
+
+def test_merge_records_multisport_lap_tagging(spark):
+    """facade:751-803 merge with preserveSportPerLap: laps lacking a sport
+    inherit their source activity's sport; merged meta/sport come from the
+    first source; normalize dedups tied-ts points last-source-wins."""
+    from datetime import datetime
+    from pyspark.sql import functions as F
+    from activity_files_spark.operators.summary import merge_records
+    from activity_files_spark.sources.records import records_frame, RECORD_SCHEMA
+
+    def recs(aid, sport, t0_min, tagged_lap_sport=None):
+        rows = [
+            {"activity_id": aid, "kind": "point", "seq": 0,
+             "ts": datetime(2024, 3, 1, 10, t0_min, 0), "lat": 40.0, "lon": -105.0},
+            {"activity_id": aid, "kind": "point", "seq": 1,
+             "ts": datetime(2024, 3, 1, 10, t0_min, 30), "lat": 40.001, "lon": -105.0},
+            {"activity_id": aid, "kind": "lap", "lap_id": 0,
+             "start_ts": datetime(2024, 3, 1, 10, t0_min, 0),
+             "end_ts": datetime(2024, 3, 1, 10, t0_min, 30),
+             "sport": tagged_lap_sport},
+            {"activity_id": aid, "kind": "meta", "sport": sport,
+             "attrs": {"sport": sport or "", "creator": "src"}},
+        ]
+        return spark.createDataFrame(records_frame(rows), RECORD_SCHEMA)
+
+    swim = recs("a_swim", "swimming", 0)
+    bike = recs("a_bike", "cycling", 10)
+    run = recs("a_run", "running", 20, tagged_lap_sport="hiking")  # pre-tagged stays
+
+    out = merge_records([swim, bike, run], "tri", preserve_sport_per_lap=True,
+                        normalize=True, creator="my_triathlon_app")
+    rows = out.collect()
+    assert {r["activity_id"] for r in rows} == {"tri"}
+    laps = sorted((r["start_ts"].minute, r["sport"]) for r in rows if r["kind"] == "lap")
+    assert laps == [(0, "swimming"), (10, "cycling"), (20, "hiking")]
+    metas = [r for r in rows if r["kind"] == "meta"]
+    assert len(metas) == 1 and metas[0]["sport"] == "swimming"  # first source
+    assert metas[0]["attrs"]["creator"] == "my_triathlon_app"
+    assert sum(1 for r in rows if r["kind"] == "point") == 6
+
+    # preserve off: untagged laps stay null
+    out2 = merge_records([swim, bike], "m2", preserve_sport_per_lap=False)
+    assert [r["sport"] for r in out2.filter(F.col("kind") == "lap").collect()] == [None, None]
+
+    # normalize dedups tied-timestamp points, later source wins
+    dup_a = recs("x1", "running", 0)
+    dup_b = recs("x2", "walking", 0)  # same timestamps as dup_a
+    out3 = merge_records([dup_a, dup_b], "m3", normalize=True)
+    pts = out3.filter(F.col("kind") == "point").collect()
+    assert len(pts) == 2  # 4 -> 2 after tied-ts dedup
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        merge_records([], "empty")
