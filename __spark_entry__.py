@@ -1370,6 +1370,105 @@ def _fit_roundtrip_sql() -> str:
     """
 
 
+def gpx_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S7 GPX full-document round-trip, driver-gated: per user, build a
+    synthetic activity from events (track points + a custom TPX channel +
+    waypoints + a route), encode it to REAL GPX XML (gpx_encode_records),
+    parse it back (gpx_records), and aggregate what survived. The oracle
+    computes the same aggregates arithmetically, so a hash match proves the
+    XML encoder/parser round-trips points, channels (%g-formatted exact
+    1/16-multiples), waypoints, and <rte> routes.
+
+    Derivations: channel value = floor(epoch(ts)) % 1000 / 16 (<= 6
+    significant digits -> %g prints and float() reparses bit-exactly);
+    waypoint for event_id % 9 == 0; route point for event_id % 6 == 0.
+    """
+    from activity_files_spark.functions.time import ts_seconds
+    from activity_files_spark.sources.gpx import gpx_encode_records, gpx_records
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("activity_id"),
+        "event_id", "ts",
+        _lat_col().alias("lat"), _lon_col().alias("lon"),
+    )
+    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+    base = {
+        "seq": nul("long"), "lat": nul("double"), "lon": nul("double"),
+        "ele": nul("double"), "channel": nul("string"), "value": nul("double"),
+        "lap_id": nul("int"), "start_ts": nul("timestamp"),
+        "end_ts": nul("timestamp"), "distance_m": nul("double"),
+        "sport": nul("string"), "attrs": nul("map<string,string>"),
+        "ts": nul("timestamp"),
+    }
+
+    def rec(kind: str, **over):
+        cols = dict(base)
+        cols.update(over)
+        return [F.col("activity_id"), F.lit(kind).alias("kind")] + [
+            cols[c].alias(c) for c in
+            ["seq", "ts", "lat", "lon", "ele", "channel", "value", "lap_id",
+             "start_ts", "end_ts", "distance_m", "sport", "attrs"]
+        ]
+
+    metric = ((F.floor(ts_seconds(F.col("ts"))).cast("long") % 1000)
+              .cast("double") / F.lit(16.0))
+    points = ev.select(*rec(
+        "point", seq=F.col("event_id"), ts=F.col("ts"),
+        lat=F.col("lat"), lon=F.col("lon"),
+    ))
+    chans = ev.select(*rec(
+        "channel", ts=F.col("ts"),
+        channel=F.lit("custom_metric"), value=metric,
+    ))
+    wpts = ev.filter(F.col("event_id") % 9 == 0).select(*rec(
+        "waypoint", seq=F.col("event_id"), ts=F.col("ts"),
+        lat=F.col("lat"), lon=F.col("lon"),
+        attrs=F.create_map(F.lit("name"),
+                           F.concat(F.lit("wp_"), F.col("event_id"))),
+    ))
+    rpts = ev.filter(F.col("event_id") % 6 == 0).select(*rec(
+        "route_point", seq=F.col("event_id"), lap_id=F.lit(0).cast("int"),
+        lat=F.col("lat"), lon=F.col("lon"),
+    ))
+    routes = ev.select("activity_id").distinct().select(
+        *rec("route", lap_id=F.lit(0).cast("int"),
+             attrs=F.create_map(F.lit("name"), F.lit("planned")))
+    )
+    recs = points.unionByName(chans).unionByName(wpts).unionByName(rpts).unionByName(routes)
+    xml = gpx_encode_records(recs)
+    back = gpx_records(xml)
+    agg = back.groupBy("activity_id").agg(
+        F.count(F.when(F.col("kind") == "point", 1)).alias("n_points"),
+        F.count(F.when((F.col("kind") == "channel")
+                       & (F.col("channel") == "custom_metric"), 1)).alias("n_channels"),
+        F.sum(F.when((F.col("kind") == "channel")
+                     & (F.col("channel") == "custom_metric"),
+                     F.col("value"))).alias("sum_metric"),
+        F.count(F.when(F.col("kind") == "waypoint", 1)).alias("n_waypoints"),
+        F.count(F.when(F.col("kind") == "route_point", 1)).alias("n_route_points"),
+        F.count(F.when(F.col("kind") == "route", 1)).alias("n_routes"),
+    )
+    return agg.select(
+        F.substring("activity_id", 2, 20).cast("long").alias("user_id"),
+        "n_points", "n_channels", "sum_metric", "n_waypoints",
+        "n_route_points", "n_routes",
+    )
+
+
+def _gpx_roundtrip_sql() -> str:
+    return """
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           COUNT(*) AS n_channels,
+           SUM(CAST((epoch_us(ts) // 1000000) % 1000 AS DOUBLE)
+               / CAST(16.0 AS DOUBLE)) AS sum_metric,
+           COUNT(*) FILTER (event_id % 9 = 0) AS n_waypoints,
+           COUNT(*) FILTER (event_id % 6 = 0) AS n_route_points,
+           CAST(1 AS BIGINT) AS n_routes
+    FROM events GROUP BY user_id
+    """
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1428,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_track": resample_track,
         "hex_cells": hex_cells,
         "fit_roundtrip_stats": fit_roundtrip_stats,
+        "gpx_roundtrip_stats": gpx_roundtrip_stats,
     }
 
 
@@ -1466,6 +1566,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_track": _resample_sql(),
         "hex_cells": _hex_cells_sql(),
         "fit_roundtrip_stats": _fit_roundtrip_sql(),
+        "gpx_roundtrip_stats": _gpx_roundtrip_sql(),
         # validate_images_summary: intentionally no oracle (pixel decode is
         # not SQL-expressible) -> driver rows-only check; pytest pins it.
     }
