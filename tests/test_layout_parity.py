@@ -65,9 +65,10 @@ def test_fit_set_and_length_messages():
 
     # hand-build a FIT body: length (101) + set (225) messages
     body = bytearray()
-    body += _def_record(0, 101, [(253, 4, 0x86), (2, 4, 0x86), (3, 4, 0x86), (5, 2, 0x84), (12, 1, 0x00)])
+    # FIT-profile fields: 7 = swim_stroke, 12 = length_type (0 idle/1 active)
+    body += _def_record(0, 101, [(253, 4, 0x86), (2, 4, 0x86), (3, 4, 0x86), (5, 2, 0x84), (7, 1, 0x00), (12, 1, 0x00)])
     t0 = 1_000_000_000
-    body += bytes([0x00]) + struct.pack("<IIIHB", t0 + 30, t0, 30000, 24, 1)
+    body += bytes([0x00]) + struct.pack("<IIIHBB", t0 + 30, t0, 30000, 24, 1, 1)
     body += _def_record(1, 225, [(254, 4, 0x86), (6, 4, 0x86), (3, 2, 0x84), (4, 2, 0x84), (0, 4, 0x86)])
     body += bytes([0x01]) + struct.pack("<IIHHI", t0 + 90, t0 + 60, 12, 800, 30000)
     header = struct.pack("<BBHI4s", 14, 0x20, 2140, len(body), b".FIT")
@@ -81,7 +82,8 @@ def test_fit_set_and_length_messages():
     assert len(lengths) == 1 and len(sets) == 1
     la = dict(lengths[0]["attrs"])
     assert la["total_elapsed_s"] == "30.0" and la["total_strokes"] == "24"
-    assert la["swim_stroke"] == "1"  # backstroke wire value
+    assert la["swim_stroke"] == "1"  # backstroke wire value (field 7)
+    assert la["length_type"] == "1"  # active (field 12)
     sa = dict(sets[0]["attrs"])
     assert sa["repetitions"] == "12"
     assert sa["weight_kg"] == "50.0"  # 800 / 16
