@@ -172,27 +172,26 @@ def simhash64(
 ) -> DataFrame:
     """SimHash: per bit position, majority vote of token-hash bits.
 
-    Plan: explode tokens, explode bit positions 0..bits-1, sum +/-1 votes
-    per (doc, bit), reassemble the integer — all native expressions, one
-    shuffle on (doc, bit) with partial aggregation.
+    Plan: explode tokens, then ONE aggregation pass per doc with `bits`
+    conditional-count columns (bit b's vote sum is +1/-1 per token, i.e.
+    positive iff 2*ones_b > n_tokens) — a single shuffle on the doc id with
+    map-side partial aggregation and NO bit-explosion (the earlier plan
+    inflated the token stream x60 before the partial agg).
     """
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
-    h = md5_prefix_long(F.col("tok"))
-    votes = (
-        toks.withColumn("_h", h)
-        .select(id_col, "_h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
-        .withColumn(
-            "vote",
-            F.when(F.expr("shiftright(_h, bit) & 1") == 1, 1).otherwise(-1),
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
-        ).cast("long").alias("simhash")
-    )
+    toks = toks.withColumn("_h", md5_prefix_long(F.col("tok")))
+    ones = [
+        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    counts = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *ones)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(
+            F.col(f"_b{b}") * 2 > F.col("_n"),
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+    return counts.select(F.col(id_col), sim.alias("simhash"))
 
 
 def hamming64(a, b):

@@ -223,12 +223,22 @@ def knn_join(
     spark = queries.sparkSession
     remaining = q
     resolved_parts: list[DataFrame] = []
+    acc: DataFrame | None = None  # candidates found so far for unresolved queries
+    prev_r = -1
     r = 1
     while r <= max_ring:
-        # explode rings 0..r for the remaining queries
-        offsets = [(dx, dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)]
+        # search only the NEW annulus (chebyshev radius in (prev_r, r]) —
+        # inner rings were joined in earlier rounds and live in `acc`;
+        # annuli are disjoint and a point maps to one cell, so the union
+        # never duplicates a (query, point) candidate
+        offsets = [
+            (dx, dy)
+            for dx in range(-r, r + 1)
+            for dy in range(-r, r + 1)
+            if max(abs(dx), abs(dy)) > prev_r
+        ]
         off_df = spark.createDataFrame(offsets, "dx int, dy int")
-        cand = (
+        cand_new = (
             remaining.join(F.broadcast(off_df))
             .withColumn("_pk", (F.col("_qx") + F.col("dx")) * F.lit(1 << z) + F.col("_qy") + F.col("dy"))
             .join(p_keyed.drop("_px", "_py"), "_pk", "inner")
@@ -236,9 +246,12 @@ def knn_join(
                 "dist_m",
                 haversine_m(F.col("_qlat"), F.col("_qlon"), F.col("_plat"), F.col("_plon")),
             )
+            .select(q_id, p_id, "dist_m", "_qlat")
         )
+        acc = cand_new if acc is None else acc.unionByName(cand_new)
+        acc = acc.localCheckpoint(eager=False)  # cut the growing lineage
         wk = Window.partitionBy(q_id).orderBy(F.col("dist_m").asc(), F.col(p_id).asc())
-        topk = cand.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
+        topk = acc.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
         # resolution check: k-th distance within the guaranteed radius
         guard = F.lit(r) * F.lit(EARTH_CIRCUM_M) * F.cos(
             F.radians(F.least(F.abs(F.col("_qlat")) + 1.0, F.lit(85.0)))
@@ -259,6 +272,9 @@ def knn_join(
         remaining = remaining.join(F.broadcast(done_ids), q_id, "left_anti")
         if r >= max_ring or remaining.isEmpty():
             break
+        # drop resolved queries' accumulated candidates before the next round
+        acc = acc.join(F.broadcast(done_ids), q_id, "left_anti")
+        prev_r = r
         r = min(r * 2, max_ring)  # always land exactly on max_ring last
 
     out = resolved_parts[0]
