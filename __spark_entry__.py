@@ -1370,6 +1370,45 @@ def _fit_roundtrip_sql() -> str:
     """
 
 
+def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style MERGE/upsert, driver-gated: target = even events,
+    source = every-3rd events with doubled value; matched rows are replaced,
+    new rows inserted, unmatched target kept (single equi-join shuffle —
+    the copy-on-write MERGE plan). Per-user row count + exact decimal sum."""
+    from activity_files_spark.operators.upsert import merge_upsert
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    target = ev.filter(F.col("event_id") % 2 == 0)
+    source = ev.filter(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") * F.lit(2.0)
+    )
+    merged = merge_upsert(target, source, keys=["event_id"], when_matched="update")
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_rows"),
+        _dec_sum(F.col("value")).alias("sum_value"),
+    )
+
+
+def _merge_upsert_sql() -> str:
+    return """
+    WITH target AS (
+      SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0
+    ),
+    source AS (
+      SELECT event_id, user_id, value * CAST(2.0 AS DOUBLE) AS value
+      FROM events WHERE event_id % 3 = 0
+    ),
+    merged AS (
+      SELECT t.* FROM target t
+      WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.event_id = t.event_id)
+      UNION ALL SELECT * FROM source
+    )
+    SELECT user_id, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
+    FROM merged GROUP BY user_id
+    """
+
+
 def gpx_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/S7 GPX full-document round-trip, driver-gated: per user, build a
     synthetic activity from events (track points + a custom TPX channel +
@@ -1528,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_cells": hex_cells,
         "fit_roundtrip_stats": fit_roundtrip_stats,
         "gpx_roundtrip_stats": gpx_roundtrip_stats,
+        "merge_upsert_events": merge_upsert_events,
     }
 
 
@@ -1567,6 +1607,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_cells": _hex_cells_sql(),
         "fit_roundtrip_stats": _fit_roundtrip_sql(),
         "gpx_roundtrip_stats": _gpx_roundtrip_sql(),
+        "merge_upsert_events": _merge_upsert_sql(),
         # validate_images_summary: intentionally no oracle (pixel decode is
         # not SQL-expressible) -> driver rows-only check; pytest pins it.
     }

@@ -146,6 +146,65 @@ def asof_join_pandas(
     return merged.groupBy(key).applyInPandas(kernel, schema=out_schema)
 
 
+def asof_channels_wide(
+    probes: DataFrame,
+    channels: DataFrame,
+    channel_names: list[str],
+    tolerances: dict[str, float] | None = None,
+    default_tolerance_s: float = DEFAULT_TOLERANCE_S,
+    key: str = "activity_id",
+    ts: str = "ts",
+    channel_col: str = "channel",
+    value: str = "value",
+) -> DataFrame:
+    """Wide multi-channel as-of join with PER-CHANNEL tolerance overrides —
+    the reference's maxDeltaPerChannel / maxDeltaFor option
+    (encoder_options.dart:22-42): each channel maps to one output column,
+    its samples matched nearest-within-its-own-tolerance (earlier wins
+    ties, channel_mapper.dart:203).
+
+    Plan: ONE cogroup shuffle on ``key`` (not one join per channel); the
+    kernel runs a searchsorted pass per channel inside the activity group.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tolerances = tolerances or {}
+    tol = {c: float(tolerances.get(c, default_tolerance_s)) for c in channel_names}
+    p_cols = probes.columns
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in probes.schema.fields
+    ) + "".join(f", `{c}` double" for c in channel_names)
+
+    def kernel(pr: pd.DataFrame, ch: pd.DataFrame) -> pd.DataFrame:
+        pr = pr.sort_values(ts, kind="stable")
+        res = pr[[c for c in p_cols]].copy()
+        pt = pr[ts].values.astype("datetime64[us]").astype("int64") / 1e6
+        for cname in channel_names:
+            sm = ch[(ch[channel_col] == cname) & ch[value].notna()].sort_values(
+                ts, kind="stable"
+            )
+            if len(sm) == 0 or len(pr) == 0:
+                res[cname] = np.nan
+                continue
+            st = sm[ts].values.astype("datetime64[us]").astype("int64") / 1e6
+            sv = sm[value].values.astype("float64")
+            idx = np.searchsorted(st, pt, side="right")
+            prev_i = np.clip(idx - 1, 0, len(st) - 1)
+            next_i = np.clip(idx, 0, len(st) - 1)
+            d_prev = np.where(idx - 1 >= 0, pt - st[prev_i], np.inf)
+            d_next = np.where(idx < len(st), st[next_i] - pt, np.inf)
+            take_prev = d_prev <= d_next  # earlier wins ties
+            best_d = np.where(take_prev, d_prev, d_next)
+            best_v = np.where(take_prev, sv[prev_i], sv[next_i])
+            res[cname] = np.where(best_d <= tol[cname], best_v, np.nan)
+        return res
+
+    return probes.groupBy(key).cogroup(
+        channels.select(key, ts, channel_col, value).groupBy(key)
+    ).applyInPandas(lambda p, c: kernel(p, c), out_schema)
+
+
 def exact_ts_join(
     probes: DataFrame,
     samples: DataFrame,

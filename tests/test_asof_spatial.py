@@ -192,3 +192,40 @@ def test_asof_null_valued_samples_ignored(spark, probes):
     got2 = {r["seq"]: r["v"] for r in asof_join_pandas(probes, samples, out="v").collect()}
     got2 = {k: (None if v != v else v) for k, v in got2.items()}
     assert got2[1] is None and got2[0] == 7.0
+
+
+def test_asof_channels_wide_per_channel_tolerance(spark):
+    """encoder_options.dart:22-42 maxDeltaPerChannel: each channel matches
+    within its OWN tolerance; output is one wide column per channel, parity
+    with per-channel asof_join."""
+    from datetime import datetime
+    from pyspark.sql import functions as F
+    from activity_files_spark.operators.asof import asof_channels_wide, asof_join
+
+    pts = [("a", i, datetime(2024, 3, 1, 10, 0, 10 * i)) for i in range(5)]
+    probes = spark.createDataFrame(pts, "activity_id string, seq long, ts timestamp")
+    ch = [
+        # heart_rate sampled 3s after each probe; power 8s after
+        *[("a", "heart_rate", datetime(2024, 3, 1, 10, 0, 10 * i + 3), 100.0 + i) for i in range(5)],
+        *[("a", "power", datetime(2024, 3, 1, 10, 0, 10 * i + 8), 200.0 + i) for i in range(4)],
+    ]
+    chans = spark.createDataFrame(ch, "activity_id string, channel string, ts timestamp, value double")
+    wide = asof_channels_wide(
+        probes, chans, ["heart_rate", "power"],
+        tolerances={"heart_rate": 5.0, "power": 2.0},
+    )
+    rows = {r["seq"]: r for r in wide.collect()}
+    # hr within 3s <= 5s tolerance everywhere
+    assert [rows[i]["heart_rate"] for i in range(5)] == [100.0 + i for i in range(5)]
+    # power: nearest sample is 2s before probe i (sampled at (i-1)*10+8);
+    # delta 2 <= 2 keeps; probe 0 has no earlier sample (8s after, > 2) -> null
+    assert rows[0]["power"] is None
+    assert [rows[i]["power"] for i in range(1, 5)] == [200.0 + i - 1 for i in range(1, 5)]
+    # parity with the single-channel operator at the same tolerances
+    for cname, tol in (("heart_rate", 5.0), ("power", 2.0)):
+        single = asof_join(
+            probes, chans.filter(F.col("channel") == cname).select("activity_id", "ts", "value"),
+            tolerance_s=tol, out=cname,
+        )
+        got = {r["seq"]: r[cname] for r in single.collect()}
+        assert got == {i: rows[i][cname] for i in range(5)}, cname

@@ -354,3 +354,28 @@ def test_merge_records_multisport_lap_tagging(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         merge_records([], "empty")
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE INTO: matched rows replaced (update) or kept (ignore),
+    unmatched source inserted, unmatched target kept; single equi-join."""
+    from activity_files_spark.operators.upsert import merge_upsert
+    import pytest as _pytest
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, k string, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "id long, k string, v double"
+    )
+    up = {r["id"]: (r["k"], r["v"]) for r in
+          merge_upsert(target, source, ["id"], "update").collect()}
+    assert up == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    ig = {r["id"]: (r["k"], r["v"]) for r in
+          merge_upsert(target, source, ["id"], "ignore").collect()}
+    assert ig == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    plan = merge_upsert(target, source, ["id"], "update")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    with _pytest.raises(ValueError):
+        merge_upsert(target, source, ["id"], "delete")
