@@ -202,16 +202,24 @@ def tcx_records(files: DataFrame, id_col: str = "activity_id", xml_col: str = "x
 
 # ------------------------------------------------------------------ encoder
 
-def encode_tcx(points, channels_by_ts, laps, sport: str = "Running") -> str:
+def encode_tcx(points, channels_by_ts, laps, sport: str = "Running",
+               version: str = "2") -> str:
     """points sorted; channels_by_ts: iso-ts -> {channel: value}; laps:
     dicts(start_ts, end_ts, distance_m, attrs). Points feed the lap whose
-    interval contains them (tcx_encoder.dart:187-191)."""
+    interval contains them (tcx_encoder.dart:187-191). ``version`` selects
+    the TCX schema dialect — "2" (default) or "1", which swaps the
+    TrainingCenterDatabase namespace/schemaLocation pair
+    (encoder_options.dart TcxVersion; tcx_encoder.dart:18-67)."""
     from activity_files_spark.sources.gpx import _iso, _ts_key
 
+    ns = f"http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v{version}"
+    xsd = f"http://www.garmin.com/xmlschemas/TrainingCenterDatabasev{version}.xsd"
     buf = io.StringIO()
     buf.write('<?xml version="1.0" encoding="UTF-8"?>\n')
     buf.write(
-        '<TrainingCenterDatabase xmlns="http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2">\n'
+        f'<TrainingCenterDatabase xmlns="{ns}"'
+        f' xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"'
+        f' xsi:schemaLocation="{ns} {xsd}">\n'
         "  <Activities>\n"
     )
     buf.write(f'    <Activity Sport="{_xml_escape(sport.capitalize())}">\n')

@@ -420,3 +420,25 @@ def test_gpx_encode_records_stream(spark):
     assert sum(1 for r in back if r["kind"] == "route_point") == 3
     assert sum(1 for r in back if r["kind"] == "point") == 2
     assert [r for r in back if r["kind"] == "diag"] == []
+
+
+def test_tcx_v1_dialect_roundtrip():
+    """TcxVersion.v1 dialect: v1 namespace + schemaLocation pair
+    (tcx_encoder.dart:18-67); parser is namespace-agnostic so the document
+    round-trips identically."""
+    from datetime import datetime
+    from activity_files_spark.sources.tcx import encode_tcx, parse_tcx
+
+    pts = [{"ts": datetime(2024, 3, 1, 10, 0, i), "lat": 40.0 + i * 1e-4,
+            "lon": -105.0, "ele": 1600.0} for i in range(3)]
+    xml1 = encode_tcx(pts, {}, [], version="1")
+    assert 'TrainingCenterDatabase/v1"' in xml1
+    assert "TrainingCenterDatabasev1.xsd" in xml1
+    xml2 = encode_tcx(pts, {}, [])
+    assert 'TrainingCenterDatabase/v2"' in xml2
+    r1 = parse_tcx("a", xml1)
+    r2 = parse_tcx("a", xml2)
+    p1 = [(r["lat"], r["lon"]) for r in r1 if r["kind"] == "point"]
+    p2 = [(r["lat"], r["lon"]) for r in r2 if r["kind"] == "point"]
+    assert p1 == p2 and len(p1) == 3
+    assert [r for r in r1 if r["kind"] == "diag"] == []
