@@ -611,6 +611,19 @@ def _fit_secs(ts) -> int:
     return int(pd.Timestamp(ts).timestamp()) - FIT_EPOCH_UNIX
 
 
+def utf8_truncate(s: str, max_bytes: int = 63) -> bytes:
+    """G18: FIT strings cap at 63 bytes + NUL, truncated at a UTF-8
+    CHARACTER boundary (a raw byte slice can split a multibyte sequence
+    and emit invalid UTF-8 — the reference truncates per character)."""
+    b = s.encode("utf-8")
+    if len(b) <= max_bytes:
+        return b
+    cut = max_bytes
+    while cut > 0 and (b[cut] & 0xC0) == 0x80:  # inside a continuation seq
+        cut -= 1
+    return b[:cut]
+
+
 def _attr_num(attrs: dict | None, key: str):
     if not attrs or key not in attrs or attrs[key] is None:
         return None
@@ -690,7 +703,7 @@ def encode_fit(
         body += _def_record(6, 207, [(3, 1, 0x02)])  # developer_data_id
         body += bytes([0x06, 0])  # developer_data_index 0
         for i, name in enumerate(dev_channels):
-            nb = name.encode("utf-8")[:63]  # G18: 63-byte cap, NUL-terminated
+            nb = utf8_truncate(name)  # G18: 63-byte cap at char boundary
             body += _def_record(
                 7, 206,
                 [(0, 1, 0x02), (1, 1, 0x02), (2, 1, 0x02), (3, len(nb) + 1, 0x07)],

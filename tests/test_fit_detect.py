@@ -385,3 +385,28 @@ def test_fit_integrity_modes(spark):
         fit_records(files, integrity="strict").collect()
     # report mode on the same file succeeds
     assert fit_records(files, integrity="report").count() > 0
+
+
+def test_fit_string_truncation_char_boundary():
+    """G18: 63-byte string cap truncates at a UTF-8 character boundary —
+    never emits a split multibyte sequence (fit string encode rule)."""
+    from activity_files_spark.sources.fit import utf8_truncate
+
+    assert utf8_truncate("abc") == b"abc"
+    # 63 ascii chars exactly
+    assert utf8_truncate("x" * 100) == b"x" * 63
+    # 2-byte chars: 63//2 = 31 whole chars (62 bytes), never a half char
+    s = "é" * 40
+    out = utf8_truncate(s)
+    assert len(out) == 62
+    out.decode("utf-8")  # must not raise
+    # boundary case: 62 ascii + one 2-byte char -> the 2-byte char is cut whole
+    s2 = "a" * 62 + "é"
+    out2 = utf8_truncate(s2)
+    assert out2 == b"a" * 62
+    out2.decode("utf-8")
+    # 4-byte char straddling the cap
+    s3 = "a" * 61 + "\U0001F600"
+    out3 = utf8_truncate(s3)
+    assert out3 == b"a" * 61
+    out3.decode("utf-8")
