@@ -1370,6 +1370,68 @@ def _fit_roundtrip_sql() -> str:
     """
 
 
+def stream_sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 driver-gated STRUCTURED STREAMING query: the events parquet is
+    ingested through readStream (file source, bounded triggers), session-
+    windowed per user (30-min gap, 1-h watermark, exact decimal value sum),
+    and drained with trigger(availableNow) into a memory sink — a real
+    incremental execution, not a batch re-expression. The oracle replays
+    the session-window semantics in SQL: a new session starts when the gap
+    from the previous event is >= 30 min (session_window merges on strict
+    window OVERLAP, so an exactly-30-min gap closes the session — note the
+    boundary differs from the batch sessionize_users query's > rule), and
+    session_end is last event + gap."""
+    import tempfile
+    import uuid
+
+    from activity_files_spark.streaming.stream_ops import (
+        run_available_now,
+        stream_sessionize,
+    )
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    # the driver's events.parquet is a single file; the file stream source
+    # wants a directory, so stream the sf dir with a name glob
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = stream_sessionize(src, gap="30 minutes", watermark="1 hour",
+                            exact_sum=True)
+    name = f"stream_sessions_{uuid.uuid4().hex[:10]}"
+    q = run_available_now(agg, name, tempfile.mkdtemp(), output_mode="complete")
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
+    )
+
+
+def _stream_sessionize_sql() -> str:
+    return """
+    WITH g AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 1000000.0
+                       >= 1800.0
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """
+
+
 def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style MERGE/upsert, driver-gated: target = even events,
     source = every-3rd events with doubled value; matched rows are replaced,
@@ -1568,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fit_roundtrip_stats": fit_roundtrip_stats,
         "gpx_roundtrip_stats": gpx_roundtrip_stats,
         "merge_upsert_events": merge_upsert_events,
+        "stream_sessionize_users": stream_sessionize_users,
     }
 
 
@@ -1608,6 +1671,7 @@ def oracle_sql() -> dict[str, str]:
         "fit_roundtrip_stats": _fit_roundtrip_sql(),
         "gpx_roundtrip_stats": _gpx_roundtrip_sql(),
         "merge_upsert_events": _merge_upsert_sql(),
+        "stream_sessionize_users": _stream_sessionize_sql(),
         # validate_images_summary: intentionally no oracle (pixel decode is
         # not SQL-expressible) -> driver rows-only check; pytest pins it.
     }

@@ -43,16 +43,23 @@ def stream_sessionize(
     watermark: str = "1 hour",
     key: str = "user_id",
     ts: str = "ts",
+    exact_sum: bool = False,
 ) -> DataFrame:
     """Event-time session windows with late-data watermark.
 
     Output (append mode once a session closes): key, session_start,
-    session_end, n_events, sum_value.
+    session_end, n_events, sum_value. ``exact_sum`` routes the value sum
+    through DECIMAL (order-independent — bit-identical to a batch oracle
+    regardless of micro-batch boundaries).
     """
+    val = F.col("value").cast("decimal(22,6)") if exact_sum else F.col("value")
+    total = F.sum(val)
+    if exact_sum:
+        total = total.cast("double")
     return (
         events.withWatermark(ts, watermark)
         .groupBy(F.session_window(F.col(ts), gap).alias("sw"), F.col(key))
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), total.alias("sum_value"))
         .select(
             key,
             F.col("sw.start").alias("session_start"),
