@@ -61,6 +61,11 @@ HEADLINE = [
     "hex_cells",
     "session_summary_users",
     "validation_diagnostics",
+    "embedding_dup_pairs",
+    "fit_roundtrip_stats",
+    "gpx_roundtrip_stats",
+    "merge_upsert_events",
+    "stream_sessionize_users",
 ]
 
 
