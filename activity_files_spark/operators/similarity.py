@@ -174,19 +174,43 @@ def lsh_signature(
     size. On clustered data small L suffices; on near-random data (the worst
     case) the candidate set grows toward the full set, degrading gracefully
     to exact search instead of losing recall.
-    """
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _table_signature(vec, dim, n_planes, t).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    return df.select("*", F.explode(pairs).alias("_tb")).select(
-        *df.columns, F.col("_tb.tbl").alias("tbl"), F.col("_tb.bucket").alias("bucket")
-    )
+
+    Implementation: one Arrow kernel computing all L*b signed projections
+    as a single numpy matmul per batch — the equivalent Column-expression
+    fold tree (L*b nested 64-term aggregates) blows past whole-stage-codegen
+    limits and runs interpreted, ~50x slower. Sign of a projection within
+    ~1 ulp of zero may differ from an exact left-to-right fold — harmless
+    for bucketing (candidates are exact-verified downstream) and
+    deterministic within the engine."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [_hyperplanes(dim, n_planes, t) for t in range(n_tables)], dtype=np.float64
+    )  # (L, b, dim)
+    mat = planes.reshape(n_tables * n_planes, dim).T  # (dim, L*b)
+    in_cols = df.columns
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", tbl int, bucket long"
+    pows = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.array(pdf[vec].tolist(), dtype=np.float64)  # (n, dim)
+            bits = (x @ mat) > 0  # (n, L*b)
+            buckets = (
+                bits.reshape(n, n_tables, n_planes).astype(np.int64) * pows
+            ).sum(axis=2)  # (n, L)
+            rep = pdf.loc[pdf.index.repeat(n_tables)].reset_index(drop=True)
+            rep["tbl"] = np.tile(np.arange(n_tables, dtype=np.int32), n)
+            rep["bucket"] = buckets.ravel()
+            yield rep[in_cols + ["tbl", "bucket"]]
+
+    return df.mapInPandas(kernel, schema)
 
 
 def lsh_topk(
