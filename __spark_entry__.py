@@ -1251,6 +1251,38 @@ def validate_images_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECORD_COLS = ["seq", "ts", "lat", "lon", "ele", "channel", "value", "lap_id",
+               "start_ts", "end_ts", "distance_m", "sport", "attrs"]
+
+
+def _rec_select(kind: str, **over):
+    """Column list for one record-stream kind over the unified RECORD_SCHEMA
+    (shared by the fit/gpx round-trip query builders): null-typed defaults
+    for every column, overridden per kind."""
+    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
+    base = {
+        "seq": nul("long"), "lat": nul("double"), "lon": nul("double"),
+        "ele": nul("double"), "channel": nul("string"), "value": nul("double"),
+        "lap_id": nul("int"), "start_ts": nul("timestamp"),
+        "end_ts": nul("timestamp"), "distance_m": nul("double"),
+        "sport": nul("string"), "attrs": nul("map<string,string>"),
+        "ts": nul("timestamp"),
+    }
+    base.update(over)
+    return [F.col("activity_id"), F.lit(kind).alias("kind")] + [
+        base[c].alias(c) for c in RECORD_COLS
+    ]
+
+
+def _roundtrip_metric():
+    """Exact 1/16-multiple channel value derived from the floored epoch —
+    survives both FIT float64 dev fields and GPX %g text bit-exactly."""
+    from activity_files_spark.functions.time import ts_seconds
+
+    return ((F.floor(ts_seconds(F.col("ts"))).cast("long") % 1000)
+            .cast("double") / F.lit(16.0))
+
+
 def fit_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/S9 FIT full-profile round-trip, driver-gated: per user, build a
     synthetic activity from the events table (points + a developer-field
@@ -1275,27 +1307,8 @@ def fit_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts",
         _lat_col().alias("lat"), _lon_col().alias("lon"),
     )
-    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
-    base = {
-        "seq": nul("long"), "lat": nul("double"), "lon": nul("double"),
-        "ele": nul("double"), "channel": nul("string"), "value": nul("double"),
-        "lap_id": nul("int"), "start_ts": nul("timestamp"),
-        "end_ts": nul("timestamp"), "distance_m": nul("double"),
-        "sport": nul("string"), "attrs": nul("map<string,string>"),
-        "ts": nul("timestamp"),
-    }
-
-    def rec(kind: str, **over):
-        cols = dict(base)
-        cols.update(over)
-        return [F.col("activity_id"), F.lit(kind).alias("kind")] + [
-            cols[c].alias(c) for c in
-            ["seq", "ts", "lat", "lon", "ele", "channel", "value", "lap_id",
-             "start_ts", "end_ts", "distance_m", "sport", "attrs"]
-        ]
-
-    metric = ((F.floor(ts_seconds(F.col("ts"))).cast("long") % 1000)
-              .cast("double") / F.lit(16.0))
+    rec = _rec_select
+    metric = _roundtrip_metric()
     points = ev.select(*rec(
         "point", seq=F.col("event_id"), ts=F.col("ts"),
         lat=F.col("lat"), lon=F.col("lon"),
@@ -1492,27 +1505,8 @@ def gpx_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts",
         _lat_col().alias("lat"), _lon_col().alias("lon"),
     )
-    nul = lambda t: F.lit(None).cast(t)  # noqa: E731
-    base = {
-        "seq": nul("long"), "lat": nul("double"), "lon": nul("double"),
-        "ele": nul("double"), "channel": nul("string"), "value": nul("double"),
-        "lap_id": nul("int"), "start_ts": nul("timestamp"),
-        "end_ts": nul("timestamp"), "distance_m": nul("double"),
-        "sport": nul("string"), "attrs": nul("map<string,string>"),
-        "ts": nul("timestamp"),
-    }
-
-    def rec(kind: str, **over):
-        cols = dict(base)
-        cols.update(over)
-        return [F.col("activity_id"), F.lit(kind).alias("kind")] + [
-            cols[c].alias(c) for c in
-            ["seq", "ts", "lat", "lon", "ele", "channel", "value", "lap_id",
-             "start_ts", "end_ts", "distance_m", "sport", "attrs"]
-        ]
-
-    metric = ((F.floor(ts_seconds(F.col("ts"))).cast("long") % 1000)
-              .cast("double") / F.lit(16.0))
+    rec = _rec_select
+    metric = _roundtrip_metric()
     points = ev.select(*rec(
         "point", seq=F.col("event_id"), ts=F.col("ts"),
         lat=F.col("lat"), lon=F.col("lon"),

@@ -77,9 +77,6 @@ def downsample_distance(
 
 # -------------------------------------------------- channel grid snapping
 
-_CHANNELS_SCHEMA = "activity_id string, channel string, ts timestamp, value double"
-
-
 def _us(col: pd.Series) -> np.ndarray:
     return col.values.astype("datetime64[us]").astype("int64")
 
@@ -106,16 +103,20 @@ def downsample_time_channels(
     step_s: float,
     key: str = "activity_id",
     ts: str = "ts",
+    channel_col: str = "channel",
+    value: str = "value",
 ) -> DataFrame:
     """W7 channel half: keep each channel sample (at its own timestamp) iff
     its nearest retained point time is within max(1us, step/2) — the
     reference's closestIndex cursor + tolerance gate
     (raw_editor.dart:529-563). Cogrouped Arrow kernel per activity."""
     tol_us = max(1, int(step_s * 1_000_000) // 2)
+    out_cols = [key, channel_col, ts, value]
+    schema = f"`{key}` string, `{channel_col}` string, `{ts}` timestamp, `{value}` double"
 
     def kernel(pts: pd.DataFrame, ch: pd.DataFrame) -> pd.DataFrame:
         if len(pts) == 0 or len(ch) == 0:
-            return pd.DataFrame(columns=["activity_id", "channel", "ts", "value"])
+            return pd.DataFrame(columns=out_cols)
         pts = pts.sort_values(ts, kind="stable")
         t = _us(pts[ts]).astype("float64") / 1e6
         ret_us = _us(pts[ts])[_keep_by_time(t, step_s)]
@@ -123,11 +124,10 @@ def downsample_time_channels(
         s_us = _us(ch[ts])
         near = _nearest_retained(ret_us, s_us, prefer_lower=True)
         ok = np.abs(ret_us[near] - s_us) <= tol_us
-        out = ch[ok]
-        return out[["activity_id", "channel", "ts", "value"]]
+        return ch[ok][out_cols]
 
     return points.groupBy(key).cogroup(channels.groupBy(key)).applyInPandas(
-        lambda p, c: kernel(p, c), _CHANNELS_SCHEMA
+        lambda p, c: kernel(p, c), schema
     )
 
 
@@ -149,6 +149,8 @@ def downsample_distance_channels(
     meters: float,
     key: str = "activity_id",
     ts: str = "ts",
+    channel_col: str = "channel",
+    value: str = "value",
 ) -> DataFrame:
     """W8 channel half: nearest-sample resample ONTO the retained point
     grid — one output sample per (channel, retained time) whose nearest
@@ -156,16 +158,19 @@ def downsample_distance_channels(
     is the retained grid time (transform_utils.dart:95-140 _resampleNearest
     via raw_editor.dart:595-608)."""
 
+    out_cols = [key, channel_col, ts, value]
+    schema = f"`{key}` string, `{channel_col}` string, `{ts}` timestamp, `{value}` double"
+
     def kernel(pts: pd.DataFrame, ch: pd.DataFrame) -> pd.DataFrame:
         if len(pts) == 0 or len(ch) == 0:
-            return pd.DataFrame(columns=["activity_id", "channel", "ts", "value"])
+            return pd.DataFrame(columns=out_cols)
         pts = pts.sort_values(ts, kind="stable")
         keep = _keep_by_distance(pts["lat"].values, pts["lon"].values, meters)
         ret_us = _us(pts[ts])[keep]
         tol_us = _adaptive_snap_tol_us(ret_us)
-        aid = pts["activity_id"].iloc[0]
+        aid = pts[key].iloc[0]
         frames = []
-        for cname, grp in ch.groupby("channel", sort=True):
+        for cname, grp in ch.groupby(channel_col, sort=True):
             grp = grp.sort_values(ts, kind="stable")
             s_us = _us(grp[ts])
             # nearest input sample for each retained time (ties -> the
@@ -175,15 +180,15 @@ def downsample_distance_channels(
             if not ok.any():
                 continue
             frames.append(pd.DataFrame({
-                "activity_id": aid,
-                "channel": cname,
-                "ts": pd.to_datetime(ret_us[ok], unit="us"),
-                "value": grp["value"].values[idx[ok]],
+                key: aid,
+                channel_col: cname,
+                ts: pd.to_datetime(ret_us[ok], unit="us"),
+                value: grp[value].values[idx[ok]],
             }))
         if not frames:
-            return pd.DataFrame(columns=["activity_id", "channel", "ts", "value"])
+            return pd.DataFrame(columns=out_cols)
         return pd.concat(frames, ignore_index=True)
 
     return points.groupBy(key).cogroup(channels.groupBy(key)).applyInPandas(
-        lambda p, c: kernel(p, c), _CHANNELS_SCHEMA
+        lambda p, c: kernel(p, c), schema
     )

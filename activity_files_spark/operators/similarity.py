@@ -342,7 +342,7 @@ def cosine_dup_pairs_lsh(
     vec: str = "vec",
     dim: int = 64,
     n_planes: int = 12,
-    n_tables: int = 8,
+    n_tables: int = 16,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at scale: hyperplane-LSH bucketed
     candidates + exact cosine verify, keeping only cosine >= threshold.
@@ -351,13 +351,16 @@ def cosine_dup_pairs_lsh(
     self-join is an EQUI-join on (tbl, bucket) — no cartesian / nested-loop
     product — then candidate pairs are deduped and exact cosine is the final
     filter. A true pair at angle θ collides in one table with probability
-    (1 - θ/π)^b and is missed entirely with probability
-    (1 - (1 - θ/π)^b)^L: for near-dups (cos >= 0.99, θ <= 0.045π·…) with
-    b=12, L=8 the miss rate is < 1e-9, and the hyperplanes are md5-derived
-    constants so recall on a fixed dataset is deterministic and testable.
-    At 10^12 rows the equi-join shuffles on (tbl, bucket) with ~uniform
-    bucket occupancy (b=12 → 4096 buckets/table); the brute twin is kept as
-    the test oracle only.
+    (1 - θ/π)^b and is missed with probability (1 - (1 - θ/π)^b)^L. Honest
+    numbers at b=12, L=16: a borderline pair at exactly cos 0.99
+    (θ/π ≈ 0.0452) is missed with ~1.2e-6 probability; genuine
+    near-duplicates (cos >= 0.999, θ/π <= 0.0142) with < 1e-12. Recall < 1
+    for borderline pairs is the documented LSH tradeoff — raise n_tables
+    when the threshold sits close to the data's natural cosine range. The
+    hyperplanes are md5-derived constants, so recall on a fixed dataset is
+    deterministic and testable. At 10^12 rows the equi-join shuffles on
+    (tbl, bucket) with ~uniform occupancy (b=12 → 4096 buckets/table); the
+    brute twin is kept as the test oracle only.
     """
     a = lsh_signature(
         items.select(F.col(i_id).alias("id_a"), F.col(vec).alias("_va")),

@@ -143,17 +143,20 @@ def merge_records(
         )
     merged = u.withColumn("activity_id", F.lit(merged_id))
     if normalize:
-        # O1 sortAndDedup last-wins on points: later SOURCE wins on tied ts
+        # O1 sortAndDedup last-wins on points: later SOURCE wins on tied ts.
+        # Points without a timestamp are exempt (a null-ts partition would
+        # collapse them all to one row) and pass through unchanged.
         w = Window.partitionBy("kind", "ts").orderBy(
             F.col("_src").desc(), F.col("seq").desc_nulls_last()
         )
+        is_ts_pt = (F.col("kind") == "point") & F.col("ts").isNotNull()
         pts = (
-            merged.filter(F.col("kind") == "point")
+            merged.filter(is_ts_pt)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        merged = merged.filter(F.col("kind") != "point").unionByName(pts)
+        merged = merged.filter(~is_ts_pt).unionByName(pts)
     return merged.drop("_src")
 
 

@@ -116,7 +116,13 @@ def validate_images(images: DataFrame, passthrough: tuple = ()) -> DataFrame:
         pixels_for,
     )
 
-    extra = [c for c in passthrough if c in images.columns]
+    missing = [c for c in passthrough if c not in images.columns]
+    if missing:
+        raise ValueError(
+            f"validate_images passthrough columns not on the input: {missing} "
+            f"(have {images.columns})"
+        )
+    extra = list(passthrough)
     schema = (
         "image_id string, fmt string, psnr_db double, pixels_ok boolean, "
         "caption_ok boolean, phash_ok boolean, ok boolean"

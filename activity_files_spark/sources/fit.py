@@ -611,6 +611,14 @@ def _fit_secs(ts) -> int:
     return int(pd.Timestamp(ts).timestamp()) - FIT_EPOCH_UNIX
 
 
+def _fit_secs_or(ts, invalid: int = 0xFFFFFFFF) -> int:
+    """NaT/None-safe FIT seconds (pandas nulls arrive as NaT through
+    to_dict('records'), which `is not None` does not catch)."""
+    if ts is None or pd.isna(ts):
+        return invalid
+    return _fit_secs(ts)
+
+
 def utf8_truncate(s: str, max_bytes: int = 63) -> bytes:
     """G18: FIT strings cap at 63 bytes + NUL, truncated at a UTF-8
     CHARACTER boundary (a raw byte slice can split a multibyte sequence
@@ -715,6 +723,8 @@ def encode_fit(
         dev_fields=[(i, 8, 0) for i in range(len(dev_channels))],
     )
     for p in points:
+        if p.get("ts") is None or pd.isna(p["ts"]):
+            continue  # a record message is keyed by its timestamp
         ts_raw = _fit_secs(p["ts"])
         ch = channels_by_ts.get(_ts_key(p["ts"])) or {}
         lat = p.get("lat")
@@ -742,9 +752,11 @@ def encode_fit(
     if laps:
         body += _def_record(2, 19, LAP_DEF)
         for lap in laps:
-            s = _fit_secs(lap["start_ts"])
-            e = _fit_secs(lap["end_ts"])
-            elapsed_ms = max(0, (e - s) * 1000)
+            s = _fit_secs_or(lap.get("start_ts"))
+            e = _fit_secs_or(lap.get("end_ts"))
+            elapsed_ms = (
+                max(0, (e - s) * 1000) if 0xFFFFFFFF not in (s, e) else 0xFFFFFFFF
+            )
             dm = lap.get("distance_m")
             dist_cm = int(round(dm * 100.0)) if dm is not None and dm == dm else 0xFFFFFFFF
             body += bytes([0x02]) + struct.pack(
@@ -763,8 +775,8 @@ def encode_fit(
             ltype = _attr_num(a, "length_type")
             body += bytes([0x03]) + struct.pack(
                 "<IIIHHBB",
-                _fit_secs(ln["end_ts"]) if ln.get("end_ts") is not None else 0xFFFFFFFF,
-                _fit_secs(ln["start_ts"]) if ln.get("start_ts") is not None else 0xFFFFFFFF,
+                _fit_secs_or(ln.get("end_ts")),
+                _fit_secs_or(ln.get("start_ts")),
                 int(round(elapsed * 1000.0)) if elapsed is not None else 0xFFFFFFFF,
                 int(strokes) if strokes is not None else 0xFFFF,
                 int(round(avg_sp * 1000.0)) if avg_sp is not None else 0xFFFF,
@@ -783,8 +795,8 @@ def encode_fit(
             cat = _attr_num(a, "category")
             body += bytes([0x04]) + struct.pack(
                 "<IIIBHHH",
-                _fit_secs(st["end_ts"]) if st.get("end_ts") is not None else 0xFFFFFFFF,
-                _fit_secs(st["start_ts"]) if st.get("start_ts") is not None else 0xFFFFFFFF,
+                _fit_secs_or(st.get("end_ts")),
+                _fit_secs_or(st.get("start_ts")),
                 int(round(dur * 1000.0)) if dur is not None else 0xFFFFFFFF,
                 int(stype) if stype is not None else 0xFF,
                 int(reps) if reps is not None else 0xFFFF,
@@ -795,10 +807,16 @@ def encode_fit(
     if events:
         body += _def_record(5, 21, EVENT_DEF)
         for ev in events:
+            if ev.get("ts") is None or pd.isna(ev["ts"]):
+                continue
+            v = ev.get("value")
+            # event id is a 1-byte enum: null/NaN/out-of-range -> invalid
+            # sentinel rather than a silently wrapped id
+            eid = int(v) if (v is not None and v == v and 0 <= v <= 254) else 0xFF
             body += bytes([0x05]) + struct.pack(
                 "<IBBI",
                 _fit_secs(ev["ts"]),
-                int(ev.get("value") or 0) & 0xFF,
+                eid,
                 0,  # event_type: start
                 0xFFFFFFFF,
             )

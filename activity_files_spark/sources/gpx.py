@@ -267,19 +267,20 @@ def _channel_records(activity_id: str, pt, ts) -> tuple[list[dict], str | None]:
         for child in ext:
             ctag = _local(child.tag)
             if ctag == "trackpointextension":
-                for node in child.iter():
+                # direct TPX children: numeric leaves are consumed as
+                # channels; anything else (non-numeric leaf OR a nested
+                # subtree) is preserved WHOLE so its ancestor structure
+                # survives the round trip
+                for node in child:
                     tag = _local(node.tag)
-                    if tag == "trackpointextension":
-                        continue
-                    val = _num_text(node)
+                    val = _num_text(node) if not len(node) else None
                     if ts is not None and val is not None:
                         recs.append(
                             {"activity_id": activity_id, "kind": "channel",
                              "channel": TPX_CHANNELS.get(tag, tag), "ts": ts,
                              "value": val}
                         )
-                    elif not len(node):
-                        # unconsumed TPX leaf survives in the preserved tree
+                    else:
                         leftover_nodes.append(node)
             else:
                 val = _num_text(child) if not len(child) else None

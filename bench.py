@@ -230,41 +230,22 @@ def image_tile_pip(spark, n_images: int, cpus: int) -> tuple[float, int]:
     describes: decode + pixel-allclose/caption/phash invariants (Arrow
     kernel; the north star requires them per row), then broadcast PIP
     label join and res-ladder tile explode + rollup, in ONE pass over the
-    scan (validate passthrough carries lat/lon so no re-join). The tier is
-    compute-bound (decode dominates), which is its real shape at 10^12 —
-    the metadata-only variant is reported separately as tile_pip_meta."""
-    from pyspark.sql import functions as F
-
-    import __spark_entry__ as E
-    from activity_files_spark.operators.tiling import tile_assign, validate_images
-
+    scan. The plan is built by _fused_pipeline_df — the same function the
+    executor-scaling mode runs — so every measurement measures the same
+    job. Compute-bound (decode dominates), its real shape at 10^12; the
+    metadata-only variant is reported separately as tile_pip_meta."""
     path = _images_parquet(
         spark, n_images, cpus, dims=BIG_DIMS if BIG else None, tag="big" if BIG else ""
-    )
-    gf = spark.createDataFrame(
-        E.GEOFENCES, "geofence_id string, lon_w double, lon_e double, lat_s double, lat_n double"
     )
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(_tuned_split_bytes(path, cpus)))
     imgs = spark.read.parquet(path)
     # warm the python workers (fork + numpy import) outside the timing
     _warm_python_workers(spark, cpus)
+    from activity_files_spark.operators.tiling import validate_images
+
     validate_images(imgs.limit(64), passthrough=("lat", "lon")).count()
     t0 = time.monotonic()
-    v = validate_images(imgs, passthrough=("lat", "lon")).filter(F.col("ok"))
-    labeled = v.join(
-        F.broadcast(gf),
-        (F.col("lon") >= F.col("lon_w")) & (F.col("lon") <= F.col("lon_e"))
-        & (F.col("lat") >= F.col("lat_s")) & (F.col("lat") <= F.col("lat_n")),
-        "left_outer",
-    )
-    tiles = tile_assign(
-        labeled, resolutions=[8, 10, 12], with_quadkey=False,
-        extra_cols=("geofence_id",),
-    )
-    agg = tiles.groupBy("geofence_id", "zoom", "cell_id").agg(
-        F.count("*").alias("n_images")
-    )
-    _noop_write(agg)
+    _noop_write(_fused_pipeline_df(spark, path, 0, n_images))
     dt = time.monotonic() - t0
     spark.conf.unset("spark.sql.files.maxPartitionBytes")
     return dt, n_images
@@ -432,11 +413,23 @@ def run_scaling() -> None:
     factor = hi_lvl / lo_lvl
     os.makedirs("BENCH", exist_ok=True)
     state_path = f"BENCH/scaling_state_{variant}.json"
+    config = {
+        "n_images": n_images_scaling,
+        "levels": [lo_lvl, hi_lvl],
+        "pinned": os.environ.get("SPARK_GRAFT_SCALING_PIN") == "1",
+        "repeat": int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")),
+    }
     results: dict = {lo_lvl: None, hi_lvl: None}
     if os.path.exists(state_path):
         saved = json.load(open(state_path))
-        results = {lo_lvl: saved.get(str(lo_lvl)), hi_lvl: saved.get(str(hi_lvl))}
-        results["passes"] = saved.get("passes", 0)
+        if saved.get("config") == config:
+            results = {lo_lvl: saved.get(str(lo_lvl)), hi_lvl: saved.get(str(hi_lvl))}
+            results["passes"] = saved.get("passes", 0)
+        else:
+            # a best-of merge across DIFFERENT workload configs would
+            # corrupt the published efficiency — start a fresh accumulation
+            print(json.dumps({"note": "scaling config changed; state reset",
+                              "old": saved.get("config"), "new": config}))
     passes = results.pop("passes", 0)
     for _attempt in range(attempts):
         for cpus in (lo_lvl, hi_lvl):
@@ -468,7 +461,8 @@ def run_scaling() -> None:
     with open(state_path, "w") as f:
         json.dump({str(lo_lvl): results[lo_lvl], str(hi_lvl): results[hi_lvl],
                    "passes": passes, "n_images": n_images_scaling,
-                   "variant": variant, "levels": [lo_lvl, hi_lvl]}, f)
+                   "variant": variant, "levels": [lo_lvl, hi_lvl],
+                   "config": config}, f)
     n, n4 = results[lo_lvl], results[hi_lvl]
 
     def eff(key):

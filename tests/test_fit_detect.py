@@ -410,3 +410,39 @@ def test_fit_string_truncation_char_boundary():
     out3 = utf8_truncate(s3)
     assert out3 == b"a" * 61
     out3.decode("utf-8")
+
+
+def test_fit_encode_null_timestamps_and_event_values(spark):
+    """Review regressions: NaT timestamps on lengths/sets/laps and null/
+    out-of-range event values must encode as invalid sentinels, not crash
+    the kernel (pandas nulls arrive as NaT/NaN through to_dict)."""
+    from activity_files_spark.sources.fit import fit_encode_records, fit_records
+    from activity_files_spark.sources.records import records_frame, RECORD_SCHEMA
+
+    rows = [
+        {"activity_id": "a", "kind": "point", "seq": 0, "ts": TS0,
+         "lat": 40.0, "lon": -105.0},
+        {"activity_id": "a", "kind": "point", "seq": 1, "ts": None,  # dropped
+         "lat": 40.1, "lon": -105.0},
+        {"activity_id": "a", "kind": "length", "start_ts": TS0, "end_ts": None,
+         "attrs": {"total_elapsed_s": "30.0"}},
+        {"activity_id": "a", "kind": "set", "start_ts": None, "end_ts": None,
+         "attrs": {"repetitions": "5"}},
+        {"activity_id": "a", "kind": "lap", "lap_id": 0, "start_ts": None,
+         "end_ts": None},
+        {"activity_id": "a", "kind": "channel", "channel": "event", "ts": TS0,
+         "value": None},
+        {"activity_id": "a", "kind": "channel", "channel": "event",
+         "ts": datetime(2024, 3, 1, 10, 0, 10), "value": 300.0},
+    ]
+    rec_df = spark.createDataFrame(records_frame(rows), RECORD_SCHEMA)
+    back = [r.asDict() for r in fit_records(fit_encode_records(rec_df)).collect()]
+    assert sum(1 for r in back if r["kind"] == "point") == 1  # null-ts dropped
+    # length survives: end falls back to start+elapsed on decode
+    lens = [r for r in back if r["kind"] == "length"]
+    assert len(lens) == 1 and lens[0]["start_ts"] is not None
+    # events with null / >254 values encode the invalid sentinel, which the
+    # decoder reports as event id 0 (its null -> 0 contract for msg 21)
+    evs = [r["value"] for r in back if r["kind"] == "channel" and r["channel"] == "event"]
+    assert evs == [0.0, 0.0]
+    assert not any(r["kind"] == "diag" for r in back)

@@ -379,3 +379,21 @@ def test_merge_upsert_semantics(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     with _pytest.raises(ValueError):
         merge_upsert(target, source, ["id"], "delete")
+
+
+def test_merge_records_null_ts_points_survive_normalize(spark):
+    """Review regression: points without timestamps pass through the
+    normalize dedup unchanged (a null-ts window partition previously
+    collapsed them all to one row)."""
+    from activity_files_spark.operators.summary import merge_records
+    from activity_files_spark.sources.records import records_frame, RECORD_SCHEMA
+    from pyspark.sql import functions as F
+
+    def mk(aid, n):
+        rows = [{"activity_id": aid, "kind": "point", "seq": i, "ts": None,
+                 "lat": 40.0 + i, "lon": -105.0} for i in range(n)]
+        rows.append({"activity_id": aid, "kind": "meta", "sport": "running"})
+        return spark.createDataFrame(records_frame(rows), RECORD_SCHEMA)
+
+    out = merge_records([mk("a", 3), mk("b", 2)], "m", normalize=True)
+    assert out.filter(F.col("kind") == "point").count() == 5

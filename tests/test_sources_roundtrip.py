@@ -442,3 +442,33 @@ def test_tcx_v1_dialect_roundtrip():
     p2 = [(r["lat"], r["lon"]) for r in r2 if r["kind"] == "point"]
     assert p1 == p2 and len(p1) == 3
     assert [r for r in r1 if r["kind"] == "diag"] == []
+
+
+def test_gpx_nested_tpx_subtree_preserved():
+    """Review regression: a non-numeric NESTED subtree under
+    TrackPointExtension keeps its ancestor structure through the round
+    trip (previously its leaves were orphaned)."""
+    import json
+    xml = """<?xml version="1.0"?>
+    <gpx version="1.1" xmlns="http://www.topografix.com/GPX/1/1"
+         xmlns:gpxtpx="http://www.garmin.com/xmlschemas/TrackPointExtension/v1">
+      <trk><trkseg>
+        <trkpt lat="40.0" lon="-105.0"><time>2024-03-01T10:00:00Z</time>
+          <extensions><gpxtpx:TrackPointExtension>
+            <gpxtpx:hr>140</gpxtpx:hr>
+            <gpxtpx:foo><gpxtpx:bar>x</gpxtpx:bar></gpxtpx:foo>
+          </gpxtpx:TrackPointExtension></extensions>
+        </trkpt>
+      </trkseg></trk>
+    </gpx>"""
+    recs = parse_gpx("a", xml)
+    assert [r["value"] for r in recs if r["kind"] == "channel"] == [140.0]
+    p = [r for r in recs if r["kind"] == "point"][0]
+    tree = json.loads(p["attrs"]["extensions_json"])
+    assert tree == [{
+        "name": "foo",
+        "ns": "http://www.garmin.com/xmlschemas/TrackPointExtension/v1",
+        "children": [{"name": "bar",
+                      "ns": "http://www.garmin.com/xmlschemas/TrackPointExtension/v1",
+                      "value": "x"}],
+    }]
