@@ -1299,7 +1299,6 @@ def fit_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       set    for event_id % 7 == 0: reps = event_id % 20,
                                     weight = (event_id % 160) / 16
     """
-    from activity_files_spark.functions.time import ts_seconds
     from activity_files_spark.sources.fit import fit_encode_records, fit_records
 
     ev = _read(spark, sf_dir, "events").select(
@@ -1497,7 +1496,6 @@ def gpx_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     significant digits -> %g prints and float() reparses bit-exactly);
     waypoint for event_id % 9 == 0; route point for event_id % 6 == 0.
     """
-    from activity_files_spark.functions.time import ts_seconds
     from activity_files_spark.sources.gpx import gpx_encode_records, gpx_records
 
     ev = _read(spark, sf_dir, "events").select(
