@@ -749,16 +749,13 @@ def _simhash_sql() -> str:
 
 
 def lang_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text analysis: language ID, quality score, fingerprint per document."""
-    from activity_files_spark.functions.text import fingerprint, lang_id, quality_score
+    """Text analysis: language ID, quality score, fingerprint per document.
+    Uses the staged one-pass profile (each stopword-ratio subtree codegens
+    once — the single-projection form paid ~4s of one-time compile)."""
+    from activity_files_spark.functions.text import text_profile
 
     docs = _read(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        lang_id(F.col("text")).alias("lang_guess"),
-        quality_score(F.col("text")).alias("quality"),
-        fingerprint(F.col("text")).alias("fp"),
-    )
+    return text_profile(docs, text_col="text", id_col="doc_id")
 
 
 def _lang_quality_sql() -> str:

@@ -94,6 +94,51 @@ def lang_id_sql(expr: str) -> str:
     )
 
 
+def text_profile(df, text_col: str = "text", id_col: str = "doc_id"):
+    """lang_id + quality_score + fingerprint in ONE pass with the shared
+    subtrees (the per-language split/filter stopword ratios, token count,
+    alpha length) staged in an intermediate projection, so each appears in
+    the generated code exactly once. Catalyst keeps the stage because the
+    aliases are non-cheap and multiply referenced (CollapseProject's
+    use-count rule); the round-2 single-projection form duplicated each
+    stopword-ratio tree ~5x and paid ~4s of one-time codegen compile.
+    Bit-identical to lang_id/quality_score/fingerprint (same op order).
+    """
+    t = F.col(text_col)
+    staged = df.select(
+        F.col(id_col),
+        t.alias("_t"),
+        *[
+            stopword_ratio(t, lang).alias(f"_sw_{lang}")
+            for lang in ("en", "de", "fr")
+        ],
+        token_count(t).cast("double").alias("_n_tok"),
+        F.length(t).cast("double").alias("_len"),
+        F.length(F.regexp_replace(t, r"[^a-zA-Z ]", "")).cast("double").alias("_alpha_len"),
+    )
+    best = F.greatest(F.col("_sw_en"), F.col("_sw_de"), F.col("_sw_fr"))
+    lang_expr = F.lit("und")
+    for lang in ("fr", "de", "en"):  # reversed: earlier languages win ties
+        s = F.col(f"_sw_{lang}")
+        lang_expr = F.when((s == best) & (best > 0), lang).otherwise(lang_expr)
+    alpha = F.col("_alpha_len") / F.greatest(F.col("_len"), F.lit(1.0))
+    quality = F.round(
+        (
+            F.least(F.col("_n_tok") / F.lit(20.0), F.lit(1.0))
+            + alpha
+            + F.least(F.col("_sw_en") * F.lit(5.0), F.lit(1.0))
+        )
+        / F.lit(3.0),
+        6,
+    )
+    return staged.select(
+        F.col(id_col),
+        lang_expr.alias("lang_guess"),
+        quality.alias("quality"),
+        fingerprint(F.col("_t")).alias("fp"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: lowercase, collapse whitespace, md5."""
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
