@@ -1,0 +1,174 @@
+"""Real-world golden regression tests.
+
+Decode the reference repo's committed real-world sample files
+(`test/fixtures/real_world/sample.{fit,gpx,tcx}` — public test data) and pin
+concrete field values, mirroring the reference's regression contract
+(`test/parsers/fit_real_file_regression_test.dart:18-35`): ground truth for
+the FIT file was cross-checked against the python-fitparse decode of the
+official FIT profile — 1 session (sport running), 2 laps, lap[0]
+total_elapsed_time == 20.0 s with the scale-1000 factor applied. A real
+multi-message file exercises field combinations (session + laps + records
+with six channels, semicircle coords, scaled altitude/speed/duration) that
+synthetic single-message fixtures do not.
+
+Skipped when the reference checkout is absent (the suite stays standalone).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+FIXTURES = "/root/reference/test/fixtures/real_world"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXTURES), reason="reference real-world fixtures not present"
+)
+
+
+def _by_kind(recs, kind):
+    return [r for r in recs if r["kind"] == kind]
+
+
+class TestFitRealFile:
+    @pytest.fixture(scope="class")
+    def recs(self):
+        from activity_files_spark.sources.fit import parse_fit
+
+        with open(os.path.join(FIXTURES, "sample.fit"), "rb") as f:
+            return parse_fit("golden", f.read())
+
+    def test_session_sport_is_running(self, recs):
+        # session message (global 18) -> meta record; sport id 1 = running
+        metas = _by_kind(recs, "meta")
+        assert len(metas) == 1
+        assert metas[0]["sport"] == "running"
+
+    def test_two_laps_with_scale_1000_durations(self, recs):
+        laps = _by_kind(recs, "lap")
+        assert len(laps) == 2
+        # fitparse ground truth: lap[0].total_elapsed_time == 20.0 s
+        # (raw 20000, scale 1000); lap[1] 30.0 s. Timer fields in this file
+        # are raw 250/300 -> 0.25/0.3 s, pinning that the scale-1000 factor
+        # is applied to BOTH duration fields (field renumbering or a missed
+        # scale would change these).
+        assert float(laps[0]["attrs"]["total_elapsed_s"]) == 20.0
+        assert float(laps[1]["attrs"]["total_elapsed_s"]) == 30.0
+        assert float(laps[0]["attrs"]["total_timer_s"]) == 0.25
+        assert float(laps[1]["attrs"]["total_timer_s"]) == 0.3
+
+    def test_point_stream_semicircles_and_altitude(self, recs):
+        pts = _by_kind(recs, "point")
+        assert len(pts) == 6
+        p0, p5 = pts[0], pts[-1]
+        assert str(p0["ts"]) == "2024-01-10 07:00:00"
+        assert str(p5["ts"]) == "2024-01-10 07:00:50"
+        # semicircle -> degree conversion (raw * 180 / 2^31)
+        assert p0["lat"] == pytest.approx(40.0, abs=1e-6)
+        assert p0["lon"] == pytest.approx(-105.0, abs=1e-6)
+        assert p5["lat"] == pytest.approx(40.0015, abs=1e-6)
+        assert p5["lon"] == pytest.approx(-105.001, abs=1e-6)
+        # altitude field: (raw / 5) - 500
+        assert p0["ele"] == 1600.0
+        assert p5["ele"] == 1610.0
+
+    def test_first_record_channels(self, recs):
+        import pandas as pd
+
+        t0 = pd.Timestamp("2024-01-10 07:00:00")
+        ch0 = {r["channel"]: r["value"] for r in _by_kind(recs, "channel") if r["ts"] == t0}
+        assert ch0 == {
+            "heart_rate": 140.0,
+            "cadence": 82.0,
+            "power": 180.0,
+            "temperature": 18.0,
+            "speed": 0.0,  # raw 0, scale 1000
+            "distance": 0.0,  # raw 0, scale 100
+        }
+
+
+class TestGpxRealFile:
+    @pytest.fixture(scope="class")
+    def recs(self):
+        from activity_files_spark.sources.gpx import parse_gpx
+
+        with open(os.path.join(FIXTURES, "sample.gpx")) as f:
+            return parse_gpx("golden", f.read())
+
+    def test_track_shape(self, recs):
+        pts = _by_kind(recs, "point")
+        assert len(pts) == 6
+        assert [p["seq"] for p in pts] == list(range(6))
+        assert len(_by_kind(recs, "lap")) == 1  # one trkseg
+
+    def test_first_point_values(self, recs):
+        p0 = _by_kind(recs, "point")[0]
+        assert (p0["lat"], p0["lon"], p0["ele"]) == (40.0, -105.0, 1600.0)
+        assert p0["ts"].isoformat().startswith("2024-01-10T07:00:00")
+
+    def test_trackpoint_extension_channels(self, recs):
+        from collections import Counter
+
+        chs = _by_kind(recs, "channel")
+        counts = Counter(r["channel"] for r in chs)
+        # gpxtpx v2 TrackPointExtension: all nine channels on every point
+        assert counts == {
+            c: 6
+            for c in (
+                "heart_rate", "cadence", "power", "temperature",
+                "wtemp", "depth", "speed", "course", "bearing",
+            )
+        }
+        last = {r["channel"]: r["value"] for r in chs if str(r["ts"]).startswith("2024-01-10 07:00:50")}
+        assert last["heart_rate"] == 152.0
+        assert last["power"] == 220.0
+        assert last["depth"] == 2.0
+
+    def test_metadata_device(self, recs):
+        import json
+
+        meta = _by_kind(recs, "meta")[0]
+        attrs = meta["attrs"]
+        assert attrs.get("creator") == "artificial-fixture"
+        assert attrs.get("trk.type") == "Cycling"
+        assert attrs.get("metadata.name") == "Artificial Activity"
+        # the <device> block is preserved losslessly in the extension tree
+        ext = json.loads(attrs["metadata.extensions_json"])
+        device = {c["name"]: c["value"] for c in ext[0]["children"]}
+        assert device["manufacturer"] == "Example Labs"
+        assert device["product"] == "Synthetic 1"
+        assert device["serialNumber"] == "SYN-0001"
+
+
+class TestTcxRealFile:
+    @pytest.fixture(scope="class")
+    def recs(self):
+        from activity_files_spark.sources.tcx import parse_tcx
+
+        with open(os.path.join(FIXTURES, "sample.tcx")) as f:
+            return parse_tcx("golden", f.read())
+
+    def test_sport_and_laps(self, recs):
+        meta = _by_kind(recs, "meta")[0]
+        assert meta["sport"] == "biking"
+        laps = _by_kind(recs, "lap")
+        assert len(laps) == 2
+        assert float(laps[0]["attrs"]["total_time_s"]) == 20.0
+        assert laps[0]["distance_m"] == 250.0
+        assert laps[1]["distance_m"] == 300.0
+
+    def test_points_and_channels(self, recs):
+        pts = _by_kind(recs, "point")
+        assert len(pts) == 7
+        p0 = pts[0]
+        assert (p0["lat"], p0["lon"], p0["ele"]) == (40.0, -105.0, 1600.0)
+        t0 = {r["channel"]: r["value"] for r in _by_kind(recs, "channel") if p0["ts"] == r["ts"]}
+        assert t0["heart_rate"] == 140.0
+        assert t0["cadence"] == 82.0
+
+    def test_creator_device(self, recs):
+        attrs = _by_kind(recs, "meta")[0]["attrs"]
+        assert attrs.get("device.name") == "artificial-fixture"
+        assert attrs.get("device.productid") == "Synthetic 1"
+        assert attrs.get("tcx.id") == "2024-01-10T07:00:00.000Z"
