@@ -1559,6 +1559,199 @@ def _gpx_roundtrip_sql() -> str:
     """
 
 
+def tcx_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S8 TCX full-document round-trip, driver-gated (reference contract:
+    test/parsers/tcx_lossless_test.dart): per user, build an activity from
+    events (points + heart-rate/speed/power channels + one lap spanning the
+    track), encode it to REAL TCX XML (tcx_encode_df: per-lap Track windows,
+    HeartRateBpm wrapper, TPX Speed/Watts extension), parse it back
+    (tcx_records), and aggregate what survived. The oracle computes the same
+    aggregates arithmetically — a hash match proves the XML encoder/parser
+    round-trips points, wrapped/extension channels, and lap metadata exactly.
+
+    All summed values are dyadic (ints or 1/16-multiples), so double
+    addition is exact and order-independent across both engines:
+      heart_rate = 100 + event_id % 80        (int, HeartRateBpm/Value)
+      power      = event_id % 400             (int, TPX <Watts>)
+      speed      = floor(epoch(ts)) % 1000/16 (1/16-multiple, TPX <Speed>,
+                   <= 6 significant digits so %g prints it exactly)
+      lap distance_m = user_id                (int-valued double)
+    """
+    from activity_files_spark.sources.tcx import tcx_encode_df, tcx_records
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("activity_id"),
+        "event_id", "ts",
+        _lat_col().alias("lat"), _lon_col().alias("lon"),
+    )
+    metric = _roundtrip_metric()
+    points = ev.select("activity_id", "ts", "lat", "lon",
+                       F.lit(None).cast("double").alias("ele"))
+    chans = ev.select(
+        "activity_id", "ts",
+        F.explode(F.array(
+            F.struct(F.lit("heart_rate").alias("channel"),
+                     (F.lit(100) + F.col("event_id") % 80).cast("double").alias("value")),
+            F.struct(F.lit("speed").alias("channel"), metric.alias("value")),
+            F.struct(F.lit("power").alias("channel"),
+                     (F.col("event_id") % 400).cast("double").alias("value")),
+        )).alias("cv"),
+    ).select("activity_id", "ts", F.col("cv.channel").alias("channel"),
+             F.col("cv.value").alias("value"))
+    laps = ev.groupBy("activity_id").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"),
+        F.max(F.substring("activity_id", 2, 20).cast("double")).alias("distance_m"),
+    )
+    xml = tcx_encode_df(points, chans, laps, sport="Running")
+    back = tcx_records(xml, xml_col="xml")
+    agg = back.groupBy("activity_id").agg(
+        F.count(F.when(F.col("kind") == "point", 1)).alias("n_points"),
+        F.count(F.when((F.col("kind") == "channel")
+                       & (F.col("channel") == "heart_rate"), 1)).alias("n_hr"),
+        F.sum(F.when((F.col("kind") == "channel")
+                     & (F.col("channel") == "heart_rate"),
+                     F.col("value"))).alias("sum_hr"),
+        F.sum(F.when((F.col("kind") == "channel")
+                     & (F.col("channel") == "speed"),
+                     F.col("value"))).alias("sum_speed"),
+        F.sum(F.when((F.col("kind") == "channel")
+                     & (F.col("channel") == "power"),
+                     F.col("value"))).alias("sum_power"),
+        F.count(F.when(F.col("kind") == "lap", 1)).alias("n_laps"),
+        F.sum(F.when(F.col("kind") == "lap",
+                     F.col("distance_m"))).alias("sum_lap_dist"),
+    )
+    return agg.select(
+        F.substring("activity_id", 2, 20).cast("long").alias("user_id"),
+        "n_points", "n_hr", "sum_hr", "sum_speed", "sum_power",
+        "n_laps", "sum_lap_dist",
+    )
+
+
+def _tcx_roundtrip_sql() -> str:
+    return """
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           COUNT(*) AS n_hr,
+           SUM(CAST(100 + event_id % 80 AS DOUBLE)) AS sum_hr,
+           SUM(CAST((epoch_us(ts) // 1000000) % 1000 AS DOUBLE)
+               / CAST(16.0 AS DOUBLE)) AS sum_speed,
+           SUM(CAST(event_id % 400 AS DOUBLE)) AS sum_power,
+           CAST(1 AS BIGINT) AS n_laps,
+           CAST(MAX(user_id) AS DOUBLE) AS sum_lap_dist
+    FROM events GROUP BY user_id
+    """
+
+
+def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S10 CSV text round-trip, driver-gated (reference contract:
+    test/formats/csv_geojson_roundtrip_test.dart): per user, points + a
+    custom channel are pivoted to the wide 11-column layout, serialized to
+    one CSV document per activity (csv_encode_text_df — shortest-roundtrip
+    float repr), parsed back through the payload parser (csv_records,
+    unknown numeric column -> custom channel), and aggregated."""
+    from activity_files_spark.sources.csvsrc import csv_encode_text_df, csv_records
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("activity_id"),
+        "event_id", "ts",
+        _lat_col().alias("lat"), _lon_col().alias("lon"),
+    )
+    metric = _roundtrip_metric()
+    points = ev.select("activity_id", "ts", "lat", "lon",
+                       F.lit(None).cast("double").alias("ele"))
+    chans = ev.select("activity_id", "ts",
+                      F.lit("custom_metric").alias("channel"),
+                      metric.alias("value"))
+    docs = csv_encode_text_df(points, chans)
+    back = csv_records(docs)
+    agg = back.groupBy("activity_id").agg(
+        F.count(F.when(F.col("kind") == "point", 1)).alias("n_points"),
+        F.count(F.when((F.col("kind") == "channel")
+                       & (F.col("channel") == "custom_metric"), 1)).alias("n_channels"),
+        F.sum(F.when((F.col("kind") == "channel")
+                     & (F.col("channel") == "custom_metric"),
+                     F.col("value"))).alias("sum_metric"),
+        F.count(F.when(F.col("kind") == "diag", 1)).alias("n_diags"),
+    )
+    return agg.select(
+        F.substring("activity_id", 2, 20).cast("long").alias("user_id"),
+        "n_points", "n_channels", "sum_metric", "n_diags",
+    )
+
+
+def _csv_roundtrip_sql() -> str:
+    return """
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           COUNT(*) AS n_channels,
+           SUM(CAST((epoch_us(ts) // 1000000) % 1000 AS DOUBLE)
+               / CAST(16.0 AS DOUBLE)) AS sum_metric,
+           CAST(0 AS BIGINT) AS n_diags
+    FROM events GROUP BY user_id
+    """
+
+
+def geojson_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S11 GeoJSON round-trip, driver-gated: even users encode as the
+    Points variant (one Point feature per trackpoint, channel values as
+    numeric properties), odd users as the LineString variant
+    (coordinateProperties.times); both parse back through geojson_records.
+    A hash match proves both document shapes round-trip: Points recover
+    per-point channels, LineStrings recover the track and emit one lap
+    (times present on first/last coordinate)."""
+    from activity_files_spark.sources.geojson import (
+        geojson_encode_df,
+        geojson_encode_points_df,
+        geojson_records,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("activity_id"),
+        F.col("user_id"), "event_id", "ts",
+        _lat_col().alias("lat"), _lon_col().alias("lon"),
+    )
+    metric = _roundtrip_metric()
+    even = ev.filter(F.col("user_id") % 2 == 0)
+    odd = ev.filter(F.col("user_id") % 2 == 1)
+    pts_cols = ["activity_id", "ts", "lat", "lon"]
+    even_docs = geojson_encode_points_df(
+        even.select(*pts_cols, F.lit(None).cast("double").alias("ele")),
+        even.select("activity_id", "ts",
+                    F.lit("custom_metric").alias("channel"),
+                    metric.alias("value")),
+    )
+    odd_docs = geojson_encode_df(
+        odd.select(*pts_cols, F.lit(None).cast("double").alias("ele"))
+    )
+    back = geojson_records(even_docs.unionByName(odd_docs))
+    agg = back.groupBy("activity_id").agg(
+        F.count(F.when(F.col("kind") == "point", 1)).alias("n_points"),
+        F.count(F.when((F.col("kind") == "channel")
+                       & (F.col("channel") == "custom_metric"), 1)).alias("n_channels"),
+        F.sum(F.when((F.col("kind") == "channel")
+                     & (F.col("channel") == "custom_metric"),
+                     F.col("value"))).alias("sum_metric"),
+        F.count(F.when(F.col("kind") == "lap", 1)).alias("n_laps"),
+    )
+    return agg.select(
+        F.substring("activity_id", 2, 20).cast("long").alias("user_id"),
+        "n_points", "n_channels", "sum_metric", "n_laps",
+    )
+
+
+def _geojson_roundtrip_sql() -> str:
+    return """
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           COUNT(*) FILTER (user_id % 2 = 0) AS n_channels,
+           SUM(CAST((epoch_us(ts) // 1000000) % 1000 AS DOUBLE)
+               / CAST(16.0 AS DOUBLE)) FILTER (user_id % 2 = 0) AS sum_metric,
+           CAST(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_laps
+    FROM events GROUP BY user_id
+    """
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1620,6 +1813,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpx_roundtrip_stats": gpx_roundtrip_stats,
         "merge_upsert_events": merge_upsert_events,
         "stream_sessionize_users": stream_sessionize_users,
+        "tcx_roundtrip_stats": tcx_roundtrip_stats,
+        "csv_roundtrip_stats": csv_roundtrip_stats,
+        "geojson_roundtrip_stats": geojson_roundtrip_stats,
     }
 
 
@@ -1661,6 +1857,9 @@ def oracle_sql() -> dict[str, str]:
         "gpx_roundtrip_stats": _gpx_roundtrip_sql(),
         "merge_upsert_events": _merge_upsert_sql(),
         "stream_sessionize_users": _stream_sessionize_sql(),
+        "tcx_roundtrip_stats": _tcx_roundtrip_sql(),
+        "csv_roundtrip_stats": _csv_roundtrip_sql(),
+        "geojson_roundtrip_stats": _geojson_roundtrip_sql(),
         # validate_images_summary: intentionally no oracle (pixel decode is
         # not SQL-expressible) -> driver rows-only check; pytest pins it.
     }

@@ -111,60 +111,114 @@ def csv_records(
 
     from activity_files_spark.sources.records import RECORD_SCHEMA, records_frame
 
-    def parse_one(aid: str, text: str) -> list[dict]:
-        out: list[dict] = []
+    import numpy as np
+
+    from activity_files_spark.sources.records import normalize_records
+
+    def parse_one(aid: str, text: str):
+        """Returns (list of column-built frames, list of small dict rows) —
+        fully vectorized over the file's rows (no iterrows)."""
+        small: list[dict] = []
         try:
             pdf = pd.read_csv(io.StringIO(text))
         except Exception as e:  # noqa: BLE001 - diagnostics-only contract
-            out.append({"activity_id": aid, "kind": "diag",
-                        "attrs": {"code": "parse.csv.malformed",
-                                  "severity": "error", "message": str(e)}})
-            return out
+            small.append({"activity_id": aid, "kind": "diag",
+                          "attrs": {"code": "parse.csv.malformed",
+                                    "severity": "error", "message": str(e)}})
+            return [], small
         cols = {c.strip().lower(): c for c in pdf.columns}
         reserved = set(FIXED_COLS) | {"sport", "activity_id"}
-        seq = 0
-        for _, row in pdf.iterrows():
-            ts = None
-            if "timestamp" in cols:
-                try:
-                    ts = pd.to_datetime(row[cols["timestamp"]], utc=True).tz_localize(None)
-                except (ValueError, TypeError):
-                    out.append({"activity_id": aid, "kind": "diag",
-                                "attrs": {"code": "parse.csv.bad_row",
-                                          "severity": "warning",
-                                          "message": f"row {seq} bad timestamp"}})
+        has_ts = "timestamp" in cols
+        if has_ts:
+            raw = pdf[cols["timestamp"]]
+            ts = pd.to_datetime(raw, utc=True, errors="coerce").dt.tz_localize(None)
+            # unparseable (non-empty) timestamp -> row dropped with a diag;
+            # an empty cell stays a point with null ts
+            bad = (raw.notna() & ts.isna()).to_numpy()
+        else:
+            ts = pd.Series(pd.NaT, index=pdf.index)
+            bad = np.zeros(len(pdf), dtype=bool)
+        keep = ~bad
+        if bad.any():
+            # diag seq = number of kept rows before the bad one (matches the
+            # row-at-a-time counter semantics)
+            before = np.cumsum(keep) - keep
+            for b in before[bad]:
+                small.append({"activity_id": aid, "kind": "diag",
+                              "attrs": {"code": "parse.csv.bad_row",
+                                        "severity": "warning",
+                                        "message": f"row {int(b)} bad timestamp"}})
+        kept = pdf[keep]
+        tsk = ts[keep]
+
+        def num(name):
+            if name not in cols:
+                return np.full(len(kept), np.nan)
+            return pd.to_numeric(kept[cols[name]], errors="coerce").to_numpy(dtype=float)
+
+        frames = [pd.DataFrame({
+            "activity_id": aid, "kind": "point",
+            "seq": np.arange(len(kept), dtype=np.int64),
+            "ts": tsk.to_numpy(), "lat": num("latitude"),
+            "lon": num("longitude"), "ele": num("elevation"),
+        })]
+        if has_ts:
+            for c in cols:
+                if c in reserved:
                     continue
-
-            def num(name):
-                if name not in cols:
-                    return None
-                try:
-                    v = float(row[cols[name]])
-                    return v if v == v else None
-                except (ValueError, TypeError):
-                    return None
-
-            out.append({"activity_id": aid, "kind": "point", "seq": seq, "ts": ts,
-                        "lat": num("latitude"), "lon": num("longitude"),
-                        "ele": num("elevation"), "attrs": None})
-            if ts is not None:
-                for c in cols:
-                    if c in reserved:
-                        continue
-                    v = num(c)
-                    if v is not None:
-                        out.append({"activity_id": aid, "kind": "channel",
-                                    "channel": c, "ts": ts, "value": v})
-            seq += 1
-        out.append({"activity_id": aid, "kind": "meta",
-                    "attrs": {"format": "csv"}})
-        return out
+                v = pd.to_numeric(kept[cols[c]], errors="coerce")
+                m = v.notna().to_numpy()
+                if m.any():
+                    frames.append(pd.DataFrame({
+                        "activity_id": aid, "kind": "channel", "channel": c,
+                        "ts": tsk.to_numpy()[m],
+                        "value": v.to_numpy(dtype=float)[m],
+                    }))
+        small.append({"activity_id": aid, "kind": "meta",
+                      "attrs": {"format": "csv"}})
+        return frames, small
 
     def kernel(batches):
         for pdf in batches:
+            frames: list[pd.DataFrame] = []
             rows: list[dict] = []
             for aid, text in zip(pdf[id_col], pdf[text_col]):
-                rows.extend(parse_one(aid, text))
-            yield records_frame(rows)
+                f, s = parse_one(aid, text)
+                frames.extend(f)
+                rows.extend(s)
+            frames.append(records_frame(rows))
+            nonempty = [f for f in frames if len(f)]
+            if nonempty:
+                import warnings
+
+                with warnings.catch_warnings():
+                    # frames carry different column subsets; the all-NA-column
+                    # dtype deprecation is moot because normalize_records
+                    # coerces every dtype afterward
+                    warnings.simplefilter("ignore", FutureWarning)
+                    yield normalize_records(pd.concat(nonempty, ignore_index=True))
+            else:
+                yield records_frame([])
 
     return files.mapInPandas(kernel, RECORD_SCHEMA)
+
+
+def csv_encode_text_df(points: DataFrame, channels: DataFrame) -> DataFrame:
+    """One CSV document per activity (the reference's per-file text
+    contract, csv_encoder.dart:23-93): the wide exact-ts pivot from
+    :func:`csv_encode_df` serialized with its header row. Floats print
+    shortest-roundtrip (repr), so every value reparses bit-exactly."""
+    import io as _io
+
+    import pandas as pd
+
+    wide = csv_encode_df(points, channels)
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        buf = _io.StringIO()
+        pdf.sort_values("timestamp", kind="stable").to_csv(buf, index=False)
+        return pd.DataFrame([{"activity_id": key[0], "text": buf.getvalue()}])
+
+    return wide.groupBy("activity_id").applyInPandas(
+        kernel, "activity_id string, text string"
+    )

@@ -43,7 +43,17 @@ RECORD_FIELDS = [
 
 def records_frame(rows: list[dict]) -> pd.DataFrame:
     """Normalize a list of partial record dicts to the full schema."""
-    df = pd.DataFrame(rows, columns=RECORD_FIELDS)
+    return normalize_records(pd.DataFrame(rows, columns=RECORD_FIELDS))
+
+
+def normalize_records(df: pd.DataFrame) -> pd.DataFrame:
+    """Normalize a partial-column pandas frame to the full record schema
+    (missing columns added as nulls, dtypes coerced). Lets vectorized
+    parsers build whole column frames instead of per-row dicts."""
+    for c in RECORD_FIELDS:
+        if c not in df.columns:
+            df[c] = None
+    df = df[RECORD_FIELDS]
     for c in ("ts", "start_ts", "end_ts"):
         df[c] = pd.to_datetime(df[c], utc=True).dt.tz_localize(None)
     for c in ("lat", "lon", "ele", "value", "distance_m"):

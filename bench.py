@@ -66,6 +66,9 @@ HEADLINE = [
     "gpx_roundtrip_stats",
     "merge_upsert_events",
     "stream_sessionize_users",
+    "tcx_roundtrip_stats",
+    "csv_roundtrip_stats",
+    "geojson_roundtrip_stats",
 ]
 
 
