@@ -91,11 +91,30 @@ def cmd_convert(spark, args) -> int:
 
         enc = fit_encode_df(points, channels)
         payload_col = "payload"
+    elif args.to_fmt == "csv":
+        from activity_files_spark.sources.csvsrc import csv_encode_text_df
+
+        enc = csv_encode_text_df(points, channels)
+        payload_col = "text"
     else:
         print(f"unsupported --to {args.to_fmt}", file=sys.stderr)
         return 2
     enc.select("activity_id", F.col(payload_col)).write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"converted": enc.count(), "to": args.to_fmt, "output": args.output}))
+    # target-format loss accounting (facade.dart:299-382): what the source
+    # carried that `--to` cannot represent is reported, never silent
+    from activity_files_spark.operators.validation import lossy_diagnostics
+
+    lossy = lossy_diagnostics(records, args.to_fmt)
+    if getattr(args, "report", None):
+        lossy.write.mode("overwrite").parquet(args.report)
+    lossy_counts = {
+        r["code"]: r["n"]
+        for r in lossy.groupBy("code").agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps({
+        "converted": enc.count(), "to": args.to_fmt, "output": args.output,
+        "lossy": lossy_counts,
+    }))
     return 0
 
 
@@ -168,6 +187,8 @@ def main(argv=None) -> int:
     c.add_argument("--from", dest="from_fmt", default="auto")
     c.add_argument("--to", dest="to_fmt", required=True)
     c.add_argument("--output", required=True)
+    c.add_argument("--report", default=None,
+                   help="optional parquet path for lossy.* diagnostics")
 
     v = sub.add_parser("validate")
     v.add_argument("--input", required=True)

@@ -224,3 +224,116 @@ def validate_devices(meta: DataFrame, key: str = "activity_id") -> DataFrame:
         key, "validation.device_id_unknown", "info", F.col("_mid"),
     )
     return bad_range.unionByName(unknown)
+
+
+# ---------------------------------------------------------------- lossy
+
+def lossy_diagnostics(
+    records: DataFrame, to_fmt: str, key: str = "activity_id"
+) -> DataFrame:
+    """Target-format loss accounting (facade.dart:299-382): info diagnostics
+    for data the record stream carries that ``to_fmt`` cannot represent, so
+    conversion loss is reported instead of silent. Only FULL drops are
+    flagged (features a target writes in some form — GPX channel extensions,
+    GeoJSON lap aggregates — are not).
+
+    Codes (severity info):
+      lossy.multi_track_flattened  to != gpx, source has > 1 track
+      lossy.sets_dropped           to != fit, strength sets present
+      lossy.events_dropped         to != fit, timer events present
+      lossy.lengths_dropped        to != fit, pool-swim lengths present
+      lossy.sessions_dropped       to != fit, > 1 session present
+      lossy.summary_dropped        to != fit, session summary stats present
+      lossy.laps_dropped           to in {gpx, csv}, laps present
+
+    One distributed aggregate over the stream -> conditional explode; no
+    driver-side work.
+    """
+    fmt = to_fmt.lower()
+    per = records.groupBy(key).agg(
+        F.count(F.when(F.col("kind") == "set", 1)).alias("_sets"),
+        F.count(F.when((F.col("kind") == "channel")
+                       & (F.col("channel") == "event"), 1)).alias("_events"),
+        F.count(F.when(F.col("kind") == "length", 1)).alias("_lengths"),
+        F.count(F.when(F.col("kind") == "lap", 1)).alias("_laps"),
+        F.max(F.when(F.col("kind") == "meta",
+                     F.coalesce(F.col("attrs")["session.count"].cast("int"),
+                                F.lit(0)))).alias("_sessions"),
+        F.max(F.when(F.col("kind") == "meta",
+                     F.coalesce(F.col("attrs")["track.count"].cast("int"),
+                                F.lit(0)))).alias("_tracks"),
+        F.max(F.when(F.col("kind") == "meta",
+                     (F.col("attrs")["session.total_distance_m"].isNotNull()
+                      | F.col("attrs")["session.total_elapsed_s"].isNotNull())
+                     .cast("int"))).alias("_summary"),
+    )
+
+    to_fit = "Export to FIT to preserve it."
+    checks = []
+    if fmt != "gpx":
+        checks.append((
+            F.col("_tracks") > 1, "lossy.multi_track_flattened",
+            F.concat(F.lit("Source contains "), F.col("_tracks") - 1,
+                     F.lit(f" additional track(s); the {fmt} format cannot "
+                           "represent multiple tracks, so all tracks are "
+                           "merged into one during encoding.")),
+            "Export to GPX to preserve the multi-track structure.",
+        ))
+    if fmt != "fit":
+        checks.extend([
+            (F.col("_sets") > 0, "lossy.sets_dropped",
+             F.concat(F.col("_sets"),
+                      F.lit(f" strength-training set(s) cannot be represented"
+                            f" in {fmt} and are dropped.")), to_fit),
+            (F.col("_events") > 0, "lossy.events_dropped",
+             F.concat(F.col("_events"),
+                      F.lit(f" timer event(s) cannot be represented in {fmt}"
+                            " and are dropped.")), to_fit),
+            (F.col("_lengths") > 0, "lossy.lengths_dropped",
+             F.concat(F.col("_lengths"),
+                      F.lit(f" pool-swim length(s) cannot be represented in"
+                            f" {fmt} and are dropped.")), to_fit),
+            (F.col("_sessions") > 1, "lossy.sessions_dropped",
+             F.concat(F.col("_sessions") - 1,
+                      F.lit(f" additional session(s) cannot be represented"
+                            f" in {fmt} and are dropped.")), to_fit),
+            (F.col("_summary") == 1, "lossy.summary_dropped",
+             F.lit(f"The session summary statistics are not written to {fmt}."),
+             to_fit),
+        ])
+    if fmt in ("gpx", "csv"):
+        checks.append((
+            F.col("_laps") > 0, "lossy.laps_dropped",
+            F.concat(F.col("_laps"),
+                     F.lit(f" lap(s) cannot be represented in {fmt} and are"
+                           " dropped.")),
+            "Export to TCX or FIT to preserve laps.",
+        ))
+
+    structs = [
+        F.when(cond, F.struct(
+            F.lit(code).alias("code"),
+            msg.cast("string").alias("message"),
+            F.lit(fix).alias("fix"),
+        ))
+        for cond, code, msg, fix in checks
+    ]
+    if not structs:
+        return per.select(
+            F.col(key),
+            F.lit(None).cast("string").alias("code"),
+            F.lit("info").alias("severity"),
+            F.lit(None).cast("string").alias("detail"),
+            F.lit(None).cast("string").alias("fix"),
+        ).limit(0)
+    exploded = per.select(
+        F.col(key),
+        F.explode(F.filter(F.array(*structs), lambda s: s.isNotNull())).alias("_d"),
+    )
+    return exploded.select(
+        key,
+        F.col("_d.code").alias("code"),
+        F.lit("info").alias("severity"),
+        F.col("_d.message").alias("detail"),
+        F.col("_d.fix").alias("fix"),
+    )

@@ -111,7 +111,7 @@ def ordering_diagnostics(
 
 def mark_laps_by_distance(
     points: DataFrame,
-    split_m: float,
+    split_m,
     key: str = "activity_id",
     ts: str = "ts",
 ) -> DataFrame:
@@ -119,20 +119,27 @@ def mark_laps_by_distance(
 
     Normalized monotonic accumulator: negative deltas contribute 0
     (sum(greatest(delta, 0)) over the ordered window); lap id =
-    floor(cum / split). Returns per-lap rows:
-    (key, lap_id, start_ts, end_ts, distance_m, n_points).
+    floor(cum / split). ``split_m`` may be a scalar or a Column (constant
+    per activity — e.g. the auto-fix pipeline's sport-specific split).
+    Returns per-lap rows: (key, lap_id, start_ts, end_ts, distance_m,
+    n_points).
     """
+    from pyspark.sql import Column
+
+    split_col = split_m if isinstance(split_m, Column) else F.lit(float(split_m))
     w = Window.partitionBy(key).orderBy(ts)
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
     clamped = F.greatest(F.col("step_m"), F.lit(0.0))
     stepped = step_distance_m(points, key, ts).withColumn(
+        "_split", split_col
+    ).withColumn(
         "_cum", F.sum(clamped).over(wcum)
     )
     # the reference emits the lap AT the boundary sample: a point whose step
     # crosses a split multiple CLOSES its lap, so lap id = floor of the
     # accumulator BEFORE this point's step
     lapped = stepped.withColumn(
-        "lap_id", F.floor((F.col("_cum") - clamped) / F.lit(split_m)).cast("int")
+        "lap_id", F.floor((F.col("_cum") - clamped) / F.col("_split")).cast("int")
     )
     total = F.max("_cum").over(Window.partitionBy(key))
     lapped = lapped.withColumn("_total", total)
@@ -143,9 +150,10 @@ def mark_laps_by_distance(
         F.max(ts).alias("end_ts"),
         F.round(
             F.least(
-                (F.col("lap_id").cast("double") + 1.0) * F.lit(split_m), F.first("_total")
+                (F.col("lap_id").cast("double") + 1.0) * F.first("_split"),
+                F.first("_total"),
             )
-            - F.col("lap_id").cast("double") * F.lit(split_m),
+            - F.col("lap_id").cast("double") * F.first("_split"),
             6,
         ).alias("distance_m"),
         F.count("*").alias("n_points"),

@@ -378,6 +378,9 @@ def parse_fit(
                         "attrs": attrs or None})
             lap_id += 1
         elif g == 18:  # session
+            # session count feeds lossy accounting (additional sessions are
+            # only representable in FIT — facade.dart:352-360)
+            meta["session.count"] = str(int(meta.get("session.count", "0")) + 1)
             sport = SPORTS.get(_scalar(values.get(5)))
             if sport:
                 meta.setdefault("sport", sport)

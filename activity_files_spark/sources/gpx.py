@@ -174,6 +174,9 @@ def parse_gpx(activity_id: str, xml: str) -> list[dict]:
                         "lap_id": route_id, "attrs": rmeta or None})
             route_id += 1
         elif tag == "trk":
+            # track count feeds lossy accounting (single-track targets
+            # flatten additional <trk> elements — facade.dart:317-327)
+            meta["track.count"] = str(int(meta.get("track.count", "0")) + 1)
             trk_meta = {}
             for child in el:
                 ctag = _local(child.tag)
