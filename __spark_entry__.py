@@ -834,10 +834,14 @@ def _embedding_dup_sql() -> str:
 
 
 def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN via random-hyperplane LSH + Hamming-1 multiprobe.
+    """Approximate ANN via random-hyperplane LSH: multi-table (tbl, bucket)
+    equi-join candidates + exact cosine rank within the candidate set.
 
-    No SQL oracle (plan includes the python-derived hyperplane constants);
-    pytest pins recall >= 0.8 against the brute-force baseline."""
+    Oracle-exact: signatures are integer arithmetic (floor-quantized vectors
+    × md5-derived integer hyperplanes), so the DuckDB twin replays every
+    bucket assignment bit-for-bit via the same digit-polynomial trick as
+    the MinHash oracle; pytest additionally pins recall >= 0.8 against the
+    brute-force baseline."""
     from activity_files_spark.operators.similarity import as_double_vec, lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings").select(
@@ -847,7 +851,67 @@ def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item_id").alias("query_id"), "vec"
     )
     out = lsh_topk(qs, emb, k=5, dim=64, n_planes=4, n_tables=16, exclude_same_id=True)
-    return out.select("query_id", "item_id", "rank")
+    return out.select(
+        "query_id", "item_id", "rank", F.round(F.col("cos"), 9).alias("cos_sim")
+    )
+
+
+def _lsh_ann_sql() -> str:
+    """DuckDB twin of the LSH bucket assignment + candidate rank: replays
+    the integer projections (w = md5_5hex(t:p:d) - 2^19, x = floor(v*1024),
+    bit p = sign(sum x*w)) and the exact-cosine top-5 within candidates."""
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (4 - i)}"
+        for i in range(5)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    plane_h AS (
+      SELECT t.t, p.p, d.d,
+             md5(CAST(t.t AS VARCHAR) || ':' || CAST(p.p AS VARCHAR)
+                 || ':' || CAST(d.d AS VARCHAR)) AS h
+      FROM (SELECT unnest(range(16)) AS t) t,
+           (SELECT unnest(range(4)) AS p) p,
+           (SELECT unnest(range(64)) AS d) d
+    ),
+    planes AS (SELECT t, p, d, ({poly}) - 524288 AS w FROM plane_h),
+    comps AS (
+      SELECT id, d.d AS d, CAST(floor(v[CAST(d.d AS INT) + 1] * 1024) AS BIGINT) AS x
+      FROM e, (SELECT unnest(range(64)) AS d) d
+    ),
+    dots AS (
+      SELECT c.id, pl.t, pl.p, SUM(c.x * pl.w) AS dot
+      FROM comps c JOIN planes pl USING (d)
+      GROUP BY c.id, pl.t, pl.p
+    ),
+    sigs AS (
+      SELECT id, t,
+             CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY id, t
+    ),
+    cand AS (
+      SELECT DISTINCT q.id AS query_id, i.id AS item_id
+      FROM sigs q JOIN sigs i ON q.t = i.t AND q.bucket = i.bucket
+      WHERE q.id < 10 AND q.id != i.id
+    ),
+    scored AS (
+      SELECT c.query_id, c.item_id,
+             list_dot_product(qe.v, ie.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(ie.v, ie.v))) AS cos
+      FROM cand c
+      JOIN e qe ON qe.id = c.query_id
+      JOIN e ie ON ie.id = c.item_id
+    )
+    SELECT query_id, item_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, item_id) AS rank,
+           ROUND(cos, 9) AS cos_sim
+    FROM scored
+    QUALIFY rank <= 5
+    """
 
 
 def trim_invalid_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1843,8 +1907,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _simhash_sql(),
         "lang_quality_docs": _lang_quality_sql(),
         "embedding_dup_pairs": _embedding_dup_sql(),
-        # lsh_ann_embeddings: no oracle (python-derived hyperplane constants);
-        # pytest pins recall vs the brute-force baseline.
+        "lsh_ann_embeddings": _lsh_ann_sql(),
         "trim_invalid_points": _trim_invalid_sql(),
         "lap_splits_track": _lap_splits_sql(),
         "contiguous_group_events": _contiguous_sql(),

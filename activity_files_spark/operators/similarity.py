@@ -152,16 +152,26 @@ def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
     return planes
 
 
-def _table_signature(vec_col: str, dim: int, n_planes: int, table: int):
-    """Signature long for one LSH table (bit p = sign(v . plane_p))."""
-    sig = F.lit(0).cast("long")
-    for p, plane in enumerate(_hyperplanes(dim, n_planes, table)):
-        arr = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(_dot(F.col(vec_col), arr) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = sig + F.shiftleft(bit, p)
-    return sig
+LSH_VEC_SCALE = 1024  # floor-quantization scale for exact integer projections
+
+
+def _hyperplanes_int(dim: int, n_planes: int, table: int = 0) -> list[list[int]]:
+    """Integer hyperplane weights: w(t,p,d) = md5_5hex("{t}:{p}:{d}") - 2^19
+    ∈ [-524288, 524287]. Integer weights + floor-quantized vectors make the
+    signed projection EXACT integer arithmetic (|term| < 2^30, sums < 2^40),
+    so a SQL oracle replays every bucket assignment bit-for-bit with the
+    same digit-polynomial trick as the MinHash oracle — no float summation
+    order to worry about."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{table}:{p}:{d}".encode()).hexdigest()
+            row.append(int(h[:5], 16) - 2**19)
+        planes.append(row)
+    return planes
 
 
 def lsh_signature(
@@ -178,15 +188,16 @@ def lsh_signature(
     Implementation: one Arrow kernel computing all L*b signed projections
     as a single numpy matmul per batch — the equivalent Column-expression
     fold tree (L*b nested 64-term aggregates) blows past whole-stage-codegen
-    limits and runs interpreted, ~50x slower. Sign of a projection within
-    ~1 ulp of zero may differ from an exact left-to-right fold — harmless
-    for bucketing (candidates are exact-verified downstream) and
-    deterministic within the engine."""
+    limits and runs interpreted, ~50x slower. The projection is EXACT
+    integer arithmetic: vectors floor-quantize to 1/1024 granularity and
+    hyperplane weights are md5-derived ints (:func:`_hyperplanes_int`), so
+    bucket assignments are engine-portable — the DuckDB oracle replays them
+    bit-for-bit (no sign flips from float summation order)."""
     import numpy as np
     import pandas as pd
 
     planes = np.array(
-        [_hyperplanes(dim, n_planes, t) for t in range(n_tables)], dtype=np.float64
+        [_hyperplanes_int(dim, n_planes, t) for t in range(n_tables)], dtype=np.int64
     )  # (L, b, dim)
     mat = planes.reshape(n_tables * n_planes, dim).T  # (dim, L*b)
     in_cols = df.columns
@@ -201,7 +212,8 @@ def lsh_signature(
             if n == 0:
                 continue
             x = np.array(pdf[vec].tolist(), dtype=np.float64)  # (n, dim)
-            bits = (x @ mat) > 0  # (n, L*b)
+            xq = np.floor(x * LSH_VEC_SCALE).astype(np.int64)
+            bits = (xq @ mat) > 0  # (n, L*b)
             buckets = (
                 bits.reshape(n, n_tables, n_planes).astype(np.int64) * pows
             ).sum(axis=2)  # (n, L)
