@@ -1623,6 +1623,72 @@ def _gpx_roundtrip_sql() -> str:
     """
 
 
+def stream_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 CUSTOM STATEFUL streaming operator, driver-gated: events stream
+    through applyInPandasWithState keeping one row per user per 10 minutes
+    (keep iff >= 600 s since the last KEPT row — the decision depends on
+    per-key state, not a window function). The oracle replays the exact
+    integer-microsecond keep chain with a recursive CTE (first row per
+    user, then repeatedly the first later row with t - t_kept >= 600 s),
+    and the kept-set aggregates (count, BIGINT event-id sum, DECIMAL-exact
+    value sum) are order-independent, so a hash match proves every keep
+    decision matched."""
+    import tempfile
+    import uuid
+
+    from activity_files_spark.streaming.stream_ops import (
+        run_available_now,
+        stream_downsample_time,
+    )
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select("user_id", "event_id", "ts", "value")
+    kept = stream_downsample_time(
+        pts, step_s=600.0, key="user_id", ts="ts", tiebreak=["event_id"]
+    )
+    name = f"stream_downsample_{uuid.uuid4().hex[:10]}"
+    q = run_available_now(kept, name, tempfile.mkdtemp(), output_mode="append")
+    q.awaitTermination()
+    return spark.table(name).groupBy("user_id").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+        _dec_sum(F.col("value")).alias("sum_value"),
+    )
+
+
+def _stream_downsample_sql() -> str:
+    return """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS t,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    kept AS (
+      SELECT user_id, event_id, value, t, rn FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT nxt.user_id, nxt.event_id, nxt.value, nxt.t, nxt.rn
+      FROM kept k, LATERAL (
+        SELECT e.user_id, e.event_id, e.value, e.t, e.rn
+        FROM ev e
+        WHERE e.user_id = k.user_id AND e.rn > k.rn
+          AND e.t - k.t >= 600000000
+        ORDER BY e.rn LIMIT 1
+      ) nxt
+    )
+    SELECT user_id, COUNT(*) AS n_kept,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS sum_value
+    FROM kept GROUP BY user_id
+    """
+
+
 def tcx_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/S8 TCX full-document round-trip, driver-gated (reference contract:
     test/parsers/tcx_lossless_test.dart): per user, build an activity from
@@ -1880,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tcx_roundtrip_stats": tcx_roundtrip_stats,
         "csv_roundtrip_stats": csv_roundtrip_stats,
         "geojson_roundtrip_stats": geojson_roundtrip_stats,
+        "stream_downsample_events": stream_downsample_events,
     }
 
 
@@ -1923,6 +1990,7 @@ def oracle_sql() -> dict[str, str]:
         "tcx_roundtrip_stats": _tcx_roundtrip_sql(),
         "csv_roundtrip_stats": _csv_roundtrip_sql(),
         "geojson_roundtrip_stats": _geojson_roundtrip_sql(),
+        "stream_downsample_events": _stream_downsample_sql(),
         # validate_images_summary: intentionally no oracle (pixel decode is
         # not SQL-expressible) -> driver rows-only check; pytest pins it.
     }

@@ -93,32 +93,54 @@ def stream_downsample_time(
     step_s: float,
     key: str = "activity_id",
     ts: str = "ts",
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """W7 downsample-time as a CUSTOM STATEFUL streaming operator
     (applyInPandasWithState): keep a row iff >= step_s since the last KEPT
     row of the same activity — the keep decision crosses micro-batch
-    boundaries through per-key state (last kept epoch-seconds).
+    boundaries through per-key state (last kept epoch-microseconds).
+
+    Deterministic and oracle-replayable: within a micro-batch the group's
+    chunks are concatenated and sorted by (ts, *tiebreak) before the scan,
+    and timestamps compare as EXACT integer microseconds (state holds µs in
+    a double — exact to 2^53), so a SQL twin reproduces every keep decision
+    bit-for-bit. The scan itself is O(kept · log n) via searchsorted, not a
+    per-row Python loop.
 
     Divergence from the batch twin (operators/downsample.py): a stream has
     no "final point", so the reference's always-keep-last rule does not
     apply; everything else matches.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = points.schema
     state_schema = "last_kept double"
+    step_us = int(round(step_s * 1e6))
+    order = [ts] + list(tiebreak or [])
 
     def fn(key_tuple, pdf_iter, state):
-        last = state.get[0] if state.exists else None
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts, kind="stable")
-            t = pdf[ts].values.astype("datetime64[us]").astype("int64") / 1e6
+        last = int(state.get[0]) if state.exists else None
+        chunks = [c for c in pdf_iter if len(c)]
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values(order, kind="stable").reset_index(drop=True)
+            t = pdf[ts].values.astype("datetime64[us]").astype("int64")
+            n = len(t)
+            if step_us <= 0:  # degenerate step keeps everything
+                if n:
+                    last = int(t[-1])
+                    yield pdf
+                if last is not None:
+                    state.update((float(last),))
+                return
             keep = []
-            for i in range(len(pdf)):
-                if last is None or t[i] - last >= step_s:
-                    keep.append(i)
-                    last = t[i]
+            i = 0 if last is None else int(np.searchsorted(t, last + step_us, side="left"))
+            while i < n:
+                keep.append(i)
+                last = int(t[i])
+                i = int(np.searchsorted(t, last + step_us, side="left"))
             if keep:
                 yield pdf.iloc[keep]
         if last is not None:

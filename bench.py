@@ -69,6 +69,7 @@ HEADLINE = [
     "tcx_roundtrip_stats",
     "csv_roundtrip_stats",
     "geojson_roundtrip_stats",
+    "stream_downsample_events",
 ]
 
 
