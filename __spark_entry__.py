@@ -892,9 +892,14 @@ def _lsh_ann_sql() -> str:
       FROM dots GROUP BY id, t
     ),
     cand AS (
+      -- Hamming-1 multiprobe: each query signature also probes its b
+      -- single-bit-flip neighbor buckets (XOR masks 0,1,2,4,8)
       SELECT DISTINCT q.id AS query_id, i.id AS item_id
-      FROM sigs q JOIN sigs i ON q.t = i.t AND q.bucket = i.bucket
-      WHERE q.id < 10 AND q.id != i.id
+      FROM sigs q,
+           (SELECT unnest([0, 1, 2, 4, 8]) AS m) probes,
+           sigs i
+      WHERE q.id < 10 AND i.id != q.id AND i.t = q.t
+        AND i.bucket = xor(q.bucket, CAST(probes.m AS BIGINT))
     ),
     scored AS (
       SELECT c.query_id, c.item_id,
