@@ -69,12 +69,42 @@ def _load_records(spark, args):
 def cmd_convert(spark, args) -> int:
     from activity_files_spark.operators.normalize import sort_dedup, trim_invalid
     from activity_files_spark.sources.gpx import gpx_encode_df
-    from activity_files_spark.sources.records import channels_of, points_of
+    from activity_files_spark.sources.records import (
+        channels_of,
+        laps_of,
+        meta_of,
+        points_of,
+    )
     from activity_files_spark.sources.tcx import tcx_encode_df
 
     records = _load_records(spark, args).cache()
-    points = trim_invalid(sort_dedup(points_of(records)))
-    channels = channels_of(records)
+    autofix_diags = None
+    if getattr(args, "autofix", False):
+        # the reference's declarative pipeline (facade:1472-1501): request ->
+        # autofix chain -> export, with before/after diff diagnostics
+        from activity_files_spark.plans.autofix import AutoFixOptions, auto_fix
+
+        sports = records.filter(F.col("kind") == "meta").select(
+            "activity_id", "sport"
+        )
+        fixed = auto_fix(
+            points_of(records),
+            channels=channels_of(records),
+            laps=laps_of(records),
+            sports=sports,
+            options=AutoFixOptions(
+                auto_lap_by_distance=getattr(args, "auto_lap", False)
+            ),
+        )
+        points, channels = fixed["points"], fixed["channels"]
+        autofix_diags = fixed["diagnostics"].select(
+            "activity_id", "code", "severity",
+            F.col("message").alias("detail"),
+            F.lit(None).cast("string").alias("fix"),
+        )
+    else:
+        points = trim_invalid(sort_dedup(points_of(records)))
+        channels = channels_of(records)
     if args.to_fmt == "gpx":
         enc = gpx_encode_df(points, channels)
         payload_col = "xml"
@@ -104,16 +134,18 @@ def cmd_convert(spark, args) -> int:
     # carried that `--to` cannot represent is reported, never silent
     from activity_files_spark.operators.validation import lossy_diagnostics
 
-    lossy = lossy_diagnostics(records, args.to_fmt)
+    diags = lossy_diagnostics(records, args.to_fmt)
+    if autofix_diags is not None:
+        diags = diags.unionByName(autofix_diags)
     if getattr(args, "report", None):
-        lossy.write.mode("overwrite").parquet(args.report)
-    lossy_counts = {
+        diags.write.mode("overwrite").parquet(args.report)
+    counts = {
         r["code"]: r["n"]
-        for r in lossy.groupBy("code").agg(F.count("*").alias("n")).collect()
+        for r in diags.groupBy("code").agg(F.count("*").alias("n")).collect()
     }
     print(json.dumps({
         "converted": enc.count(), "to": args.to_fmt, "output": args.output,
-        "lossy": lossy_counts,
+        "diagnostics": counts,
     }))
     return 0
 
@@ -188,7 +220,13 @@ def main(argv=None) -> int:
     c.add_argument("--to", dest="to_fmt", required=True)
     c.add_argument("--output", required=True)
     c.add_argument("--report", default=None,
-                   help="optional parquet path for lossy.* diagnostics")
+                   help="optional parquet path for lossy.*/autofix.* diagnostics")
+    c.add_argument("--autofix", action="store_true",
+                   help="run the auto-fix chain (sort+dedup, trim, recompute "
+                        "distance/speed, gap-fill) before encoding")
+    c.add_argument("--auto-lap", dest="auto_lap", action="store_true",
+                   help="with --autofix: generate distance-split laps when "
+                        "missing (1 km run / 5 km bike)")
 
     v = sub.add_parser("validate")
     v.add_argument("--input", required=True)

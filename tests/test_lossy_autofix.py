@@ -214,6 +214,34 @@ class TestAutoFixPipeline:
         assert out["points"].count() == points.count()
         assert out["laps"] is None
 
+    def test_cli_convert_autofix_report(self, spark, tmp_path):
+        from activity_files_spark.cli import main
+
+        xml = (
+            '<?xml version="1.0"?>\n'
+            '<gpx version="1.1" creator="t" xmlns="http://www.topografix.com/GPX/1/1">\n'
+            "<trk><type>running</type><trkseg>\n"
+            '<trkpt lat="40.0" lon="-105.0"><time>2024-01-10T07:00:00Z</time></trkpt>\n'
+            '<trkpt lat="40.01" lon="-105.0"><time>2024-01-10T07:10:00Z</time></trkpt>\n'
+            '<trkpt lat="40.02" lon="-105.0"><time>2024-01-10T07:20:00Z</time></trkpt>\n'
+            "</trkseg></trk></gpx>\n"
+        )
+        d = tmp_path / "in"
+        d.mkdir()
+        (d / "a.gpx").write_text(xml)
+        rep = str(tmp_path / "rep")
+        rc = main([
+            "convert", "--input", str(d), "--from", "auto", "--to", "tcx",
+            "--output", str(tmp_path / "out"), "--autofix", "--auto-lap",
+            "--report", rep,
+        ])
+        assert rc == 0
+        codes = {r["code"] for r in spark.read.parquet(rep).collect()}
+        # distance/speed recomputed (source had no distance channel) and the
+        # 10-min gaps filled; TCX keeps laps, so no lossy.laps_dropped
+        assert "autofix.distance.recomputed" in codes
+        assert "lossy.laps_dropped" not in codes
+
     def test_gap_fill_respects_threshold(self, spark):
         rows = [
             ("g", 0, T0.to_pydatetime(), 40.0, -105.0, 1600.0),
