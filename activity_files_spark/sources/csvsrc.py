@@ -71,10 +71,9 @@ def read_csv_activities(
     return {"points": points, "channels": channels}
 
 
-def csv_encode_df(points: DataFrame, channels: DataFrame) -> DataFrame:
-    """Wide CSV layout: points + exact-ts channel pivot; extra channels get
-    sorted trailing columns (csv_encoder.dart:50-54). Returns a DataFrame
-    ready for df.write.csv(header=True)."""
+def _csv_wide(points: DataFrame, channels: DataFrame) -> DataFrame:
+    """Unordered wide CSV layout (points + exact-ts channel pivot; extra
+    channels get sorted trailing columns, csv_encoder.dart:50-54)."""
     extra = sorted(
         r["channel"]
         for r in channels.select("channel").distinct().collect()
@@ -95,7 +94,13 @@ def csv_encode_df(points: DataFrame, channels: DataFrame) -> DataFrame:
     ]
     for c in KNOWN_CHANNELS + extra:
         sel.append(F.col(c) if c in pivoted.columns else F.lit(None).cast("double").alias(c))
-    return out.select(*sel).orderBy("activity_id", "timestamp")
+    return out.select(*sel)
+
+
+def csv_encode_df(points: DataFrame, channels: DataFrame) -> DataFrame:
+    """Wide CSV layout ordered by (activity, timestamp) — ready for
+    df.write.csv(header=True)."""
+    return _csv_wide(points, channels).orderBy("activity_id", "timestamp")
 
 
 def csv_records(
@@ -212,7 +217,9 @@ def csv_encode_text_df(points: DataFrame, channels: DataFrame) -> DataFrame:
 
     import pandas as pd
 
-    wide = csv_encode_df(points, channels)
+    # unordered wide frame: the kernel sorts within each activity, so the
+    # global orderBy (a full extra shuffle+sort) would be wasted work
+    wide = _csv_wide(points, channels)
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         buf = _io.StringIO()
