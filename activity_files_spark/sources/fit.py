@@ -841,43 +841,53 @@ def fit_encode_records(records: DataFrame) -> DataFrame:
     activity_id; each activity is an independent unit of parallelism."""
     from activity_files_spark.sources.gpx import _ts_key
 
+    from activity_files_spark.sources.records import fast_records
+
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         aid = key[0]
-        pts = (
-            pdf[pdf["kind"] == "point"]
-            .sort_values(["ts", "seq"], kind="stable")
-            .to_dict("records")
+        kind = pdf["kind"].to_numpy()
+        pts = fast_records(
+            pdf.loc[kind == "point", ["seq", "ts", "lat", "lon", "ele"]]
+            .sort_values(["ts", "seq"], kind="stable"),
+            ["seq", "ts", "lat", "lon", "ele"],
         )
         chmap: dict = {}
         events: list[dict] = []
-        for r in pdf[pdf["kind"] == "channel"].itertuples(index=False):
-            if r.channel == "event":
-                events.append({"ts": r.ts, "value": r.value})
+        ch = pdf.loc[kind == "channel", ["ts", "channel", "value"]]
+        for ts, cname, v in zip(
+            ch["ts"].tolist(), ch["channel"].tolist(), ch["value"].tolist()
+        ):
+            if cname == "event":
+                events.append({"ts": ts, "value": v})
             else:
-                chmap.setdefault(_ts_key(r.ts), {})[r.channel] = r.value
-        lp = (
-            pdf[pdf["kind"] == "lap"]
-            .sort_values(["lap_id", "start_ts"], kind="stable")
-            .to_dict("records")
+                chmap.setdefault(_ts_key(ts), {})[cname] = v
+        lap_cols = ["lap_id", "start_ts", "end_ts", "distance_m", "sport"]
+        lp = fast_records(
+            pdf.loc[kind == "lap", lap_cols]
+            .sort_values(["lap_id", "start_ts"], kind="stable"),
+            lap_cols,
         )
-        lengths = (
-            pdf[pdf["kind"] == "length"]
-            .sort_values(["start_ts", "end_ts"], kind="stable")
-            .to_dict("records")
+        span_cols = ["start_ts", "end_ts", "attrs"]
+        lengths = fast_records(
+            pdf.loc[kind == "length", span_cols]
+            .sort_values(["start_ts", "end_ts"], kind="stable"),
+            span_cols,
         )
-        sets = (
-            pdf[pdf["kind"] == "set"]
-            .sort_values(["start_ts", "end_ts"], kind="stable")
-            .to_dict("records")
+        sets = fast_records(
+            pdf.loc[kind == "set", span_cols]
+            .sort_values(["start_ts", "end_ts"], kind="stable"),
+            span_cols,
         )
         events.sort(key=lambda e: pd.Timestamp(e["ts"]))
-        meta_rows = pdf[pdf["kind"] == "meta"]
         meta = {}
-        for r in meta_rows.itertuples(index=False):
-            if isinstance(r.attrs, dict):
-                meta.update(r.attrs)
-            if isinstance(getattr(r, "sport", None), str):
-                meta.setdefault("sport", r.sport)
+        for attrs, sport in zip(
+            pdf.loc[kind == "meta", "attrs"].tolist(),
+            pdf.loc[kind == "meta", "sport"].tolist(),
+        ):
+            if isinstance(attrs, dict):
+                meta.update(attrs)
+            if isinstance(sport, str):
+                meta.setdefault("sport", sport)
         payload = encode_fit(pts, chmap, lp, lengths=lengths, sets=sets,
                              events=events, meta=meta)
         return pd.DataFrame([{"activity_id": aid, "payload": payload}])

@@ -217,9 +217,12 @@ def encode_geojson(points: list[dict], meta: dict | None = None) -> str:
 
 
 def geojson_encode_df(points: DataFrame) -> DataFrame:
+    from activity_files_spark.sources.records import fast_records
+
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         aid = key[0]
-        pts = pdf.sort_values("ts", kind="stable").to_dict("records")
+        cols = ["ts", "lat", "lon", "ele"]
+        pts = fast_records(pdf.sort_values("ts", kind="stable"), cols)
         return pd.DataFrame([{"activity_id": aid, "text": encode_geojson(pts)}])
 
     return points.select("activity_id", "ts", "lat", "lon", "ele").groupBy(
@@ -275,12 +278,21 @@ def geojson_encode_points_df(points: DataFrame, channels: DataFrame | None = Non
     else:
         u = p2
 
+    from activity_files_spark.sources.records import fast_records
+
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         aid = key[0]
-        pts = pdf[pdf["channel"].isna()].sort_values("ts", kind="stable").to_dict("records")
+        is_ch = pdf["channel"].notna().to_numpy()
+        cols = ["ts", "lat", "lon", "ele"]
+        pts = fast_records(
+            pdf.loc[~is_ch, cols].sort_values("ts", kind="stable"), cols
+        )
+        ch_pd = pdf.loc[is_ch, ["ts", "channel", "value"]]
         chmap: dict = {}
-        for r in pdf[~pdf["channel"].isna()].itertuples(index=False):
-            chmap.setdefault(_ts_key(r.ts), {})[r.channel] = r.value
+        for ts, cname, v in zip(
+            ch_pd["ts"].tolist(), ch_pd["channel"].tolist(), ch_pd["value"].tolist()
+        ):
+            chmap.setdefault(_ts_key(ts), {})[cname] = v
         return pd.DataFrame([{"activity_id": aid,
                               "text": encode_geojson_points(pts, chmap)}])
 

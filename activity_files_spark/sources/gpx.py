@@ -542,14 +542,22 @@ def gpx_encode_df(points: DataFrame, channels: DataFrame | None = None) -> DataF
     else:
         u = p2
 
+    from activity_files_spark.sources.records import fast_records
+
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         aid = key[0]
-        pts_pd = pdf[pdf["channel"].isna()].sort_values("ts", kind="stable")
-        ch_pd = pdf[~pdf["channel"].isna()]
+        is_ch = pdf["channel"].notna().to_numpy()
+        pt_cols = ["seq", "ts", "lat", "lon", "ele"]
+        pts = fast_records(
+            pdf.loc[~is_ch, pt_cols].sort_values("ts", kind="stable"), pt_cols
+        )
+        ch_pd = pdf.loc[is_ch, ["ts", "channel", "value"]]
         chmap: dict = {}
-        for r in ch_pd.itertuples(index=False):
-            chmap.setdefault(_ts_key(r.ts), {})[r.channel] = r.value
-        xml = encode_gpx(pts_pd.to_dict("records"), chmap)
+        for ts, cname, v in zip(
+            ch_pd["ts"].tolist(), ch_pd["channel"].tolist(), ch_pd["value"].tolist()
+        ):
+            chmap.setdefault(_ts_key(ts), {})[cname] = v
+        xml = encode_gpx(pts, chmap)
         return pd.DataFrame([{"activity_id": aid, "xml": xml}])
 
     return u.groupBy("activity_id").applyInPandas(kernel, "activity_id string, xml string")
@@ -561,32 +569,45 @@ def gpx_encode_records(records: DataFrame, version: str = "1.1") -> DataFrame:
     364-403), preserved extension trees, and trk/metadata fields — the
     lossless round-trip path."""
 
+    from activity_files_spark.sources.records import fast_records
+
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         aid = key[0]
-        pts = (
-            pdf[pdf["kind"] == "point"]
-            .sort_values(["ts", "seq"], kind="stable")
-            .to_dict("records")
+        kind = pdf["kind"].to_numpy()
+        pt_cols = ["seq", "ts", "lat", "lon", "ele", "attrs"]
+        pts = fast_records(
+            pdf.loc[kind == "point", pt_cols]
+            .sort_values(["ts", "seq"], kind="stable"),
+            pt_cols,
         )
+        ch_pd = pdf.loc[kind == "channel", ["ts", "channel", "value"]]
         chmap: dict = {}
-        for r in pdf[pdf["kind"] == "channel"].itertuples(index=False):
-            chmap.setdefault(_ts_key(r.ts), {})[r.channel] = r.value
-        wps = (
-            pdf[pdf["kind"] == "waypoint"].sort_values("seq", kind="stable").to_dict("records")
+        for ts, cname, v in zip(
+            ch_pd["ts"].tolist(), ch_pd["channel"].tolist(), ch_pd["value"].tolist()
+        ):
+            chmap.setdefault(_ts_key(ts), {})[cname] = v
+        wps = fast_records(
+            pdf.loc[kind == "waypoint", pt_cols].sort_values("seq", kind="stable"),
+            pt_cols,
         )
         routes = []
-        route_hdrs = pdf[pdf["kind"] == "route"].sort_values("lap_id", kind="stable")
-        rpts = pdf[pdf["kind"] == "route_point"]
-        for r in route_hdrs.itertuples(index=False):
+        rp_cols = ["lap_id", "seq", "ts", "lat", "lon", "ele", "attrs"]
+        route_hdrs = pdf.loc[kind == "route", ["lap_id", "attrs"]].sort_values(
+            "lap_id", kind="stable"
+        )
+        rpts = pdf.loc[kind == "route_point", rp_cols]
+        for rid, rattrs in zip(route_hdrs["lap_id"].tolist(), route_hdrs["attrs"].tolist()):
             routes.append({
-                "attrs": r.attrs if isinstance(r.attrs, dict) else None,
-                "points": rpts[rpts["lap_id"] == r.lap_id]
-                .sort_values("seq", kind="stable").to_dict("records"),
+                "attrs": rattrs if isinstance(rattrs, dict) else None,
+                "points": fast_records(
+                    rpts[rpts["lap_id"] == rid].sort_values("seq", kind="stable"),
+                    rp_cols,
+                ),
             })
         meta: dict = {}
-        for r in pdf[pdf["kind"] == "meta"].itertuples(index=False):
-            if isinstance(r.attrs, dict):
-                meta.update(r.attrs)
+        for attrs in pdf.loc[kind == "meta", "attrs"].tolist():
+            if isinstance(attrs, dict):
+                meta.update(attrs)
         xml = encode_gpx(pts, chmap, meta=meta, waypoints=wps, routes=routes,
                          version=version)
         return pd.DataFrame([{"activity_id": aid, "xml": xml}])

@@ -321,16 +321,25 @@ def tcx_encode_df(
     for x in parts[1:]:
         u = u.unionByName(x)
 
+    from activity_files_spark.sources.records import fast_records
+
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         aid = key[0]
-        pts = pdf[pdf["_kind"] == "p"].sort_values("ts", kind="stable").to_dict("records")
+        kind = pdf["_kind"].to_numpy()
+        pt_cols = ["ts", "lat", "lon", "ele"]
+        pts = fast_records(
+            pdf.loc[kind == "p", pt_cols].sort_values("ts", kind="stable"), pt_cols
+        )
+        ch_pd = pdf.loc[kind == "c", ["ts", "channel", "value"]]
         chmap: dict = {}
-        for r in pdf[pdf["_kind"] == "c"].itertuples(index=False):
-            chmap.setdefault(_ts_key(r.ts), {})[r.channel] = r.value
-        lp = (
-            pdf[pdf["_kind"] == "l"]
-            .sort_values("start_ts", kind="stable")
-            .to_dict("records")
+        for ts, cname, v in zip(
+            ch_pd["ts"].tolist(), ch_pd["channel"].tolist(), ch_pd["value"].tolist()
+        ):
+            chmap.setdefault(_ts_key(ts), {})[cname] = v
+        lap_cols = ["start_ts", "end_ts", "distance_m"]
+        lp = fast_records(
+            pdf.loc[kind == "l", lap_cols].sort_values("start_ts", kind="stable"),
+            lap_cols,
         )
         xml = encode_tcx(pts, chmap, lp, sport=sport)
         return pd.DataFrame([{"activity_id": aid, "xml": xml}])
