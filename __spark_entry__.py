@@ -47,8 +47,23 @@ def _lon_col():
     return F.lit(-105.0) - (F.col("event_id") % 997).cast("double") * F.lit(0.0005)
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _read(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read one testdata table. ``spread=True`` for queries whose expensive
+    work is map-side BEFORE any shuffle (HOF shingling, md5 token hashing,
+    Arrow vector kernels): the driver's testdata tables are single-row-group
+    parquet files -> ONE scan split, which would serialize that work on one
+    core. The repartition moves a few MB; on a real many-split table the
+    condition is false and it is a no-op. Shuffle-first queries (joins,
+    groupBy, windows) must NOT spread — the exchange they already do
+    parallelizes them, and an extra repartition is pure overhead."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if spread:
+        default = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, default // 4):
+            df = df.repartition(default)
+    return df
 
 
 def _dec_sum(col, scale: str = "decimal(22,6)"):
@@ -547,7 +562,7 @@ def _dedup_exact_sql() -> str:
 
 def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: whitespace token count + char stats per document."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
@@ -573,7 +588,7 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     9-dp rounding of the output column."""
     from activity_files_spark.operators.similarity import as_double_vec, cosine_topk_kernel
 
-    emb = _read(spark, sf_dir, "embeddings").select(
+    emb = _read(spark, sf_dir, "embeddings", spread=True).select(
         F.col("vec_id").alias("item_id"), as_double_vec(F.col("embedding")).alias("vec")
     )
     qs = emb.filter(F.col("item_id") < 25).select(
@@ -640,7 +655,7 @@ def _gap_sql() -> str:
 def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents plus near-duplicate copies (first token dropped) — gives the
     dedup operators a guaranteed population of high-Jaccard pairs."""
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _read(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     mutated = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.regexp_replace(F.col("text"), r"^\S+\s*", "").alias("text"),
@@ -721,7 +736,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (bitwise token majority vote)."""
     from activity_files_spark.operators.dedup import simhash64
 
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _read(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return simhash64(docs, bits=60)
 
 
@@ -754,7 +769,7 @@ def lang_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     once — the single-projection form paid ~4s of one-time compile)."""
     from activity_files_spark.functions.text import text_profile
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", spread=True)
     return text_profile(docs, text_col="text", id_col="doc_id")
 
 
@@ -787,7 +802,7 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_dup_pairs_lsh,
     )
 
-    emb = _read(spark, sf_dir, "embeddings").select(
+    emb = _read(spark, sf_dir, "embeddings", spread=True).select(
         F.col("vec_id").alias("item_id"), as_double_vec(F.col("embedding")).alias("vec")
     )
     # perturbation factor 1 + 0.01*k, k = (id*7 + i) % 5 - 2 in {-2..2}
@@ -844,7 +859,7 @@ def lsh_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force baseline."""
     from activity_files_spark.operators.similarity import as_double_vec, lsh_topk
 
-    emb = _read(spark, sf_dir, "embeddings").select(
+    emb = _read(spark, sf_dir, "embeddings", spread=True).select(
         F.col("vec_id").alias("item_id"), as_double_vec(F.col("embedding")).alias("vec")
     )
     qs = emb.filter(F.col("item_id") < 10).select(
