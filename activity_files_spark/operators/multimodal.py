@@ -32,16 +32,66 @@ VIDEO_SCHEMA = (
     "clip_id string, bytes binary, w int, h int, fps double, n_frames long, fmt string"
 )
 
-REAL_AUDIO_FMTS = {"mp3", "flac", "ogg", "wav"}
+REAL_AUDIO_FMTS = {"mp3", "flac", "ogg"}  # compressed codecs: stubbed
 REAL_VIDEO_FMTS = {"mp4", "webm", "mkv"}
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """REAL RIFF/WAVE PCM16 encoder (no external libs — the container spec:
+    RIFF header + fmt chunk (audio format 1, little-endian) + data chunk).
+    ``samples``: int16 (n_samples, channels)."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav wants int16 samples")
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt_chunk = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate,
+                            byte_rate, ch * 2, 16)
+    data_chunk = struct.pack("<4sI", b"data", len(data)) + data
+    riff_len = 4 + len(fmt_chunk) + len(data_chunk)
+    return struct.pack("<4sI4s", b"RIFF", riff_len, b"WAVE") + fmt_chunk + data_chunk
+
+
+def parse_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """REAL RIFF/WAVE PCM16 decoder: walks the chunk list (tolerating extra
+    chunks like LIST/INFO), reads the fmt header, returns
+    (int16 (n_samples, channels), sample_rate)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    channels = sample_rate = bits = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid, clen = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_format, channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_format != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV audio_format={audio_format} bits={bits}: only "
+                    "PCM16 is implemented"
+                )
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if channels is None or pcm is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    arr = np.frombuffer(pcm, dtype="<i2")
+    return arr.reshape(len(arr) // channels, channels), int(sample_rate)
+
+
 def decode_audio(data: bytes, fmt: str, n_samples: int, channels: int) -> np.ndarray:
-    """-> int16 array (n_samples, channels). Real codecs are stubbed."""
+    """-> int16 array (n_samples, channels). WAV/PCM16 decodes for real;
+    compressed codecs (mp3/flac/ogg) are honestly stubbed."""
+    if fmt == "wav":
+        samples, _ = parse_wav(bytes(data))
+        return samples
     if fmt in REAL_AUDIO_FMTS:
         raise NotImplementedError(
             f"audio codec {fmt!r} needs a soundfile/ffmpeg binding (not in "
-            "this container); only 'rawpcm16' is decodable here"
+            "this container); 'wav' and 'rawpcm16' are decodable here"
         )
     if fmt != "rawpcm16":
         raise ValueError(f"unknown audio fmt {fmt!r}")
