@@ -1643,6 +1643,85 @@ def _gpx_roundtrip_sql() -> str:
     """
 
 
+def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal AUDIO, driver-gated end-to-end through the REAL RIFF/WAVE
+    PCM16 codec: one deterministic integer-triangle clip per user
+    (sample[t] = (t * freq) % 16384 - 8192, freq = 100 + user_id * 7,
+    2000 samples @ 8 kHz), encoded to WAV binary (encode_wav), decoded back
+    by the chunk-walking parser inside the distributed feature kernel
+    (audio_features -> rms/peak/zcr). All-integer synthesis lets the oracle
+    replay every sample exactly; sum-of-squares stays < 2^53 so rms is one
+    exact division + IEEE sqrt in both engines — a hash match proves the
+    binary codec and the feature kernel end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    from activity_files_spark.operators.multimodal import (
+        AUDIO_SCHEMA,
+        audio_features,
+        encode_wav,
+    )
+
+    users = _read(spark, sf_dir, "events").select("user_id").distinct()
+
+    def gen(batches):
+        t = np.arange(2000, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for uid in pdf["user_id"]:
+                freq = 100 + int(uid) * 7
+                x = ((t * freq) % 16384 - 8192).astype("<i2")
+                rows.append({
+                    "clip_id": f"u{int(uid)}",
+                    "bytes": encode_wav(x[:, None], 8000),
+                    "sample_rate": 8000, "n_samples": 2000, "channels": 1,
+                    "fmt": "wav",
+                })
+            yield pd.DataFrame(rows)
+
+    clips = users.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, AUDIO_SCHEMA
+    )
+    feats = audio_features(clips)
+    return feats.select(
+        F.substring("clip_id", 2, 20).cast("long").alias("user_id"),
+        "rms", "peak", "zcr",
+    )
+
+
+def _audio_wav_sql() -> str:
+    return """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    samp AS (
+      SELECT user_id, t.t AS t,
+             CAST((t.t * (100 + user_id * 7)) % 16384 - 8192 AS BIGINT) AS x
+      FROM users, (SELECT unnest(range(2000)) AS t) t
+    ),
+    signs AS (
+      SELECT user_id, t, x,
+             CASE WHEN x < 0 THEN 1 ELSE 0 END AS s
+      FROM samp
+    ),
+    flips AS (
+      SELECT user_id,
+             ABS(s - LAG(s) OVER (PARTITION BY user_id ORDER BY t)) AS c
+      FROM signs
+    ),
+    a1 AS (
+      SELECT user_id,
+             sqrt(CAST(SUM(x * x) AS DOUBLE) / 2000.0) AS rms,
+             CAST(MAX(ABS(x)) AS BIGINT) AS peak
+      FROM samp GROUP BY user_id
+    ),
+    a2 AS (
+      SELECT user_id, CAST(SUM(c) AS DOUBLE) / 1999.0 AS zcr
+      FROM flips WHERE c IS NOT NULL GROUP BY user_id
+    )
+    SELECT a1.user_id, rms, peak, zcr
+    FROM a1 JOIN a2 ON a1.user_id = a2.user_id
+    """
+
+
 def stream_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 CUSTOM STATEFUL streaming operator, driver-gated: events stream
     through applyInPandasWithState keeping one row per user per 10 minutes
@@ -1967,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip_stats": csv_roundtrip_stats,
         "geojson_roundtrip_stats": geojson_roundtrip_stats,
         "stream_downsample_events": stream_downsample_events,
+        "audio_wav_features": audio_wav_features,
     }
 
 
@@ -2011,6 +2091,7 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip_stats": _csv_roundtrip_sql(),
         "geojson_roundtrip_stats": _geojson_roundtrip_sql(),
         "stream_downsample_events": _stream_downsample_sql(),
+        "audio_wav_features": _audio_wav_sql(),
         # validate_images_summary: intentionally no oracle (pixel decode is
         # not SQL-expressible) -> driver rows-only check; pytest pins it.
     }

@@ -70,6 +70,7 @@ HEADLINE = [
     "csv_roundtrip_stats",
     "geojson_roundtrip_stats",
     "stream_downsample_events",
+    "audio_wav_features",
 ]
 
 
