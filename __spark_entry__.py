@@ -1722,6 +1722,75 @@ def _audio_wav_sql() -> str:
     """
 
 
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal VIDEO plumbing, driver-gated: one deterministic raw-RGB
+    clip per user (8x6, 8 frames; pixel (x,y,f) = ((x+f+uid)%256,
+    (y*3+f)%256, (x*y+uid)%256)), frame-sampled every 2nd frame through the
+    byte-offset extractor (sample_frames), per-frame channel sums reduced in
+    an Arrow kernel (frame_stats). Integer pixel formulas mean the oracle
+    replays every sampled frame's sums exactly — gating the frame offset
+    math and sampling stride bit-for-bit. (Real video CODECS remain honest
+    stubs; this gates the Spark-side plumbing the north star needs.)"""
+    import numpy as np
+    import pandas as pd
+
+    from activity_files_spark.operators.multimodal import (
+        VIDEO_SCHEMA,
+        frame_stats,
+        sample_frames,
+    )
+
+    users = _read(spark, sf_dir, "events").select("user_id").distinct()
+    w, h, n_frames = 8, 6, 8
+
+    def gen(batches):
+        y, x = np.mgrid[0:h, 0:w]
+        for pdf in batches:
+            rows = []
+            for uid in pdf["user_id"]:
+                i = int(uid)
+                frames = [
+                    np.stack(
+                        [(x + f + i) % 256, (y * 3 + f) % 256, (x * y + i) % 256],
+                        axis=-1,
+                    ).astype(np.uint8).tobytes()
+                    for f in range(n_frames)
+                ]
+                rows.append({
+                    "clip_id": f"u{i}", "bytes": b"".join(frames),
+                    "w": w, "h": h, "fps": 10.0, "n_frames": n_frames,
+                    "fmt": "rawrgb",
+                })
+            yield pd.DataFrame(rows)
+
+    clips = users.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, VIDEO_SCHEMA
+    )
+    stats = frame_stats(sample_frames(clips, every=2))
+    return stats.select(
+        F.substring("clip_id", 2, 20).cast("long").alias("user_id"),
+        "frame_idx", "sum_r", "sum_g", "sum_b",
+    )
+
+
+def _video_frame_sql() -> str:
+    return """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+      SELECT u.user_id, f.f AS frame_idx, x.x AS x, y.y AS y
+      FROM users u,
+           (SELECT unnest([0, 2, 4, 6]) AS f) f,
+           (SELECT unnest(range(8)) AS x) x,
+           (SELECT unnest(range(6)) AS y) y
+    )
+    SELECT user_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(SUM((x + frame_idx + user_id) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((y * 3 + frame_idx) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((x * y + user_id) % 256) AS BIGINT) AS sum_b
+    FROM grid GROUP BY user_id, frame_idx
+    """
+
+
 def stream_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 CUSTOM STATEFUL streaming operator, driver-gated: events stream
     through applyInPandasWithState keeping one row per user per 10 minutes
@@ -2047,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip_stats": geojson_roundtrip_stats,
         "stream_downsample_events": stream_downsample_events,
         "audio_wav_features": audio_wav_features,
+        "video_frame_stats": video_frame_stats,
     }
 
 
@@ -2092,6 +2162,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip_stats": _geojson_roundtrip_sql(),
         "stream_downsample_events": _stream_downsample_sql(),
         "audio_wav_features": _audio_wav_sql(),
+        "video_frame_stats": _video_frame_sql(),
         # validate_images_summary: intentionally no oracle (pixel decode is
         # not SQL-expressible) -> driver rows-only check; pytest pins it.
     }

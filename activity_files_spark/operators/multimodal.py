@@ -176,6 +176,29 @@ def audio_features(audio: DataFrame) -> DataFrame:
     return audio.mapInPandas(kernel, schema)
 
 
+def frame_stats(frames: DataFrame) -> DataFrame:
+    """Per-sampled-frame channel sums over the decoded RGB pixels
+    (clip_id, frame_idx, sum_r, sum_g, sum_b) — exact integer reductions,
+    so a SQL oracle can replay them from the pixel formula."""
+    schema = "clip_id string, frame_idx int, sum_r long, sum_g long, sum_b long"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = np.frombuffer(bytes(r.frame_bytes), dtype=np.uint8).reshape(
+                    r.h, r.w, 3
+                ).astype(np.int64)
+                s = px.sum(axis=(0, 1))
+                rows.append({
+                    "clip_id": r.clip_id, "frame_idx": int(r.frame_idx),
+                    "sum_r": int(s[0]), "sum_g": int(s[1]), "sum_b": int(s[2]),
+                })
+            yield pd.DataFrame(rows)
+
+    return frames.mapInPandas(kernel, schema)
+
+
 def sample_frames(video: DataFrame, every: int = 2) -> DataFrame:
     """Explode each clip into sampled frames (frame index % every == 0):
     (clip_id, frame_idx, frame_bytes, w, h). Offset math on the raw bytes —
