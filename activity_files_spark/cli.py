@@ -96,7 +96,7 @@ def cmd_convert(spark, args) -> int:
                 auto_lap_by_distance=getattr(args, "auto_lap", False)
             ),
         )
-        points, channels = fixed["points"], fixed["channels"]
+        points, channels, laps = fixed["points"], fixed["channels"], fixed["laps"]
         autofix_diags = fixed["diagnostics"].select(
             "activity_id", "code", "severity",
             F.col("message").alias("detail"),
@@ -105,11 +105,13 @@ def cmd_convert(spark, args) -> int:
     else:
         points = trim_invalid(sort_dedup(points_of(records)))
         channels = channels_of(records)
+        laps = laps_of(records)
     if args.to_fmt == "gpx":
+        # GPX keeps no lap structure (lossy.laps_dropped reports it)
         enc = gpx_encode_df(points, channels)
         payload_col = "xml"
     elif args.to_fmt == "tcx":
-        enc = tcx_encode_df(points, channels)
+        enc = tcx_encode_df(points, channels, laps)
         payload_col = "xml"
     elif args.to_fmt == "geojson":
         from activity_files_spark.sources.geojson import geojson_encode_df
@@ -119,7 +121,7 @@ def cmd_convert(spark, args) -> int:
     elif args.to_fmt == "fit":
         from activity_files_spark.sources.fit import fit_encode_df
 
-        enc = fit_encode_df(points, channels)
+        enc = fit_encode_df(points, channels, laps)
         payload_col = "payload"
     elif args.to_fmt == "csv":
         from activity_files_spark.sources.csvsrc import csv_encode_text_df
@@ -129,7 +131,10 @@ def cmd_convert(spark, args) -> int:
     else:
         print(f"unsupported --to {args.to_fmt}", file=sys.stderr)
         return 2
-    enc.select("activity_id", F.col(payload_col)).write.mode("overwrite").parquet(args.output)
+    # cache: the write, the count, the report write, and the counts collect
+    # would otherwise each re-execute the full (autofix) pipeline
+    enc = enc.select("activity_id", F.col(payload_col)).cache()
+    enc.write.mode("overwrite").parquet(args.output)
     # target-format loss accounting (facade.dart:299-382): what the source
     # carried that `--to` cannot represent is reported, never silent
     from activity_files_spark.operators.validation import lossy_diagnostics
@@ -137,6 +142,7 @@ def cmd_convert(spark, args) -> int:
     diags = lossy_diagnostics(records, args.to_fmt)
     if autofix_diags is not None:
         diags = diags.unionByName(autofix_diags)
+    diags = diags.cache()
     if getattr(args, "report", None):
         diags.write.mode("overwrite").parquet(args.report)
     counts = {
@@ -147,6 +153,8 @@ def cmd_convert(spark, args) -> int:
         "converted": enc.count(), "to": args.to_fmt, "output": args.output,
         "diagnostics": counts,
     }))
+    enc.unpersist()
+    diags.unpersist()
     return 0
 
 

@@ -122,16 +122,22 @@ def auto_fix(
     # 1. sortAndDedup — unconditional (facade:2171)
     fixed = sort_dedup(points, key=key)
 
-    # 2. trimInvalid (+ channel window) — facade:2172-2174
+    # 2. trimInvalid (+ channel window) — facade:2172-2174. NOTE the two
+    # flags are intentionally coupled exactly like the reference
+    # (`if (fixInvalidGps || fixChannelDrift) editor.trimInvalid()`): either
+    # flag runs the combined point-trim + channel-envelope stage.
+    before_ch = after_trim_ch = None
     if options.fix_invalid_gps or options.fix_channel_drift:
         fixed = trim_invalid(fixed)
         if channels is not None:
             before_ch = _count_by(channels, "_c_before", key)
             channels = trim_channels_to_envelope(channels, fixed, key=key)
-        else:
-            before_ch = None
-    else:
-        before_ch = None
+            # measured HERE — before recompute replaces distance/speed —
+            # so the drift diagnostic counts exactly what the trim dropped
+            after_trim_ch = _count_by(channels, "_c_after", key)
+    # trimmed-point diagnostic diff is taken at this point in the chain
+    # (before gap-fill INSERTS points, which would cancel the count)
+    after_trim_pts = _count_by(fixed, "_n_after", key)
 
     # 3. recomputeDistanceAndSpeed — facade:2175-2177: distance and speed
     # become channels derived from the (now clean) trajectory, replacing any
@@ -189,11 +195,10 @@ def auto_fix(
                 F.count("*").alias("_n_laps"),
                 F.min(placeholder.cast("int")).alias("_all_ph"),
             )
-            # activities keeping their laps: have laps and not all placeholder
+            # activities with real (non-placeholder) laps are never regenerated
             keep = lap_state.filter(F.col("_all_ph") == 0).select(key)
             regen_pts = fixed.join(keep, key, "left_anti")
         else:
-            keep = None
             regen_pts = fixed
         # the reference only auto-laps activities with >= 2 points
         pt2 = fixed.groupBy(key).agg(F.count("*").alias("_np")).filter(
@@ -210,19 +215,22 @@ def auto_fix(
             auto_lap_distance_for_sport(F.col("sport"), options),
             key=key,
         )
-        if laps is not None and keep is not None:
-            kept_laps = laps.join(keep, key)
-            laps = kept_laps.select(
-                key, "lap_id", "start_ts", "end_ts", "distance_m"
-            ).unionByName(
-                generated.select(key, "lap_id", "start_ts", "end_ts", "distance_m")
+        gen_cols = [key, "lap_id", "start_ts", "end_ts", "distance_m"]
+        if laps is not None:
+            # replace laps ONLY for activities that actually regenerated
+            # (derived from regen_pts, so an all-placeholder activity that
+            # cannot regenerate — < 2 points — keeps its original laps)
+            regen_keys = regen_pts.select(key).distinct()
+            kept_laps = laps.join(regen_keys, key, "left_anti")
+            laps = kept_laps.select(*gen_cols).unionByName(
+                generated.select(*gen_cols)
             )
         else:
-            laps = generated.select(key, "lap_id", "start_ts", "end_ts", "distance_m")
+            laps = generated.select(*gen_cols)
 
     diags = _autofix_diagnostics(
-        before_pts, fixed, before_ch, channels, had_distance, generated, key,
-        recomputed=options.fix_distance_drift,
+        before_pts, after_trim_pts, before_ch, after_trim_ch, had_distance,
+        generated, key, recomputed=options.fix_distance_drift,
     )
     return {"points": fixed, "channels": channels, "laps": laps,
             "diagnostics": diags}
@@ -230,9 +238,9 @@ def auto_fix(
 
 def _autofix_diagnostics(
     before_pts: DataFrame,
-    after_pts: DataFrame,
+    after_trim_pts: DataFrame,
     before_ch: DataFrame | None,
-    after_ch: DataFrame | None,
+    after_trim_ch: DataFrame | None,
     had_distance: DataFrame | None,
     generated_laps: DataFrame | None,
     key: str,
@@ -240,10 +248,15 @@ def _autofix_diagnostics(
 ) -> DataFrame:
     """Before/after diff diagnostics (facade:2238-2288): info rows per
     activity for trimmed points, trimmed channel samples, recomputed
-    distance, and auto-generated laps."""
-    stats = before_pts.join(
-        _count_by(after_pts, "_n_after", key), key, "left"
-    ).withColumn("_removed", F.col("_n_before") - F.coalesce("_n_after", F.lit(0)))
+    distance, and auto-generated laps. Both trim diffs are measured
+    IMMEDIATELY after the trim stage — before gap-fill inserts points and
+    before recompute replaces distance/speed channels — so counts reflect
+    exactly what trimming removed (the reference diffs the whole chain,
+    which lets insertions cancel removals; measuring at the stage boundary
+    is strictly more truthful)."""
+    stats = before_pts.join(after_trim_pts, key, "left").withColumn(
+        "_removed", F.col("_n_before") - F.coalesce("_n_after", F.lit(0))
+    )
     parts = [
         stats.filter(F.col("_removed") > 0).select(
             key,
@@ -253,14 +266,10 @@ def _autofix_diagnostics(
                      F.lit(" invalid/out-of-range points.")).alias("message"),
         )
     ]
-    if before_ch is not None and after_ch is not None:
-        cstats = before_ch.join(
-            _count_by(
-                after_ch.filter(~F.col("channel").isin("distance", "speed")),
-                "_c_after", key,
-            ),
-            key, "left",
-        ).withColumn("_c_removed", F.col("_c_before") - F.coalesce("_c_after", F.lit(0)))
+    if before_ch is not None and after_trim_ch is not None:
+        cstats = before_ch.join(after_trim_ch, key, "left").withColumn(
+            "_c_removed", F.col("_c_before") - F.coalesce("_c_after", F.lit(0))
+        )
         parts.append(
             cstats.filter(F.col("_c_removed") > 0).select(
                 key,

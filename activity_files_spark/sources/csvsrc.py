@@ -136,7 +136,12 @@ def csv_records(
         has_ts = "timestamp" in cols
         if has_ts:
             raw = pdf[cols["timestamp"]]
-            ts = pd.to_datetime(raw, utc=True, errors="coerce").dt.tz_localize(None)
+            # format="mixed" parses each cell independently (matching the old
+            # per-row parser): a file mixing ISO and locale formats keeps all
+            # rows instead of coercing non-first-format rows to NaT
+            ts = pd.to_datetime(
+                raw, utc=True, errors="coerce", format="mixed"
+            ).dt.tz_localize(None)
             # unparseable (non-empty) timestamp -> row dropped with a diag;
             # an empty cell stays a point with null ts
             bad = (raw.notna() & ts.isna()).to_numpy()

@@ -217,7 +217,11 @@ def parse_gpx(activity_id: str, xml: str) -> list[dict]:
                             {"activity_id": activity_id, "kind": "lap", "lap_id": lap_id,
                              "start_ts": seg_pts[0]["ts"], "end_ts": seg_pts[-1]["ts"],
                              "distance_m": dist, "sport": trk_meta.get("type"),
-                             "attrs": {"source": "trkseg"}}
+                             # "Segment N" marks a synthetic trkseg lap
+                             # (gpx_parser.dart:326) — the auto-fix pipeline's
+                             # placeholder detection keys on this name
+                             "attrs": {"source": "trkseg",
+                                       "name": f"Segment {lap_id + 1}"}}
                         )
                         lap_id += 1
             if trk_meta:

@@ -241,6 +241,68 @@ class TestAutoFixPipeline:
         # 10-min gaps filled; TCX keeps laps, so no lossy.laps_dropped
         assert "autofix.distance.recomputed" in codes
         assert "lossy.laps_dropped" not in codes
+        # the GPX trkseg lap is a "Segment" placeholder -> auto-lap
+        # regenerated distance splits, and they reach the encoded TCX
+        assert "autofix.laps.auto_generated" in codes
+        xml = spark.read.parquet(str(tmp_path / "out")).first()["xml"]
+        assert xml.count("<Lap StartTime=") >= 2
+
+    def test_trim_diag_not_cancelled_by_gap_fill(self, spark):
+        # 2 invalid points removed AND a 10-min gap filled (+9 synthetic
+        # points): the trimmed-point diagnostic must still report 2 (it is
+        # measured at the trim stage boundary, not after insertions)
+        rows = [
+            ("g", 0, T0.to_pydatetime(), 40.0, -105.0, 1600.0),
+            ("g", 1, (T0 + pd.Timedelta(minutes=10)).to_pydatetime(),
+             40.01, -105.0, 1610.0),
+            ("g", 2, (T0 + pd.Timedelta(minutes=11)).to_pydatetime(),
+             91.0, -105.0, 1610.0),
+            ("g", 3, (T0 + pd.Timedelta(minutes=12)).to_pydatetime(),
+             0.0, 0.0, 1610.0),
+        ]
+        points = spark.createDataFrame(
+            rows, "activity_id string, seq long, ts timestamp, lat double, "
+                  "lon double, ele double"
+        )
+        out = auto_fix(points, options=AutoFixOptions())
+        assert out["points"].count() > 4  # gap-filled
+        diags = {r["code"]: r["message"] for r in out["diagnostics"].collect()}
+        assert diags["autofix.invalid_gps.trimmed"].startswith(
+            "Auto-fix removed 2 ")
+
+    def test_no_spurious_channel_drift_diag(self, spark):
+        # a source speed channel inside the envelope is REPLACED by
+        # recompute, not trimmed — no channel_drift diagnostic
+        points = _multisport_points(spark).filter(F.col("activity_id") == "ride")
+        channels = points.select(
+            "activity_id", "ts", F.lit("speed").alias("channel"),
+            F.lit(2.5).alias("value"),
+        )
+        out = auto_fix(points, channels=channels, options=AutoFixOptions())
+        codes = {r["code"] for r in out["diagnostics"].collect()}
+        assert "autofix.channel_drift.trimmed" not in codes
+        # and distance.recomputed IS emitted (no prior distance channel)
+        assert "autofix.distance.recomputed" in codes
+
+    def test_placeholder_lap_single_point_activity_keeps_laps(self, spark):
+        # all-placeholder laps but < 2 points: regeneration is impossible,
+        # so the original lap must survive instead of vanishing
+        points = spark.createDataFrame(
+            [("solo", 0, T0.to_pydatetime(), 40.0, -105.0, 1600.0)],
+            "activity_id string, seq long, ts timestamp, lat double, "
+            "lon double, ele double",
+        )
+        laps = spark.createDataFrame(
+            [("solo", 0, T0.to_pydatetime(),
+              (T0 + pd.Timedelta(minutes=5)).to_pydatetime(), 100.0,
+              {"name": "Segment 1"})],
+            "activity_id string, lap_id int, start_ts timestamp, "
+            "end_ts timestamp, distance_m double, attrs map<string,string>",
+        )
+        out = auto_fix(points, laps=laps,
+                       options=AutoFixOptions(auto_lap_by_distance=True))
+        res = out["laps"].toPandas()
+        assert len(res) == 1 and res.iloc[0]["distance_m"] == 100.0
 
     def test_gap_fill_respects_threshold(self, spark):
         rows = [
