@@ -934,6 +934,85 @@ def _lsh_ann_sql() -> str:
     """
 
 
+def ivf_ann_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN, driver-gated: items assign to their nearest coarse
+    centroid, queries probe their 4 nearest lists, exact cosine ranks the
+    top-5 inside the probed lists. Assignment is exact integer arithmetic
+    (floor-quantized vectors x md5-derived integer centroids, ties to the
+    lower centroid id), so the oracle replays every inverted-list
+    membership and probe set bit-for-bit."""
+    from activity_files_spark.operators.similarity import as_double_vec, ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings", spread=True).select(
+        F.col("vec_id").alias("item_id"), as_double_vec(F.col("embedding")).alias("vec")
+    )
+    qs = emb.filter(F.col("item_id") < 10).select(
+        F.col("item_id").alias("query_id"), "vec"
+    )
+    out = ivf_topk(qs, emb, k=5, dim=64, n_centroids=16, n_probe=4,
+                   exclude_same_id=True)
+    return out.select(
+        "query_id", "item_id", "rank", F.round(F.col("cos"), 9).alias("cos_sim")
+    )
+
+
+def _ivf_ann_sql() -> str:
+    """DuckDB twin of the IVF assignment + probe + rank: integer centroid
+    dots (w = md5_5hex('99:{c}:{d}') - 2^19, x = floor(v*1024)), items take
+    the argmax list (ties -> lower id), queries probe the top 4."""
+    poly = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (4 - i)}"
+        for i in range(5)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent_h AS (
+      SELECT c.c, d.d,
+             md5('99:' || CAST(c.c AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)) AS h
+      FROM (SELECT unnest(range(16)) AS c) c,
+           (SELECT unnest(range(64)) AS d) d
+    ),
+    cents AS (SELECT c, d, ({poly}) - 524288 AS w FROM cent_h),
+    comps AS (
+      SELECT id, d.d AS d, CAST(floor(v[CAST(d.d AS INT) + 1] * 1024) AS BIGINT) AS x
+      FROM e, (SELECT unnest(range(64)) AS d) d
+    ),
+    dots AS (
+      SELECT co.id, ce.c, SUM(co.x * ce.w) AS dot
+      FROM comps co JOIN cents ce USING (d)
+      GROUP BY co.id, ce.c
+    ),
+    ranked AS (
+      SELECT id, c,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY dot DESC, c) AS rn
+      FROM dots
+    ),
+    item_assign AS (SELECT id, c FROM ranked WHERE rn = 1),
+    probes AS (SELECT id, c FROM ranked WHERE rn <= 4 AND id < 10),
+    cand AS (
+      SELECT DISTINCT p.id AS query_id, i.id AS item_id
+      FROM probes p JOIN item_assign i ON p.c = i.c
+      WHERE i.id != p.id
+    ),
+    scored AS (
+      SELECT c.query_id, c.item_id,
+             list_dot_product(qe.v, ie.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(ie.v, ie.v))) AS cos
+      FROM cand c
+      JOIN e qe ON qe.id = c.query_id
+      JOIN e ie ON ie.id = c.item_id
+    )
+    SELECT query_id, item_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, item_id) AS rank,
+           ROUND(cos, 9) AS cos_sim
+    FROM scored
+    QUALIFY rank <= 5
+    """
+
+
 def trim_invalid_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 trimInvalid on a deterministically-dirtied track: out-of-range
     rows injected every 50th id, Null Island every 83rd, sentinel elevation
@@ -2099,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_docs": lang_quality_docs,
         "embedding_dup_pairs": embedding_dup_pairs,
         "lsh_ann_embeddings": lsh_ann_embeddings,
+        "ivf_ann_embeddings": ivf_ann_embeddings,
         "trim_invalid_points": trim_invalid_points,
         "lap_splits_track": lap_splits_track,
         "contiguous_group_events": contiguous_group_events,
@@ -2145,6 +2225,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_quality_docs": _lang_quality_sql(),
         "embedding_dup_pairs": _embedding_dup_sql(),
         "lsh_ann_embeddings": _lsh_ann_sql(),
+        "ivf_ann_embeddings": _ivf_ann_sql(),
         "trim_invalid_points": _trim_invalid_sql(),
         "lap_splits_track": _lap_splits_sql(),
         "contiguous_group_events": _contiguous_sql(),

@@ -136,22 +136,6 @@ def cosine_topk_kernel(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes: component (t, p, d) derives
-    from md5(f"{t}:{p}:{d}") — reproducible everywhere, no RNG state."""
-    import hashlib
-
-    planes = []
-    for p in range(n_planes):
-        row = []
-        for d in range(dim):
-            h = hashlib.md5(f"{table}:{p}:{d}".encode()).hexdigest()
-            v = int(h[:8], 16) / float(0xFFFFFFFF) * 2.0 - 1.0
-            row.append(v)
-        planes.append(row)
-    return planes
-
-
 LSH_VEC_SCALE = 1024  # floor-quantization scale for exact integer projections
 
 
@@ -298,30 +282,16 @@ def ivf_topk(
     centroid id; recall is tunable via n_probe (n_probe == n_centroids
     degrades to exact search).
     """
-    import numpy as np
-
     if exclude_same_id is None:
         exclude_same_id = q_id == i_id
-    cents = np.array(_hyperplanes(dim, n_centroids, table=99), dtype=np.float64)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
-    def nearest_centroids(vec_col: str, n: int):
-        """Array column of the n nearest centroid ids by cosine."""
-        sims = []
-        for ci, c in enumerate(cents):
-            arr = F.array(*[F.lit(x) for x in c])
-            sims.append(F.struct((_dot(F.col(vec_col), arr) / _norm(F.col(vec_col))).alias("s"),
-                                 F.lit(ci).alias("c")))
-        ordered = F.reverse(F.array_sort(F.array(*sims)))
-        return F.slice(F.transform(ordered, lambda x: x["c"]), 1, n)
-
-    its = items.select(
-        F.col(i_id).alias("_iid"), F.col(vec).alias("_iv"),
-        F.element_at(nearest_centroids(vec, 1), 1).alias("_cid"),
+    its = ivf_assign(
+        items.select(F.col(i_id).alias("_iid"), F.col(vec).alias("_iv")),
+        "_iv", dim, n_centroids, 1,
     )
-    qs = queries.select(
-        F.col(q_id).alias("_qid"), F.col(vec).alias("_qv"),
-        F.explode(nearest_centroids(vec, n_probe)).alias("_cid"),
+    qs = ivf_assign(
+        queries.select(F.col(q_id).alias("_qid"), F.col(vec).alias("_qv")),
+        "_qv", dim, n_centroids, n_probe,
     )
     cand = qs.join(its, "_cid")
     if exclude_same_id:
@@ -337,6 +307,43 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(q_id, i_id, "cos", "rank")
     )
+
+
+def ivf_assign(
+    df: DataFrame, vec: str, dim: int, n_centroids: int, n: int
+) -> DataFrame:
+    """Explode each row to its ``n`` nearest coarse centroids (column
+    ``_cid``), nearest = max integer dot product of the floor-quantized
+    vector against md5-derived integer centroids (table 99), ties to the
+    LOWER centroid id. One numpy int matmul per Arrow batch (the equivalent
+    16x64-term Column fold blows codegen, like lsh_signature); exact
+    integer arithmetic, so a SQL oracle replays every assignment."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.array(
+        _hyperplanes_int(dim, n_centroids, table=99), dtype=np.int64
+    )  # (C, dim)
+    in_cols = df.columns
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", _cid int"
+
+    def kernel(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            x = np.array(pdf[vec].tolist(), dtype=np.float64)
+            xq = np.floor(x * LSH_VEC_SCALE).astype(np.int64)
+            dots = xq @ cents.T  # (m, C) exact
+            # stable argsort of -dots: descending dot, ties -> lower cid
+            top = np.argsort(-dots, axis=1, kind="stable")[:, :n]  # (m, n)
+            rep = pdf.loc[pdf.index.repeat(n)].reset_index(drop=True)
+            rep["_cid"] = top.ravel().astype(np.int32)
+            yield rep[in_cols + ["_cid"]]
+
+    return df.mapInPandas(kernel, schema)
 
 
 def cosine_dup_pairs(

@@ -72,6 +72,7 @@ HEADLINE = [
     "stream_downsample_events",
     "audio_wav_features",
     "video_frame_stats",
+    "ivf_ann_embeddings",
 ]
 
 
