@@ -228,7 +228,16 @@ def lsh_topk(
     ``multiprobe``: additionally probe the b Hamming-1 neighbor buckets of
     each QUERY signature (bucket XOR 1<<j) — (b+1)x the query-side explode
     (queries are the small side) buys the recall of ~2x the tables without
-    re-hashing the item side."""
+    re-hashing the item side.
+
+    SIZING AT SCALE: b bounds bucket occupancy at ~n/2^b rows, so b must
+    grow with the corpus — b ≈ log2(n / target_bucket_rows) (the default
+    b=4 → 16 buckets/table suits the ~5k-row test corpus at ~300 rows per
+    bucket; a 10^12-row index wants b ≈ 25-30 with more tables/multiprobe
+    to buy the recall back). The bucket equi-join itself is
+    skew-tolerant under AQE's skew-join splitting, but an undersized b
+    degenerates the candidate set toward the cross product — size b first,
+    lean on AQE second."""
     if exclude_same_id is None:
         exclude_same_id = q_id == i_id
     qs = lsh_signature(
