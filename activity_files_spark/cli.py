@@ -108,7 +108,12 @@ def cmd_convert(spark, args) -> int:
         laps = laps_of(records)
     if args.to_fmt == "gpx":
         # GPX keeps no lap structure (lossy.laps_dropped reports it)
-        enc = gpx_encode_df(points, channels)
+        enc = gpx_encode_df(
+            points, channels,
+            version=getattr(args, "gpx_version", "1.1"),
+            coord_dp=getattr(args, "precision_latlon", 6),
+            ele_dp=getattr(args, "precision_ele", 2),
+        )
         payload_col = "xml"
     elif args.to_fmt == "tcx":
         enc = tcx_encode_df(points, channels, laps)
@@ -168,7 +173,10 @@ def cmd_validate(spark, args) -> int:
     )
 
     records = _load_records(spark, args).cache()
-    diags = validate_all(points_of(records), channels_of(records), laps_of(records))
+    diags = validate_all(
+        points_of(records), channels_of(records), laps_of(records),
+        gap_warn_s=getattr(args, "gap_threshold", 300.0),
+    )
     parse_diags = diagnostics_of(records).select(
         "activity_id",
         F.col("attrs")["code"].alias("code"),
@@ -235,12 +243,21 @@ def main(argv=None) -> int:
     c.add_argument("--auto-lap", dest="auto_lap", action="store_true",
                    help="with --autofix: generate distance-split laps when "
                         "missing (1 km run / 5 km bike)")
+    # encoder options (reference bin/activity_files.dart:313-330)
+    c.add_argument("--gpx-version", default="1.1", choices=["1.0", "1.1"])
+    c.add_argument("--precision-latlon", dest="precision_latlon",
+                   type=int, default=6)
+    c.add_argument("--precision-ele", dest="precision_ele", type=int, default=2)
 
     v = sub.add_parser("validate")
     v.add_argument("--input", required=True)
     v.add_argument("--from", dest="from_fmt", default="auto")
     v.add_argument("--report", default=None)
     v.add_argument("--strict", action="store_true")
+    v.add_argument("--gap-threshold", dest="gap_threshold", type=float,
+                   default=300.0,
+                   help="seconds between points before a gap warning "
+                        "(reference bin/activity_files.dart:244)")
 
     t = sub.add_parser("tile")
     t.add_argument("--images", required=True)

@@ -137,8 +137,9 @@ def validate_all(
     channels: DataFrame | None = None,
     laps: DataFrame | None = None,
     key: str = "activity_id",
+    gap_warn_s: float = 300.0,
 ) -> DataFrame:
-    out = validate_points(points, key)
+    out = validate_points(points, key, gap_warn_s=gap_warn_s)
     if channels is not None:
         out = out.unionByName(validate_channels(channels, key))
     if laps is not None:

@@ -516,7 +516,13 @@ def _xml_escape(s: str) -> str:
     )
 
 
-def gpx_encode_df(points: DataFrame, channels: DataFrame | None = None) -> DataFrame:
+def gpx_encode_df(
+    points: DataFrame,
+    channels: DataFrame | None = None,
+    version: str = "1.1",
+    coord_dp: int = 6,
+    ele_dp: int = 2,
+) -> DataFrame:
     """Group points (+channels) per activity -> (activity_id, xml).
 
     applyInPandas over the activity key: the whole activity lands in one
@@ -561,7 +567,8 @@ def gpx_encode_df(points: DataFrame, channels: DataFrame | None = None) -> DataF
             ch_pd["ts"].tolist(), ch_pd["channel"].tolist(), ch_pd["value"].tolist()
         ):
             chmap.setdefault(_ts_key(ts), {})[cname] = v
-        xml = encode_gpx(pts, chmap)
+        xml = encode_gpx(pts, chmap, version=version,
+                         coord_dp=coord_dp, ele_dp=ele_dp)
         return pd.DataFrame([{"activity_id": aid, "xml": xml}])
 
     return u.groupBy("activity_id").applyInPandas(kernel, "activity_id string, xml string")

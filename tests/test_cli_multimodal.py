@@ -209,3 +209,30 @@ def test_wav_codec_rejects_non_pcm(spark):
         parse_wav(bytes(blob))
     with pytest.raises(ValueError):
         parse_wav(b"OggS" + bytes(40))
+
+
+def test_cli_convert_gpx_precision_options(spark, tmp_path):
+    """Encoder options pass through the CLI (bin/activity_files.dart:313-330):
+    --precision-latlon/--precision-ele control the GPX coordinate format."""
+    from activity_files_spark.cli import main
+
+    xml = (
+        '<?xml version="1.0"?>\n'
+        '<gpx version="1.1" creator="t" xmlns="http://www.topografix.com/GPX/1/1">\n'
+        "<trk><trkseg>"
+        '<trkpt lat="40.1234567" lon="-105.7654321"><ele>1600.456</ele>'
+        "<time>2024-01-10T07:00:00Z</time></trkpt>"
+        "</trkseg></trk></gpx>\n"
+    )
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.gpx").write_text(xml)
+    rc = main([
+        "convert", "--input", str(d), "--from", "auto", "--to", "gpx",
+        "--output", str(tmp_path / "out"),
+        "--precision-latlon", "4", "--precision-ele", "1",
+    ])
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "out")).first()["xml"]
+    assert 'lat="40.1235"' in out and 'lon="-105.7654"' in out
+    assert "<ele>1600.5</ele>" in out
