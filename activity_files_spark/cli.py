@@ -106,6 +106,24 @@ def cmd_convert(spark, args) -> int:
         points = trim_invalid(sort_dedup(points_of(records)))
         channels = channels_of(records)
         laps = laps_of(records)
+    # encoder-side channel association (channel_mapper.dart + EncoderOptions
+    # maxDelta): snap each channel's nearest sample within tolerance onto the
+    # final point timestamps; identity on already-aligned data
+    from activity_files_spark.operators.asof import snap_channels_to_points
+
+    overrides = {
+        ch: getattr(args, attr)
+        for ch, attr in (("heart_rate", "hr_max_delta"),
+                         ("cadence", "cadence_max_delta"),
+                         ("power", "power_max_delta"),
+                         ("temperature", "temp_max_delta"))
+        if getattr(args, attr, None) is not None
+    }
+    channels = snap_channels_to_points(
+        points, channels, tolerances=overrides,
+        default_tol_s=getattr(args, "max_delta_seconds", 5.0),
+    )
+
     if args.to_fmt == "gpx":
         # GPX keeps no lap structure (lossy.laps_dropped reports it)
         enc = gpx_encode_df(
@@ -243,7 +261,13 @@ def main(argv=None) -> int:
     c.add_argument("--auto-lap", dest="auto_lap", action="store_true",
                    help="with --autofix: generate distance-split laps when "
                         "missing (1 km run / 5 km bike)")
-    # encoder options (reference bin/activity_files.dart:313-330)
+    # encoder options (reference bin/activity_files.dart:313-360)
+    c.add_argument("--max-delta-seconds", dest="max_delta_seconds",
+                   type=float, default=5.0,
+                   help="channel-to-point association tolerance")
+    for ch in ("hr", "cadence", "power", "temp"):
+        c.add_argument(f"--{ch}-max-delta", dest=f"{ch}_max_delta",
+                       type=float, default=None)
     c.add_argument("--gpx-version", default="1.1", choices=["1.0", "1.1"])
     c.add_argument("--precision-latlon", dest="precision_latlon",
                    type=int, default=6)

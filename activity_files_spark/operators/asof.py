@@ -381,3 +381,37 @@ def map_channels_wide_kernel(
         return res
 
     return merged.groupBy(key).applyInPandas(lambda _k, pdf: kernel(pdf), out_schema)
+
+
+def snap_channels_to_points(
+    points: DataFrame,
+    channels: DataFrame,
+    tolerances: dict[str, float] | None = None,
+    default_tol_s: float = 5.0,
+    key: str = "activity_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Encoder-side channel association (channel_mapper.dart ChannelCursor +
+    EncoderOptions.maxDeltaFor): every point resolves each channel's NEAREST
+    sample within that channel's tolerance (default 5 s, per-channel
+    overrides), and the result is re-emitted as the long (key, ts, channel,
+    value) stream keyed by POINT timestamps — so the exact-ts encode kernels
+    association just works, including clock-skewed sensor streams. On
+    already-aligned data (deltas 0) this is the identity mapping.
+
+    One shuffle (the wide kernel) + a stack melt; no per-row Python."""
+    names = sorted(
+        r["channel"] for r in channels.select("channel").distinct().collect()
+    )
+    if not names:
+        return channels
+    tol = {n: default_tol_s for n in names}
+    tol.update(tolerances or {})
+    wide = map_channels_wide_kernel(
+        points.select(key, ts), channels, names, tolerances=tol, key=key, ts=ts
+    )
+    stack_expr = ", ".join(f"'{n}', `{n}`" for n in names)
+    return wide.select(
+        key, ts,
+        F.expr(f"stack({len(names)}, {stack_expr}) AS (channel, value)"),
+    ).filter(F.col("value").isNotNull())

@@ -236,3 +236,34 @@ def test_cli_convert_gpx_precision_options(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out")).first()["xml"]
     assert 'lat="40.1235"' in out and 'lon="-105.7654"' in out
     assert "<ele>1600.5</ele>" in out
+
+
+def test_snap_channels_to_points_tolerance(spark):
+    """Encoder channel association (channel_mapper.dart): a clock-skewed HR
+    sample within tolerance snaps to the nearest point ts; one beyond
+    tolerance is dropped; aligned samples are identity-mapped."""
+    import pandas as pd
+
+    from activity_files_spark.operators.asof import snap_channels_to_points
+
+    t0 = pd.Timestamp("2024-01-10 07:00:00").to_pydatetime()
+
+    def t(s):
+        return (pd.Timestamp("2024-01-10 07:00:00") + pd.Timedelta(seconds=s)).to_pydatetime()
+
+    points = spark.createDataFrame(
+        [("a", t0, 40.0, -105.0), ("a", t(10), 40.001, -105.0)],
+        "activity_id string, ts timestamp, lat double, lon double",
+    )
+    channels = spark.createDataFrame(
+        [("a", t(0), "heart_rate", 140.0),   # aligned -> identity
+         ("a", t(12), "heart_rate", 150.0),  # skew 2s -> snaps to t=10
+         ("a", t(40), "heart_rate", 160.0)], # 30s from nearest -> dropped
+        "activity_id string, ts timestamp, channel string, value double",
+    )
+    out = snap_channels_to_points(points, channels, default_tol_s=5.0)
+    rows = {(str(r["ts"]), r["value"]) for r in out.collect()}
+    assert rows == {
+        ("2024-01-10 07:00:00", 140.0),
+        ("2024-01-10 07:00:10", 150.0),
+    }
