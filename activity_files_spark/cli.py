@@ -134,7 +134,8 @@ def cmd_convert(spark, args) -> int:
         )
         payload_col = "xml"
     elif args.to_fmt == "tcx":
-        enc = tcx_encode_df(points, channels, laps)
+        enc = tcx_encode_df(points, channels, laps,
+                            version=getattr(args, "tcx_version", "2"))
         payload_col = "xml"
     elif args.to_fmt == "geojson":
         from activity_files_spark.sources.geojson import geojson_encode_df
@@ -269,6 +270,8 @@ def main(argv=None) -> int:
         c.add_argument(f"--{ch}-max-delta", dest=f"{ch}_max_delta",
                        type=float, default=None)
     c.add_argument("--gpx-version", default="1.1", choices=["1.0", "1.1"])
+    c.add_argument("--tcx-version", dest="tcx_version", default="2",
+                   choices=["1", "2"])
     c.add_argument("--precision-latlon", dest="precision_latlon",
                    type=int, default=6)
     c.add_argument("--precision-ele", dest="precision_ele", type=int, default=2)

@@ -273,7 +273,7 @@ def encode_tcx(points, channels_by_ts, laps, sport: str = "Running",
 
 def tcx_encode_df(
     points: DataFrame, channels: DataFrame | None = None, laps: DataFrame | None = None,
-    sport: str = "Running",
+    sport: str = "Running", version: str = "2",
 ) -> DataFrame:
     """Per-activity TCX documents (same union+kernel shape as gpx_encode_df)."""
     from pyspark.sql import functions as F
@@ -341,7 +341,7 @@ def tcx_encode_df(
             pdf.loc[kind == "l", lap_cols].sort_values("start_ts", kind="stable"),
             lap_cols,
         )
-        xml = encode_tcx(pts, chmap, lp, sport=sport)
+        xml = encode_tcx(pts, chmap, lp, sport=sport, version=version)
         return pd.DataFrame([{"activity_id": aid, "xml": xml}])
 
     return u.groupBy("activity_id").applyInPandas(kernel, "activity_id string, xml string")
