@@ -136,3 +136,60 @@ def test_asof_numpy_kernel_matches_reference(probe_ts, samples):
     want = _asof_reference([float(p) for p in pt_arr],
                            [(float(t), float(v)) for t, v in samples], tol)
     assert got == want
+
+
+# ---------------------------------------------------------------- integer ANN
+
+vec_st = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=8, max_size=8,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(vec_st, st.integers(min_value=0, max_value=31))
+def test_lsh_integer_projection_matches_pure_python(vec, table):
+    """The LSH/IVF quantized projection (numpy int matmul) must equal a
+    pure-python integer fold — exact by construction (|x*1024| <= ~1e9,
+    |w| < 2^19, dim 8 -> |dot| < 2^52, far inside int64), so any divergence
+    means an overflow or a quantization-rule change that would break the
+    DuckDB oracles."""
+    from activity_files_spark.operators.similarity import (
+        LSH_VEC_SCALE,
+        _hyperplanes_int,
+    )
+
+    n_planes = 4
+    planes = _hyperplanes_int(8, n_planes, table)
+    x = np.array(vec, dtype=np.float64)
+    xq = np.floor(x * LSH_VEC_SCALE).astype(np.int64)
+    mat = np.array(planes, dtype=np.int64).T  # (dim, planes)
+    np_dots = xq @ mat
+
+    for p in range(n_planes):
+        py_dot = 0
+        for d in range(8):
+            py_dot += int(math.floor(vec[d] * LSH_VEC_SCALE)) * planes[p][d]
+        assert py_dot == np_dots[p]
+        # bucket bit decision identical
+        assert (py_dot > 0) == bool(np_dots[p] > 0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(vec_st, min_size=1, max_size=6))
+def test_ivf_assignment_tiebreak_is_lower_centroid(vecs):
+    """ivf_assign's stable argsort must pick the LOWER centroid id on exact
+    dot ties — the rule the SQL oracle replays (ORDER BY dot DESC, c)."""
+    from activity_files_spark.operators.similarity import (
+        LSH_VEC_SCALE,
+        _hyperplanes_int,
+    )
+
+    cents = np.array(_hyperplanes_int(8, 16, table=99), dtype=np.int64)
+    x = np.array(vecs, dtype=np.float64)
+    xq = np.floor(x * LSH_VEC_SCALE).astype(np.int64)
+    dots = xq @ cents.T
+    top = np.argsort(-dots, axis=1, kind="stable")[:, 0]
+    for i in range(len(vecs)):
+        best = max(range(16), key=lambda c: (dots[i][c], -c))
+        assert top[i] == best
