@@ -119,9 +119,26 @@ def cmd_convert(spark, args) -> int:
                          ("temperature", "temp_max_delta"))
         if getattr(args, attr, None) is not None
     }
-    channels = snap_channels_to_points(
-        points, channels, tolerances=overrides,
+    # channel-name set from the CACHED records (not the heavy post-autofix
+    # plan), plus the channels autofix recomputes; timer events are punctual
+    # markers, not samples — they bypass snapping untouched
+    names = {
+        r["channel"]
+        for r in records.filter(F.col("kind") == "channel")
+        .select("channel").distinct().collect()
+        if r["channel"] and r["channel"] != "event"
+    }
+    if getattr(args, "autofix", False):
+        names |= {"distance", "speed"}
+    event_rows = channels.filter(F.col("channel") == "event")
+    snapped = snap_channels_to_points(
+        points, channels.filter(F.col("channel") != "event"),
+        tolerances=overrides,
         default_tol_s=getattr(args, "max_delta_seconds", 5.0),
+        channel_names=sorted(names),
+    ) if names else channels.filter(F.col("channel") != "event")
+    channels = snapped.unionByName(
+        event_rows.select("activity_id", "ts", "channel", "value")
     )
 
     if args.to_fmt == "gpx":

@@ -353,9 +353,11 @@ def map_channels_wide_kernel(
     ).withColumn("_side", F.lit(0))
     merged = p.unionByName(c, allowMissingColumns=True)
 
+    # channel names are data-derived (CSV headers): backtick-escape them so a
+    # metacharacter in a header can't break the DDL schema string
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in probes.schema.fields
-    ) + "".join(f", `{ch}` double" for ch in channel_names)
+    ) + "".join(", `{}` double".format(ch.replace("`", "``")) for ch in channel_names)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pr = pdf[pdf["_side"] == 1].sort_values(ts, kind="stable")
@@ -390,19 +392,30 @@ def snap_channels_to_points(
     default_tol_s: float = 5.0,
     key: str = "activity_id",
     ts: str = "ts",
+    channel_names: list[str] | None = None,
 ) -> DataFrame:
     """Encoder-side channel association (channel_mapper.dart ChannelCursor +
     EncoderOptions.maxDeltaFor): every point resolves each channel's NEAREST
-    sample within that channel's tolerance (default 5 s, per-channel
-    overrides), and the result is re-emitted as the long (key, ts, channel,
-    value) stream keyed by POINT timestamps — so the exact-ts encode kernels
-    association just works, including clock-skewed sensor streams. On
-    already-aligned data (deltas 0) this is the identity mapping.
+    sample within that channel's tolerance, and the result is re-emitted as
+    the long (key, ts, channel, value) stream keyed by POINT timestamps —
+    so the exact-ts encode kernels' association just works, including
+    clock-skewed sensor streams. On already-aligned data (deltas 0) this is
+    the identity mapping.
 
-    One shuffle (the wide kernel) + a stack melt; no per-row Python."""
-    names = sorted(
+    The uniform ``default_tol_s`` (5 s) deliberately mirrors the reference
+    ENCODER contract (EncoderOptions: defaultMaxDelta 5 s, per-channel map
+    EMPTY by default) and therefore overrides the as-of JOIN operator's own
+    DEFAULT_CHANNEL_TOLERANCES — those belong to J1, not the encoders.
+
+    ``channel_names``: pass the (cheaply known) distinct channel set to
+    avoid an extra distinct+collect pass over the channel pipeline.
+
+    One shuffle (the wide kernel) + an explode melt; no per-row Python and
+    no SQL-string interpolation of data-derived channel names."""
+    names = channel_names if channel_names is not None else sorted(
         r["channel"] for r in channels.select("channel").distinct().collect()
     )
+    names = sorted(names)
     if not names:
         return channels
     tol = {n: default_tol_s for n in names}
@@ -410,8 +423,12 @@ def snap_channels_to_points(
     wide = map_channels_wide_kernel(
         points.select(key, ts), channels, names, tolerances=tol, key=key, ts=ts
     )
-    stack_expr = ", ".join(f"'{n}', `{n}`" for n in names)
-    return wide.select(
-        key, ts,
-        F.expr(f"stack({len(names)}, {stack_expr}) AS (channel, value)"),
-    ).filter(F.col("value").isNotNull())
+    pairs = F.array(*[
+        F.struct(F.lit(n).alias("channel"), wide[n].alias("value")) for n in names
+    ])
+    return (
+        wide.select(key, ts, F.explode(pairs).alias("_cv"))
+        .select(key, ts, F.col("_cv.channel").alias("channel"),
+                F.col("_cv.value").alias("value"))
+        .filter(F.col("value").isNotNull())
+    )

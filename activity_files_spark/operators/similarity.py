@@ -281,11 +281,19 @@ def ivf_topk(
     vec: str = "vec",
     exclude_same_id: bool | None = None,
 ) -> DataFrame:
-    """IVF-flat approximate top-k: items are assigned to their nearest
-    coarse centroid (deterministic md5-derived centroids — at production
+    """IVF-flat approximate top-k: items are assigned to the coarse
+    centroid maximizing the INTEGER dot product of the floor-quantized
+    vector (deterministic md5-derived integer centroids — at production
     scale these come from a k-means fit persisted with the index); each
-    query probes its ``n_probe`` nearest centroids and ranks exact cosine
-    inside those inverted lists.
+    query probes its ``n_probe`` best centroids by the same rule and ranks
+    exact cosine inside those inverted lists.
+
+    Assignment metric note: the integer dot is UNNORMALIZED, so centroids
+    with ~5% larger norms attract proportionally more boundary vectors than
+    cosine-nearest assignment would — an accepted tradeoff for exact,
+    engine-portable assignments (the SQL oracle replays them bit-for-bit,
+    and the recall-vs-brute pytest gate pins the end-to-end quality; a
+    k-means fit would supply equal-ish-norm centroids anyway).
 
     The scale path: the cross join is replaced by an equi-join on
     centroid id; recall is tunable via n_probe (n_probe == n_centroids
