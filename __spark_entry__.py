@@ -1722,6 +1722,74 @@ def _gpx_roundtrip_sql() -> str:
     """
 
 
+def downsample_distance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 stateful distance downsampling, driver-gated: per user track
+    (derived grid geometry), keep a point iff the haversine from the last
+    KEPT point is >= 250 m (plus the always-keep-last rule) — the keep
+    decision depends on the last kept row, not a window. The oracle replays
+    the keep chain with a recursive CTE whose haversine expression is the
+    bit-identical SQL twin (same IEEE op sequence), so every keep decision
+    and the kept-set aggregates match exactly."""
+    from activity_files_spark.operators.downsample import downsample_distance
+
+    # dense per-user geometry (7 latitude rungs 55.6 m apart, fixed lon):
+    # successive hops span 0-333 m, so the 250 m keep rule genuinely skips
+    # and keeps — with the global event-id grid every hop was ~8 km and the
+    # chain trivially kept everything
+    pts = _read(spark, sf_dir, "events").select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("activity_id"),
+        "event_id", "ts",
+        (F.lit(40.0) + (F.col("event_id") % 7).cast("double") * F.lit(0.0005)).alias("lat"),
+        F.lit(-105.0).alias("lon"),
+    )
+    kept = downsample_distance(pts, 250.0)
+    return kept.groupBy("activity_id").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+    ).select(
+        F.substring("activity_id", 2, 20).cast("long").alias("user_id"),
+        "n_kept", "sum_event_id",
+    )
+
+
+def _downsample_distance_sql() -> str:
+    hav = haversine_sql("k.lat", "k.lon", "p.lat", "p.lon")
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT user_id, event_id,
+             40.0 + CAST(event_id % 7 AS DOUBLE) * 0.0005 AS lat,
+             CAST(-105.0 AS DOUBLE) AS lon,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    chain AS (
+      SELECT user_id, event_id, lat, lon, rn, n FROM pts WHERE rn = 1
+      UNION ALL
+      SELECT nxt.user_id, nxt.event_id, nxt.lat, nxt.lon, nxt.rn, nxt.n
+      FROM chain k, LATERAL (
+        SELECT p.user_id, p.event_id, p.lat, p.lon, p.rn, p.n
+        FROM pts p
+        WHERE p.user_id = k.user_id AND p.rn > k.rn
+          AND {hav} >= 250.0
+        ORDER BY p.rn LIMIT 1
+      ) nxt
+    ),
+    kept AS (
+      -- explicit DISTINCT: inside WITH RECURSIVE, DuckDB does not dedup a
+      -- plain UNION that references the recursive CTE
+      SELECT DISTINCT user_id, event_id FROM (
+        SELECT user_id, event_id FROM chain
+        UNION ALL
+        SELECT user_id, event_id FROM pts WHERE rn = n
+      )
+    )
+    SELECT user_id, COUNT(*) AS n_kept,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+    FROM kept GROUP BY user_id
+    """
+
+
 def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal AUDIO, driver-gated end-to-end through the REAL RIFF/WAVE
     PCM16 codec: one deterministic integer-triangle clip per user
@@ -2196,6 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip_stats": geojson_roundtrip_stats,
         "stream_downsample_events": stream_downsample_events,
         "audio_wav_features": audio_wav_features,
+        "downsample_distance_events": downsample_distance_events,
         "video_frame_stats": video_frame_stats,
     }
 
@@ -2243,6 +2312,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip_stats": _geojson_roundtrip_sql(),
         "stream_downsample_events": _stream_downsample_sql(),
         "audio_wav_features": _audio_wav_sql(),
+        "downsample_distance_events": _downsample_distance_sql(),
         "video_frame_stats": _video_frame_sql(),
         # validate_images_summary: intentionally no oracle (pixel decode is
         # not SQL-expressible) -> driver rows-only check; pytest pins it.

@@ -73,6 +73,7 @@ HEADLINE = [
     "audio_wav_features",
     "video_frame_stats",
     "ivf_ann_embeddings",
+    "downsample_distance_events",
 ]
 
 
