@@ -1722,6 +1722,67 @@ def _gpx_roundtrip_sql() -> str:
     """
 
 
+def edit_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3 + pause time-edits, driver-gated as one composed chain:
+    crop [Jan 3, Jan 28] -> deleteRange [Jan 10, Jan 12] (timeline gap
+    KEPT) -> removePause [Jan 20, Jan 22) (gap CLOSED: later rows shift
+    2 days earlier) -> insertPause at Jan 25 (+1 h). The aggregate includes
+    the exact epoch-microsecond sum of the final timestamps, so every
+    retained row AND every time shift must match the SQL replay exactly
+    (raw_editor.dart:201-241, 367-405, 412-503)."""
+    from activity_files_spark.operators.normalize import (
+        crop,
+        delete_range,
+        insert_pause,
+        remove_pause,
+    )
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    x = crop(ev, "2024-01-03 00:00:00", "2024-01-28 00:00:00")
+    x = delete_range(x, "2024-01-10 00:00:00", "2024-01-12 00:00:00")
+    x = remove_pause(x, "2024-01-20 00:00:00", "2024-01-22 00:00:00")
+    x = insert_pause(x, "2024-01-25 00:00:00", 3600.0)
+    return x.groupBy("user_id").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+        F.sum(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+        .cast("long").alias("sum_ts_us"),
+    )
+
+
+def _edit_pipeline_sql() -> str:
+    return """
+    WITH cropped AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        AND ts <= TIMESTAMP '2024-01-28 00:00:00'
+    ),
+    deleted AS (
+      SELECT * FROM cropped
+      WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+         OR ts > TIMESTAMP '2024-01-12 00:00:00'
+    ),
+    nopause AS (
+      SELECT user_id, event_id,
+             CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00'
+                  THEN ts - INTERVAL 172800 SECONDS ELSE ts END AS ts
+      FROM deleted
+      WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+         OR ts >= TIMESTAMP '2024-01-22 00:00:00'
+    ),
+    shifted AS (
+      SELECT user_id, event_id,
+             CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00'
+                  THEN ts + INTERVAL 3600 SECONDS ELSE ts END AS ts
+      FROM nopause
+    )
+    SELECT user_id, COUNT(*) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us
+    FROM shifted GROUP BY user_id
+    """
+
+
 def downsample_distance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W8 stateful distance downsampling, driver-gated: per user track
     (derived grid geometry), keep a point iff the haversine from the last
@@ -2265,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_downsample_events": stream_downsample_events,
         "audio_wav_features": audio_wav_features,
         "downsample_distance_events": downsample_distance_events,
+        "edit_pipeline_events": edit_pipeline_events,
         "video_frame_stats": video_frame_stats,
     }
 
@@ -2313,6 +2375,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_downsample_events": _stream_downsample_sql(),
         "audio_wav_features": _audio_wav_sql(),
         "downsample_distance_events": _downsample_distance_sql(),
+        "edit_pipeline_events": _edit_pipeline_sql(),
         "video_frame_stats": _video_frame_sql(),
         # validate_images_summary: intentionally no oracle (pixel decode is
         # not SQL-expressible) -> driver rows-only check; pytest pins it.

@@ -74,6 +74,7 @@ HEADLINE = [
     "video_frame_stats",
     "ivf_ann_embeddings",
     "downsample_distance_events",
+    "edit_pipeline_events",
 ]
 
 
