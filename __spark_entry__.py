@@ -1803,7 +1803,7 @@ def downsample_distance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(40.0) + (F.col("event_id") % 7).cast("double") * F.lit(0.0005)).alias("lat"),
         F.lit(-105.0).alias("lon"),
     )
-    kept = downsample_distance(pts, 250.0)
+    kept = downsample_distance(pts, 250.0, tiebreak=["event_id"])
     return kept.groupBy("activity_id").agg(
         F.count("*").alias("n_kept"),
         F.sum("event_id").cast("long").alias("sum_event_id"),

@@ -203,6 +203,12 @@ def simhash64(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # a null doc id would factorize to code -1, and np.add.at(ones,
+            # -1, ...) silently folds its votes into the LAST group's row —
+            # drop null-id tokens before voting
+            pdf = pdf[pdf[id_col].notna()]
+            if len(pdf) == 0:
+                continue
             h = pdf["_h"].to_numpy(dtype=np.int64)
             bitm = (h[:, None] >> shifts) & 1  # (n, bits) int64 0/1
             codes, uniq = pd.factorize(pdf[id_col])

@@ -49,13 +49,23 @@ def _keep_by_distance(lat: np.ndarray, lon: np.ndarray, meters: float) -> np.nda
 
 
 def downsample_time(
-    points: DataFrame, step_s: float, key: str = "activity_id", ts: str = "ts"
+    points: DataFrame,
+    step_s: float,
+    key: str = "activity_id",
+    ts: str = "ts",
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """W7: stateful time downsampling per activity."""
+    """W7: stateful time downsampling per activity.
+
+    ``tiebreak``: extra sort columns after ``ts`` — on data with duplicate
+    (key, ts) a ts-only stable sort inherits nondeterministic shuffle order,
+    making the keep chain (and any exact oracle) nondeterministic; pass a
+    unique column (mirrors stream_downsample_time)."""
     schema = points.schema
+    order = [ts] + list(tiebreak or [])
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts, kind="stable")
+        pdf = pdf.sort_values(order, kind="stable")
         t = pdf[ts].values.astype("datetime64[us]").astype("int64") / 1e6
         return pdf[_keep_by_time(t, step_s)]
 
@@ -63,13 +73,19 @@ def downsample_time(
 
 
 def downsample_distance(
-    points: DataFrame, meters: float, key: str = "activity_id", ts: str = "ts"
+    points: DataFrame,
+    meters: float,
+    key: str = "activity_id",
+    ts: str = "ts",
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
-    """W8: stateful distance downsampling per activity."""
+    """W8: stateful distance downsampling per activity. ``tiebreak`` as in
+    :func:`downsample_time` (determinism on tied timestamps)."""
     schema = points.schema
+    order = [ts] + list(tiebreak or [])
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts, kind="stable")
+        pdf = pdf.sort_values(order, kind="stable")
         return pdf[_keep_by_distance(pdf["lat"].values, pdf["lon"].values, meters)]
 
     return points.groupBy(key).applyInPandas(lambda _k, pdf: kernel(pdf), schema)

@@ -183,6 +183,7 @@ def auto_fix(
     # the activity has no laps, or when every lap is a placeholder
     # ("Segment*"/"Split*" names)
     generated = None
+    before_laps = _count_by(laps, "_l_before", key) if laps is not None else None
     if options.auto_lap_by_distance:
         if laps is not None and options.auto_lap_only_when_missing:
             placeholder = F.lit(False)
@@ -231,6 +232,7 @@ def auto_fix(
     diags = _autofix_diagnostics(
         before_pts, after_trim_pts, before_ch, after_trim_ch, had_distance,
         generated, key, recomputed=options.fix_distance_drift,
+        before_laps=before_laps,
     )
     return {"points": fixed, "channels": channels, "laps": laps,
             "diagnostics": diags}
@@ -245,6 +247,7 @@ def _autofix_diagnostics(
     generated_laps: DataFrame | None,
     key: str,
     recomputed: bool = False,
+    before_laps: DataFrame | None = None,
 ) -> DataFrame:
     """Before/after diff diagnostics (facade:2238-2288): info rows per
     activity for trimmed points, trimmed channel samples, recomputed
@@ -298,13 +301,21 @@ def _autofix_diagnostics(
             )
         )
     if generated_laps is not None:
+        # facade:2277-2286: emitted only when after.laps.length >
+        # before.laps.length, reporting the DELTA — 3 placeholder laps
+        # regenerated into 2 emits nothing
         gcount = _count_by(generated_laps, "_g", key)
+        if before_laps is not None:
+            gcount = gcount.join(before_laps, key, "left")
+        else:
+            gcount = gcount.withColumn("_l_before", F.lit(None).cast("long"))
+        delta = F.col("_g") - F.coalesce(F.col("_l_before"), F.lit(0))
         parts.append(
-            gcount.filter(F.col("_g") > 0).select(
+            gcount.filter(delta > 0).select(
                 key,
                 F.lit("autofix.laps.auto_generated").alias("code"),
                 F.lit("info").alias("severity"),
-                F.concat(F.lit("Auto-fix generated "), F.col("_g"),
+                F.concat(F.lit("Auto-fix generated "), delta,
                          F.lit(" lap(s) from distance splits.")).alias("message"),
             )
         )

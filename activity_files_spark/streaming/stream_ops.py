@@ -116,7 +116,12 @@ def stream_downsample_time(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = points.schema
-    state_schema = "last_kept double"
+    # Field renamed last_kept -> last_kept_us when the stored unit changed
+    # from epoch-seconds to epoch-microseconds: a restart from a pre-change
+    # checkpoint must fail on the schema mismatch rather than silently
+    # misinterpret seconds as microseconds. (No deployed checkpoints exist
+    # for this framework; the rename is the compatibility fence.)
+    state_schema = "last_kept_us double"
     step_us = int(round(step_s * 1e6))
     order = [ts] + list(tiebreak or [])
 
