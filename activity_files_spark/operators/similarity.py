@@ -240,23 +240,27 @@ def lsh_topk(
     lean on AQE second."""
     if exclude_same_id is None:
         exclude_same_id = q_id == i_id
-    qs = lsh_signature(
-        queries.select(F.col(q_id).alias("_qid"), F.col(vec).alias("_qv")),
-        "_qv", dim, n_planes, n_tables,
-    )
+    q_vecs = queries.select(F.col(q_id).alias("_qid"), F.col(vec).alias("_qv"))
+    i_vecs = items.select(F.col(i_id).alias("_iid"), F.col(vec).alias("_iv"))
+    qs = lsh_signature(q_vecs, "_qv", dim, n_planes, n_tables)
     if multiprobe:
         flips = F.array(F.lit(0), *[F.lit(1 << j) for j in range(n_planes)])
         qs = qs.withColumn(
             "bucket", F.explode(F.transform(flips, lambda m: F.col("bucket").bitwiseXOR(m)))
         )
-    its = lsh_signature(
-        items.select(F.col(i_id).alias("_iid"), F.col(vec).alias("_iv")),
-        "_iv", dim, n_planes, n_tables,
+    its = lsh_signature(i_vecs, "_iv", dim, n_planes, n_tables)
+    # candidate generation + dedup on BARE id pairs: the wide vector columns
+    # are dropped before the bucket-join and dedup exchanges (at 10^12 rows
+    # x d=512 they would dominate shuffle volume ~100:1 — each candidate
+    # occurs up to L*(b+1) times), then re-attached by one equi-join per
+    # side against the base tables
+    cand = qs.select("tbl", "bucket", "_qid").join(
+        its.select("tbl", "bucket", "_iid"), ["tbl", "bucket"]
     )
-    cand = qs.join(its, ["tbl", "bucket"])
     if exclude_same_id:
         cand = cand.filter(F.col("_qid") != F.col("_iid"))
-    cand = cand.select("_qid", "_iid", "_qv", "_iv").dropDuplicates(["_qid", "_iid"])
+    pairs = cand.select("_qid", "_iid").dropDuplicates(["_qid", "_iid"])
+    cand = pairs.join(q_vecs, "_qid").join(i_vecs, "_iid")
     scored = cand.select(
         F.col("_qid").alias(q_id), F.col("_iid").alias(i_id),
         (_dot(F.col("_qv"), F.col("_iv")) / (_norm(F.col("_qv")) * _norm(F.col("_iv")))).alias("cos"),
@@ -302,18 +306,17 @@ def ivf_topk(
     if exclude_same_id is None:
         exclude_same_id = q_id == i_id
 
-    its = ivf_assign(
-        items.select(F.col(i_id).alias("_iid"), F.col(vec).alias("_iv")),
-        "_iv", dim, n_centroids, 1,
-    )
-    qs = ivf_assign(
-        queries.select(F.col(q_id).alias("_qid"), F.col(vec).alias("_qv")),
-        "_qv", dim, n_centroids, n_probe,
-    )
-    cand = qs.join(its, "_cid")
+    q_vecs = queries.select(F.col(q_id).alias("_qid"), F.col(vec).alias("_qv"))
+    i_vecs = items.select(F.col(i_id).alias("_iid"), F.col(vec).alias("_iv"))
+    its = ivf_assign(i_vecs, "_iv", dim, n_centroids, 1)
+    qs = ivf_assign(q_vecs, "_qv", dim, n_centroids, n_probe)
+    # inverted-list join + dedup on bare id pairs (vectors stripped from
+    # both exchanges — a query occurs n_probe times), then re-attach
+    cand = qs.select("_cid", "_qid").join(its.select("_cid", "_iid"), "_cid")
     if exclude_same_id:
         cand = cand.filter(F.col("_qid") != F.col("_iid"))
-    cand = cand.dropDuplicates(["_qid", "_iid"])
+    pairs = cand.select("_qid", "_iid").dropDuplicates(["_qid", "_iid"])
+    cand = pairs.join(q_vecs, "_qid").join(i_vecs, "_iid")
     scored = cand.select(
         F.col("_qid").alias(q_id), F.col("_iid").alias(i_id),
         (_dot(F.col("_qv"), F.col("_iv")) / (_norm(F.col("_qv")) * _norm(F.col("_iv")))).alias("cos"),
@@ -409,18 +412,20 @@ def cosine_dup_pairs_lsh(
     (tbl, bucket) with ~uniform occupancy (b=12 → 4096 buckets/table); the
     brute twin is kept as the test oracle only.
     """
-    a = lsh_signature(
-        items.select(F.col(i_id).alias("id_a"), F.col(vec).alias("_va")),
-        "_va", dim, n_planes, n_tables,
-    )
-    b = lsh_signature(
-        items.select(F.col(i_id).alias("id_b"), F.col(vec).alias("_vb")),
-        "_vb", dim, n_planes, n_tables,
-    )
+    a_vecs = items.select(F.col(i_id).alias("id_a"), F.col(vec).alias("_va"))
+    b_vecs = items.select(F.col(i_id).alias("id_b"), F.col(vec).alias("_vb"))
+    a = lsh_signature(a_vecs, "_va", dim, n_planes, n_tables)
+    b = lsh_signature(b_vecs, "_vb", dim, n_planes, n_tables)
+    # bucket self-join + dedup on bare id pairs (vectors stripped from the
+    # candidate exchanges — a pair colliding in many tables would otherwise
+    # shuffle both vectors once per collision), then re-attach per side
     cand = (
-        a.join(b, ["tbl", "bucket"])
+        a.select("tbl", "bucket", "id_a")
+        .join(b.select("tbl", "bucket", "id_b"), ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(a_vecs, "id_a")
+        .join(b_vecs, "id_b")
     )
     return (
         cand.select(

@@ -207,6 +207,68 @@ def test_cosine_dup_pairs_lsh_matches_brute_and_is_equijoin(spark):
     assert len(want) == n_planted  # exactly the planted (orig, copy) pairs
 
 
+def _exchange_outputs(df):
+    """Formatted-explain parse: output attribute lists of every shuffle
+    Exchange node (BroadcastExchange excluded — broadcasts ship the small
+    side once, not per-row)."""
+    fmt = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    outs = []
+    blocks = fmt.split("\n\n")
+    for b in blocks:
+        first = b.strip().splitlines()[0] if b.strip() else ""
+        if first.startswith("(") and " Exchange" in first or first.endswith("Exchange"):
+            if "BroadcastExchange" in first:
+                continue
+            for line in b.splitlines():
+                if line.startswith("Input") or line.startswith("Output"):
+                    outs.append(line)
+                    break
+    return outs
+
+
+def test_ann_candidate_dedup_exchanges_carry_no_vectors(spark):
+    """The LSH/IVF candidate-generation and pair-dedup exchanges must not
+    carry the wide vector columns (at 10^12 rows x d=512 a candidate pair
+    occurs up to L*(b+1) times and its two vectors would dominate shuffle
+    volume); vectors re-attach by one per-side equi-join AFTER the dedup."""
+    from activity_files_spark.operators.similarity import (
+        cosine_dup_pairs_lsh,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.col("vec_id").alias("item_id"), as_double_vec(F.col("embedding")).alias("vec")
+    )
+    qs = emb.filter(F.col("item_id") < 5).select(
+        F.col("item_id").alias("query_id"), "vec"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable broadcast so every join materializes its shuffle exchanges —
+    # the 100 TB shape where neither side broadcasts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for df, vecs in [
+            (lsh_topk(qs, emb, k=3, dim=64, exclude_same_id=True), ("_qv", "_iv")),
+            (ivf_topk(qs, emb, k=3, dim=64, exclude_same_id=True), ("_qv", "_iv")),
+            (cosine_dup_pairs_lsh(emb, threshold=0.99, dim=64), ("_va", "_vb")),
+        ]:
+            exchanges = _exchange_outputs(df)
+            assert exchanges, "expected shuffle exchanges with broadcast off"
+            for line in exchanges:
+                # no exchange may carry BOTH vectors (the dedup/candidate
+                # exchanges carry neither; the re-attach joins each move
+                # one vector exactly once, keyed by its id)
+                assert not (vecs[0] in line and vecs[1] in line), line
+            # and the id-pair dedup exchange itself is vector-free
+            pair_ex = [l for l in exchanges
+                       if vecs[0] not in l and vecs[1] not in l]
+            assert pair_ex, exchanges
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_cosine_topk_kernel_query_cap(spark):
     """The Arrow-kernel brute path collects the query side; the cap guards
     the driver against unbounded collects and points at lsh/ivf."""
