@@ -1999,6 +1999,86 @@ def _video_frame_sql() -> str:
     """
 
 
+def video_y4m_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal VIDEO through the REAL YUV4MPEG2 container codec,
+    driver-gated end-to-end (WAV's video twin): one deterministic C420jpeg
+    clip per user (8x6 luma + 4x3 subsampled chroma, 6 frames; all planes
+    integer formulas of (x, y, frame, uid)), encoded to real Y4M binary
+    (encode_y4m: text stream header + FRAME markers + raw planes), then
+    frame-sampled every 2nd frame through the container-aware chunk walker
+    (sample_frames parses the FRAME markers) which upsamples 4:2:0 chroma
+    by exact 2x2 integer replication, and per-frame plane sums reduced in
+    the Arrow kernel (frame_stats). The oracle replays the header math,
+    frame stride, AND the chroma upsample (u(x,y) = u_sub(x//2, y//2))
+    bit-for-bit — a hash match proves the real container round-trips."""
+    import numpy as np
+    import pandas as pd
+
+    from activity_files_spark.operators.multimodal import (
+        VIDEO_SCHEMA,
+        encode_y4m,
+        frame_stats,
+        sample_frames,
+    )
+
+    users = _read(spark, sf_dir, "events").select("user_id").distinct()
+    w, h, n_frames = 8, 6, 6
+
+    def gen(batches):
+        yy, xx = np.mgrid[0:h, 0:w]
+        ys, xs = np.mgrid[0 : h // 2, 0 : w // 2]
+        for pdf in batches:
+            rows = []
+            for uid in pdf["user_id"]:
+                i = int(uid)
+                y = np.stack(
+                    [(xx + 2 * f + i) % 256 for f in range(n_frames)]
+                ).astype(np.uint8)
+                u = np.stack(
+                    [(xs * 3 + f + i) % 256 for f in range(n_frames)]
+                ).astype(np.uint8)
+                v = np.stack(
+                    [(xs * ys + 2 * i + f) % 256 for f in range(n_frames)]
+                ).astype(np.uint8)
+                rows.append({
+                    "clip_id": f"u{i}",
+                    "bytes": encode_y4m((y, u, v), fps=(10, 1), colorspace="C420jpeg"),
+                    "w": w, "h": h, "fps": 10.0, "n_frames": n_frames,
+                    "fmt": "y4m",
+                })
+            yield pd.DataFrame(rows)
+
+    clips = users.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, VIDEO_SCHEMA
+    )
+    stats = frame_stats(sample_frames(clips, every=2))
+    return stats.select(
+        F.substring("clip_id", 2, 20).cast("long").alias("user_id"),
+        "frame_idx",
+        F.col("sum_r").alias("sum_y"),
+        F.col("sum_g").alias("sum_u"),
+        F.col("sum_b").alias("sum_v"),
+    )
+
+
+def _video_y4m_sql() -> str:
+    return """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+      SELECT u.user_id, f.f AS frame_idx, x.x AS x, y.y AS y
+      FROM users u,
+           (SELECT unnest([0, 2, 4]) AS f) f,
+           (SELECT unnest(range(8)) AS x) x,
+           (SELECT unnest(range(6)) AS y) y
+    )
+    SELECT user_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(SUM((x + 2 * frame_idx + user_id) % 256) AS BIGINT) AS sum_y,
+           CAST(SUM(((x // 2) * 3 + frame_idx + user_id) % 256) AS BIGINT) AS sum_u,
+           CAST(SUM(((x // 2) * (y // 2) + 2 * user_id + frame_idx) % 256) AS BIGINT) AS sum_v
+    FROM grid GROUP BY user_id, frame_idx
+    """
+
+
 def stream_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 CUSTOM STATEFUL streaming operator, driver-gated: events stream
     through applyInPandasWithState keeping one row per user per 10 minutes
@@ -2328,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_distance_events": downsample_distance_events,
         "edit_pipeline_events": edit_pipeline_events,
         "video_frame_stats": video_frame_stats,
+        "video_y4m_stats": video_y4m_stats,
     }
 
 
@@ -2377,6 +2458,7 @@ def oracle_sql() -> dict[str, str]:
         "downsample_distance_events": _downsample_distance_sql(),
         "edit_pipeline_events": _edit_pipeline_sql(),
         "video_frame_stats": _video_frame_sql(),
+        "video_y4m_stats": _video_y4m_sql(),
         # validate_images_summary: intentionally no oracle (pixel decode is
         # not SQL-expressible) -> driver rows-only check; pytest pins it.
     }

@@ -1,10 +1,13 @@
 """Multimodal columns: audio/video as opaque binary + typed metadata.
 
-The container has no media libraries, so the DECODE step is a clearly
-marked stub (NotImplementedError for real codecs, a deterministic fake for
-the synthetic fixtures) — but the Spark-side plumbing is real and tested:
-schemas, Arrow batch shapes, frame/sample offset math, and partitioning all
-behave exactly as they would with a real libav/soundfile binding dropped in.
+Two REAL container codecs are implemented pure-python (the container has
+no media libraries): RIFF/WAVE PCM16 for audio and YUV4MPEG2 (Y4M) for
+video — both are plain header + raw samples/planes formats in real-world
+use (Y4M is what ffmpeg/x264/mplayer exchange uncompressed video in).
+Compressed codecs (mp3/flac/ogg, mp4/webm/mkv) are honestly stubbed with
+NotImplementedError — they need bindings absent from this container — but
+the Spark-side plumbing (schemas, Arrow batch shapes, frame/sample offset
+math, partitioning) is identical for a real libav binding dropped in.
 
 Schemas:
   audio: (clip_id string, bytes binary, sample_rate int, n_samples long,
@@ -12,7 +15,7 @@ Schemas:
   video: (clip_id string, bytes binary, w int, h int, fps double,
           n_frames long, fmt string)
 
-Fake codecs ("rawpcm16" / "rawrgb") are REAL in the sense that the bytes
+Raw codecs ("rawpcm16" / "rawrgb") are REAL in the sense that the bytes
 are exactly the samples/frames — so offset math is fully exercised.
 """
 
@@ -98,12 +101,144 @@ def decode_audio(data: bytes, fmt: str, n_samples: int, channels: int) -> np.nda
     return np.frombuffer(data, dtype="<i2").reshape(n_samples, channels)
 
 
+def encode_y4m(
+    frames,
+    fps: tuple[int, int] = (30, 1),
+    colorspace: str = "C444",
+) -> bytes:
+    """REAL YUV4MPEG2 (Y4M) encoder — WAV's video twin: a plain-text stream
+    header (``YUV4MPEG2 W.. H.. F<num>:<den> Ip A1:1 <colorspace>``) followed
+    by ``FRAME`` markers + raw uncompressed planes. No external libs; the
+    format mplayer/ffmpeg/x264 exchange raw video in.
+
+    ``frames`` by colorspace:
+      C444   — uint8 (n, h, w, 3), one full-resolution plane per channel
+      Cmono  — uint8 (n, h, w), luma only
+      C420*  — tuple (y, u, v): y uint8 (n, h, w); u, v uint8 (n, h/2, w/2)
+               (4:2:0 chroma subsampling; h and w must be even)
+    """
+    if colorspace.startswith("C444"):
+        f = np.asarray(frames)
+        if f.dtype != np.uint8 or f.ndim != 4 or f.shape[3] != 3:
+            raise ValueError("C444 wants uint8 (n, h, w, 3)")
+        n, h, w, _ = f.shape
+        planes = f.transpose(0, 3, 1, 2)  # (n, 3, h, w)
+        frame_payloads = [planes[i].tobytes() for i in range(n)]
+    elif colorspace == "Cmono":
+        f = np.asarray(frames)
+        if f.dtype != np.uint8 or f.ndim != 3:
+            raise ValueError("Cmono wants uint8 (n, h, w)")
+        n, h, w = f.shape
+        frame_payloads = [f[i].tobytes() for i in range(n)]
+    elif colorspace.startswith("C420"):
+        y, u, v = (np.asarray(p) for p in frames)
+        n, h, w = y.shape
+        if h % 2 or w % 2:
+            raise ValueError("C420 requires even frame dimensions")
+        if u.shape != (n, h // 2, w // 2) or v.shape != u.shape:
+            raise ValueError("C420 chroma planes must be (n, h/2, w/2)")
+        if y.dtype != np.uint8 or u.dtype != np.uint8 or v.dtype != np.uint8:
+            raise ValueError("C420 wants uint8 planes")
+        frame_payloads = [
+            y[i].tobytes() + u[i].tobytes() + v[i].tobytes() for i in range(n)
+        ]
+    else:
+        raise NotImplementedError(f"Y4M colorspace {colorspace!r} not implemented")
+    header = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n"
+    return header.encode("ascii") + b"".join(
+        b"FRAME\n" + p for p in frame_payloads
+    )
+
+
+def parse_y4m(data: bytes) -> tuple[np.ndarray, dict]:
+    """REAL YUV4MPEG2 decoder: parses the stream-header parameter list (any
+    order; unknown ``X`` extensions tolerated), walks the ``FRAME`` markers
+    (per-frame parameters tolerated), and returns interleaved uint8
+    ``(n, h, w, 3)`` frames + a meta dict (w, h, fps_num, fps_den,
+    colorspace, n_frames).
+
+    Chroma handling: C444 planes pass through; C420* subsampled chroma is
+    upsampled nearest-neighbor (``plane[y, x] = sub[y//2, x//2]`` — exact
+    integer replication, so downstream reductions stay engine-replayable);
+    Cmono replicates luma into all three channels. 4:2:2 and packed
+    variants raise NotImplementedError.
+    """
+    if not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise ValueError("Y4M header not terminated")
+    w = h = None
+    fps_num, fps_den = 30, 1
+    cs = "C420"  # the spec default when no C parameter is present
+    for tok in data[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("F"):
+            num, den = t[1:].split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif t.startswith("C"):
+            cs = t
+        # I (interlace), A (aspect), X (extensions): tolerated, unused
+    if w is None or h is None or w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    ysize = w * h
+    if cs.startswith("C444") and "p" not in cs:  # C444 planar (not packed)
+        csize, sub = ysize, 1
+    elif cs.startswith("C420"):
+        if h % 2 or w % 2:
+            raise ValueError("C420 stream with odd dimensions")
+        csize, sub = (h // 2) * (w // 2), 2
+    elif cs == "Cmono":
+        csize, sub = 0, 1
+    else:
+        raise NotImplementedError(f"Y4M colorspace {cs!r} not implemented")
+    need = ysize + 2 * csize
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = fnl + 1
+        if pos + need > len(data):
+            raise ValueError("truncated Y4M frame payload")
+        yp = np.frombuffer(data, np.uint8, ysize, pos).reshape(h, w)
+        pos += ysize
+        if csize:
+            hc, wc = h // sub, w // sub
+            up = np.frombuffer(data, np.uint8, csize, pos).reshape(hc, wc)
+            pos += csize
+            vp = np.frombuffer(data, np.uint8, csize, pos).reshape(hc, wc)
+            pos += csize
+            if sub > 1:
+                up = np.repeat(np.repeat(up, sub, axis=0), sub, axis=1)
+                vp = np.repeat(np.repeat(vp, sub, axis=0), sub, axis=1)
+        else:
+            up = vp = yp
+        frames.append(np.stack([yp, up, vp], axis=-1))
+    out = (
+        np.stack(frames)
+        if frames
+        else np.zeros((0, h, w, 3), dtype=np.uint8)
+    )
+    return out, {"w": w, "h": h, "fps_num": fps_num, "fps_den": fps_den,
+                 "colorspace": cs, "n_frames": len(frames)}
+
+
 def decode_video_frame(data: bytes, fmt: str, w: int, h: int, frame: int) -> np.ndarray:
-    """-> uint8 (h, w, 3) for one frame. Real codecs are stubbed."""
+    """-> uint8 (h, w, 3) for one frame ('y4m' decodes YUV planes for real;
+    compressed codecs are honestly stubbed)."""
+    if fmt == "y4m":
+        frames, _meta = parse_y4m(bytes(data))
+        return frames[frame]
     if fmt in REAL_VIDEO_FMTS:
         raise NotImplementedError(
             f"video codec {fmt!r} needs an ffmpeg binding (not in this "
-            "container); only 'rawrgb' is decodable here"
+            "container); 'y4m' and 'rawrgb' are decodable here"
         )
     if fmt != "rawrgb":
         raise ValueError(f"unknown video fmt {fmt!r}")
@@ -210,8 +345,20 @@ def sample_frames(video: DataFrame, every: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                fb = r.w * r.h * 3
                 data = bytes(r.bytes)
+                if r.fmt == "y4m":
+                    # container-aware: chunk-walk the FRAME markers, emit
+                    # interleaved RGB-shaped planes (the same downstream
+                    # contract as rawrgb)
+                    frames, meta = parse_y4m(data)
+                    for f in range(0, meta["n_frames"], every):
+                        rows.append({
+                            "clip_id": r.clip_id, "frame_idx": f,
+                            "frame_bytes": frames[f].tobytes(),
+                            "w": meta["w"], "h": meta["h"],
+                        })
+                    continue
+                fb = r.w * r.h * 3
                 for f in range(0, int(r.n_frames), every):
                     rows.append({
                         "clip_id": r.clip_id, "frame_idx": f,

@@ -72,6 +72,7 @@ HEADLINE = [
     "stream_downsample_events",
     "audio_wav_features",
     "video_frame_stats",
+    "video_y4m_stats",
     "ivf_ann_embeddings",
     "downsample_distance_events",
     "edit_pipeline_events",

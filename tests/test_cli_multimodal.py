@@ -110,6 +110,95 @@ def test_video_real_codec_stubbed():
         decode_video_frame(b"", "mp4", 8, 6, 0)
 
 
+def test_y4m_c444_roundtrip_byte_exact(spark):
+    """REAL YUV4MPEG2 codec: C444 planes survive encode -> binary -> decode
+    byte-for-byte, and the container plugs into the distributed frame
+    pipeline (sample_frames chunk-walks FRAME markers)."""
+    from activity_files_spark.operators.multimodal import encode_y4m, parse_y4m
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(4, 6, 8, 3), dtype=np.uint8)
+    blob = encode_y4m(frames, fps=(25, 1), colorspace="C444")
+    assert blob.startswith(b"YUV4MPEG2 W8 H6 F25:1 ")
+    back, meta = parse_y4m(blob)
+    assert meta == {"w": 8, "h": 6, "fps_num": 25, "fps_den": 1,
+                    "colorspace": "C444", "n_frames": 4}
+    assert np.array_equal(back, frames)
+    # and through the Spark plumbing: every-2 sampling over the container
+    vid = spark.createDataFrame(
+        [("c0", bytearray(blob), 8, 6, 25.0, 4, "y4m")],
+        "clip_id string, bytes binary, w int, h int, fps double, "
+        "n_frames long, fmt string",
+    )
+    out = {r["frame_idx"]: r for r in sample_frames(vid, every=2).collect()}
+    assert set(out) == {0, 2}
+    got = np.frombuffer(bytes(out[2]["frame_bytes"]), np.uint8).reshape(6, 8, 3)
+    assert np.array_equal(got, frames[2])
+
+
+def test_y4m_c420_upsample_and_mono():
+    """4:2:0 chroma upsamples by exact 2x2 replication; Cmono replicates
+    luma into all three channels; decode_video_frame routes 'y4m'."""
+    from activity_files_spark.operators.multimodal import (
+        encode_y4m,
+        parse_y4m,
+    )
+
+    y = np.arange(2 * 4 * 6, dtype=np.uint8).reshape(2, 4, 6)
+    u = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    v = (u + 100).astype(np.uint8)
+    blob = encode_y4m((y, u, v), fps=(30, 1), colorspace="C420jpeg")
+    back, meta = parse_y4m(blob)
+    assert meta["colorspace"] == "C420jpeg" and meta["n_frames"] == 2
+    assert np.array_equal(back[..., 0], y)
+    for yy in range(4):
+        for xx in range(6):
+            assert back[1, yy, xx, 1] == u[1, yy // 2, xx // 2]
+            assert back[1, yy, xx, 2] == v[1, yy // 2, xx // 2]
+    frame1 = decode_video_frame(blob, "y4m", 6, 4, 1)
+    assert np.array_equal(frame1, back[1])
+    mono = encode_y4m(y, colorspace="Cmono")
+    mback, mmeta = parse_y4m(mono)
+    assert mmeta["colorspace"] == "Cmono"
+    assert np.array_equal(mback[..., 0], y) and np.array_equal(mback[..., 2], y)
+
+
+def test_y4m_header_tolerance_and_errors():
+    """Header parameters in any order with X extensions and FRAME
+    parameters are tolerated (real encoders emit them); malformed payloads
+    raise; unimplemented colorspaces are honest NotImplementedError."""
+    from activity_files_spark.operators.multimodal import encode_y4m, parse_y4m
+
+    planes = b"\x01" * (4 * 2) * 3  # C444 2x4? -> W4 H2: y/u/v 8 bytes each
+    blob = (b"YUV4MPEG2 C444 XCOLORRANGE=FULL H2 F24:1 W4 Ip A128:117\n"
+            b"FRAME Xsome=param\n" + planes)
+    frames, meta = parse_y4m(blob)
+    assert meta["w"] == 4 and meta["h"] == 2 and meta["fps_num"] == 24
+    assert frames.shape == (1, 2, 4, 3) and (frames == 1).all()
+    # default colorspace (no C token) is C420 per spec
+    sub = b"\x02" * (4 * 2) + b"\x03" * 2 + b"\x04" * 2
+    dblob = b"YUV4MPEG2 W4 H2 F30:1\nFRAME\n" + sub
+    dframes, dmeta = parse_y4m(dblob)
+    assert dmeta["colorspace"] == "C420" and dframes[0, 1, 3, 1] == 3
+    with pytest.raises(ValueError):
+        parse_y4m(b"MPEG4 nope")
+    with pytest.raises(ValueError):
+        parse_y4m(b"YUV4MPEG2 W4 H2 C444\nFRAME\n" + b"\x00" * 5)  # truncated
+    with pytest.raises(ValueError):
+        parse_y4m(b"YUV4MPEG2 W4 H2 C444\nBADMARKER\n" + b"\x00" * 24)
+    with pytest.raises(NotImplementedError):
+        parse_y4m(b"YUV4MPEG2 W4 H2 C422\nFRAME\n" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        encode_y4m(np.zeros((1, 3, 5), dtype=np.uint8), colorspace="C444")
+    with pytest.raises(ValueError):  # odd dims under 4:2:0
+        encode_y4m(
+            (np.zeros((1, 3, 5), dtype=np.uint8),
+             np.zeros((1, 1, 2), dtype=np.uint8),
+             np.zeros((1, 1, 2), dtype=np.uint8)),
+            colorspace="C420jpeg",
+        )
+
+
 def test_cli_convert_includes_csv_and_flags_unknown(spark, tmp_path, capsys):
     from activity_files_spark.cli import main
 
