@@ -13,7 +13,8 @@ Decoder semantics from the reference (lib/src/parse/fit_parser.dart):
     semicircles * 180 / 2^31 (reject |deg| > 180)
     altitude raw/5 - 500        speed raw/1000      distance raw/100
     timestamps: 1989-12-31T00:00:00Z epoch, plausibility [1, 1924992000]
-- message handlers: file_id 0, record 20, lap 19, session 18, event 21
+- message handlers: file_id 0, record 20, lap 19, session 18, event 21,
+  activity 34 (timer-time fallback + local-ts offset)
   (fit_parser.dart:351-776)
 - developer fields registered from message 206 field_description
   (fit_parser.dart:805-835), names sanitized (fit_parser.dart:1167-1185)
@@ -388,6 +389,25 @@ def parse_fit(
                 meta.setdefault("session.total_distance_m", repr(_num(values[9]) / 100.0))
             if _num(values.get(7)) is not None:
                 meta.setdefault("session.total_elapsed_s", repr(_num(values[7]) / 1000.0))
+            if _num(values.get(8)) is not None:  # total_timer_time, scale 1000
+                meta.setdefault("session.total_timer_s", repr(_num(values[8]) / 1000.0))
+        elif g == 34:  # activity (fit_parser.dart:769-776)
+            # The reference's case-34 handler decodes ONLY field 0
+            # (total_timer_time, ms scale 1000) as a timer-time fallback —
+            # the primary session's value wins regardless of message order
+            # (fit_parser.dart:609-612, 773). num_sessions (1) and
+            # local_timestamp (5, device-local FIT seconds; minus the UTC
+            # timestamp 253 it yields the UTC offset) are surfaced as extra
+            # activity.* attrs — a documented superset of the reference.
+            if _num(values.get(0)) is not None:
+                meta.setdefault("activity.total_timer_s", repr(_num(values[0]) / 1000.0))
+            if _num(values.get(1)) is not None:
+                meta.setdefault("activity.num_sessions", str(int(_num(values[1]))))
+            ts_raw = _scalar(values.get(253))
+            lt_raw = _scalar(values.get(5))
+            if (isinstance(ts_raw, int) and isinstance(lt_raw, int)
+                    and 1 <= ts_raw <= FIT_TS_MAX and 1 <= lt_raw <= FIT_TS_MAX):
+                meta.setdefault("activity.local_ts_offset_s", str(lt_raw - ts_raw))
         elif g == 0:  # file_id
             if _scalar(values.get(1)) is not None:
                 meta.setdefault("device.manufacturer", str(_scalar(values[1])))
@@ -470,6 +490,11 @@ def parse_fit(
                     "base_type": btype,
                     "channel": _sanitize_dev_name(str(name), didx, fnum),
                 }
+    # timer-time merge (fit_parser.dart:609-612, 773): the primary session's
+    # total_timer_time wins; an activity (34) message supplies it only when
+    # no session carried one — replicated order-independently here
+    if "session.total_timer_s" not in meta and "activity.total_timer_s" in meta:
+        meta["session.total_timer_s"] = meta["activity.total_timer_s"]
     if collect_stats and integrity == "report":
         for k, v in stats.items():
             if v:
@@ -570,7 +595,15 @@ SESSION_DEF = [
     (253, 4, 0x86),  # timestamp
     (5, 1, 0x00),    # sport enum
     (7, 4, 0x86),    # total_elapsed_time ms
+    (8, 4, 0x86),    # total_timer_time ms
     (9, 4, 0x86),    # total_distance cm
+]
+
+ACTIVITY_DEF = [
+    (253, 4, 0x86),  # timestamp (UTC)
+    (0, 4, 0x86),    # total_timer_time ms
+    (1, 2, 0x84),    # num_sessions
+    (5, 4, 0x86),    # local_timestamp (device-local FIT seconds)
 ]
 
 LENGTH_DEF = [
@@ -697,14 +730,17 @@ def encode_fit(
     sport_id = SPORT_IDS_INV.get(meta.get("sport"), 0xFF)
     sess_dist = _attr_num(meta, "session.total_distance_m")
     sess_elapsed = _attr_num(meta, "session.total_elapsed_s")
-    if sport_id != 0xFF or sess_dist is not None or sess_elapsed is not None:
+    sess_timer = _attr_num(meta, "session.total_timer_s")
+    if (sport_id != 0xFF or sess_dist is not None or sess_elapsed is not None
+            or sess_timer is not None):
         body += _def_record(8, 18, SESSION_DEF)
         sess_ts = _fit_secs(points[0]["ts"]) if points else 0xFFFFFFFF
         body += bytes([0x08]) + struct.pack(
-            "<IBII",
+            "<IBIII",
             sess_ts,
             sport_id,
             int(round(sess_elapsed * 1000.0)) if sess_elapsed is not None else 0xFFFFFFFF,
+            int(round(sess_timer * 1000.0)) if sess_timer is not None else 0xFFFFFFFF,
             int(round(sess_dist * 100.0)) if sess_dist is not None else 0xFFFFFFFF,
         )
 
@@ -823,6 +859,30 @@ def encode_fit(
                 0,  # event_type: start
                 0xFFFFFFFF,
             )
+
+    # activity (34) — re-emitted when decode surfaced activity.* attrs:
+    # total_timer_time (the reference's timer fallback), num_sessions, and
+    # local_timestamp (UTC ts + stored offset) round-trip losslessly
+    act_timer = _attr_num(meta, "activity.total_timer_s")
+    act_sessions = _attr_num(meta, "activity.num_sessions")
+    act_offset = _attr_num(meta, "activity.local_ts_offset_s")
+    if act_timer is not None or act_sessions is not None or act_offset is not None:
+        ts_raw = (
+            _fit_secs_or(points[-1]["ts"]) if points else 0xFFFFFFFF
+        )
+        local_raw = (
+            ts_raw + int(act_offset)
+            if act_offset is not None and ts_raw != 0xFFFFFFFF
+            else 0xFFFFFFFF
+        )
+        body += _def_record(9, 34, ACTIVITY_DEF)
+        body += bytes([0x09]) + struct.pack(
+            "<IIHI",
+            ts_raw,
+            int(round(act_timer * 1000.0)) if act_timer is not None else 0xFFFFFFFF,
+            int(act_sessions) if act_sessions is not None else 0xFFFF,
+            local_raw,
+        )
 
     header = struct.pack("<BBHI4s", 14, 0x20, 2140, len(body), b".FIT")
     header += struct.pack("<H", fit_crc16(header))

@@ -90,6 +90,64 @@ def test_fit_set_and_length_messages():
     assert sa["duration_s"] == "30.0"
 
 
+def test_fit_activity_message_34():
+    """Activity (34) handler parity (fit_parser.dart:769-776): field 0
+    total_timer_time is the timer fallback — the primary session's field 8
+    wins regardless of message order — plus surfaced num_sessions and the
+    local-timestamp UTC offset; all three round-trip through the encoder."""
+    import struct
+
+    from activity_files_spark.sources.fit import (
+        _def_record,
+        encode_fit,
+        fit_crc16,
+        parse_fit,
+    )
+
+    def build(session_timer_raw):
+        body = bytearray()
+        # session: sport running, elapsed 60s, timer (maybe), distance 1km
+        body += _def_record(0, 18, [(253, 4, 0x86), (5, 1, 0x00),
+                                    (7, 4, 0x86), (8, 4, 0x86), (9, 4, 0x86)])
+        t0 = 1_000_000_000
+        body += bytes([0x00]) + struct.pack(
+            "<IBIII", t0, 1, 60000, session_timer_raw, 100000)
+        # activity: timer 45.5s, 2 sessions, local ts = utc + 7200 (UTC+2)
+        body += _def_record(1, 34, [(253, 4, 0x86), (0, 4, 0x86),
+                                    (1, 2, 0x84), (5, 4, 0x86)])
+        body += bytes([0x01]) + struct.pack("<IIHI", t0, 45500, 2, t0 + 7200)
+        header = struct.pack("<BBHI4s", 14, 0x20, 2140, len(body), b".FIT")
+        header += struct.pack("<H", fit_crc16(header))
+        blob = header + bytes(body)
+        return blob + struct.pack("<H", fit_crc16(blob))
+
+    # session carries no timer (invalid sentinel) -> activity's wins
+    meta = [r for r in parse_fit("a", build(0xFFFFFFFF)) if r["kind"] == "meta"][0]
+    a = meta["attrs"]
+    assert a["session.total_timer_s"] == "45.5"
+    assert a["activity.total_timer_s"] == "45.5"
+    assert a["activity.num_sessions"] == "2"
+    assert a["activity.local_ts_offset_s"] == "7200"
+    # session timer present -> session wins (fit_parser.dart:609-612, 773)
+    meta2 = [r for r in parse_fit("a", build(30250)) if r["kind"] == "meta"][0]
+    assert meta2["attrs"]["session.total_timer_s"] == "30.25"
+    assert meta2["attrs"]["activity.total_timer_s"] == "45.5"
+    # encoder re-emits msg 34 + session field 8: full round-trip
+    blob2 = encode_fit([], {}, [], meta=dict(a))
+    back = [r for r in parse_fit("b", blob2) if r["kind"] == "meta"][0]["attrs"]
+    assert back["session.total_timer_s"] == "45.5"
+    assert back["activity.num_sessions"] == "2"
+    # no points -> activity ts is the invalid sentinel -> offset not derivable
+    assert "activity.local_ts_offset_s" not in back
+    # with a point the UTC offset round-trips through local_timestamp
+    import pandas as pd
+    pt = [{"seq": 0, "ts": pd.Timestamp("2024-03-01T10:00:00"),
+           "lat": 40.0, "lon": -105.0, "ele": None}]
+    blob3 = encode_fit(pt, {}, [], meta=dict(a))
+    back3 = [r for r in parse_fit("c", blob3) if r["kind"] == "meta"][0]["attrs"]
+    assert back3["activity.local_ts_offset_s"] == "7200"
+
+
 def test_gpx_multi_track_concatenates(spark):
     from activity_files_spark.sources.gpx import gpx_records
     from activity_files_spark.sources.records import laps_of, points_of
