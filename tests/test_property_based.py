@@ -193,3 +193,20 @@ def test_ivf_assignment_tiebreak_is_lower_centroid(vecs):
     for i in range(len(vecs)):
         best = max(range(16), key=lambda c: (dots[i][c], -c))
         assert top[i] == best
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=2000),
+    st.integers(min_value=0, max_value=0xFFFF),
+)
+def test_fit_crc16_vectorized_matches_nibble_reference(data, init):
+    """The GF(2)-linear bulk CRC path (numpy row lanes + shift-table fold)
+    must be bit-identical to the reference nibble-table loop for any data
+    and any incoming state — padded past the 256-byte bulk threshold so
+    both row math and the tail loop are exercised."""
+    from activity_files_spark.sources.fit import _crc16_scalar, fit_crc16
+
+    assert fit_crc16(data, init) == _crc16_scalar(data, init)
+    big = data * (1024 // max(1, len(data)) + 1)
+    assert fit_crc16(big, init) == _crc16_scalar(big, init)
