@@ -1396,9 +1396,12 @@ def _image_knn_sql() -> str:
 
 
 def validate_images_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row image invariants (decode + PSNR>=40dB + caption + phash)
-    rolled up per fmt. Not SQL-expressible (pixel decode) — the driver
-    records a rows-only check; pytest pins the per-row semantics."""
+    """The PIXEL half of the per-row image invariants (decode + PSNR>=40dB
+    + phash-from-decoded-pixels) rolled up per fmt. Genuinely not
+    SQL-expressible (codec decode) — the driver records a rows-only check;
+    pytest pins the per-row semantics. The SQL-replayable half (caption
+    equality, dimensions, phash presence) is hash-gated separately by
+    :func:`image_invariants_summary`."""
     from activity_files_spark.data.images import synth_images
     from activity_files_spark.operators.tiling import validate_images
 
@@ -1409,6 +1412,55 @@ def validate_images_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
         F.round(F.min("psnr_db"), 3).alias("min_psnr_db"),
     )
+
+
+def image_invariants_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-replayable half of validate_images, hash-gated: the
+    validator kernel's caption-equality verdicts plus dimension and
+    phash-presence counts per fmt, with min/max caption strings so the
+    oracle re-derives the CONTENT (the caption embeds the z12 quadkey,
+    replayed through the quadkey SQL twin) — not just the counts."""
+    from activity_files_spark.data.images import synth_images
+    from activity_files_spark.operators.tiling import validate_images
+
+    imgs = synth_images(spark, N_IMAGES_CORRECTNESS, partitions=8)
+    diag = validate_images(imgs, passthrough=("caption", "w", "h", "phash"))
+    return diag.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.when(F.col("caption_ok"), 1).otherwise(0)).alias("n_caption_ok"),
+        F.sum(F.col("w").cast("long") * F.col("h").cast("long")).alias("sum_pixels"),
+        F.sum(F.when(F.col("phash").isNotNull(), 1).otherwise(0)).alias("n_phash_present"),
+        F.min("caption").alias("min_caption"),
+        F.max("caption").alias("max_caption"),
+    )
+
+
+def _image_invariants_sql() -> str:
+    x, y = tile_xy_sql("lat", "lon", 12)
+    digits = quadkey_digits_sql("qx", "qy", 12)
+    return f"""
+    WITH base AS (
+      SELECT i, printf('img_%012d', i) AS image_id,
+             {_lat_sql_img('i')} AS lat, {_lon_sql_img('i')} AS lon,
+             CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS fmt,
+             CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+             CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 48 END AS h
+      FROM range({N_IMAGES_CORRECTNESS}) t(i)
+    ),
+    q AS (SELECT *, {x} AS qx, {y} AS qy FROM base),
+    cap AS (
+      SELECT fmt, w, h,
+             'caption for ' || image_id || ' at cell ' || {digits} AS caption
+      FROM q
+    )
+    SELECT fmt, COUNT(*) AS n_images,
+           COUNT(*) AS n_caption_ok,
+           CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS sum_pixels,
+           COUNT(*) AS n_phash_present,
+           MIN(caption) AS min_caption,
+           MAX(caption) AS max_caption
+    FROM cap GROUP BY fmt
+    """
 
 
 RECORD_COLS = ["seq", "ts", "lat", "lon", "ele", "channel", "value", "lap_id",
@@ -2409,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_pipeline_events": edit_pipeline_events,
         "video_frame_stats": video_frame_stats,
         "video_y4m_stats": video_y4m_stats,
+        "image_invariants_summary": image_invariants_summary,
     }
 
 
@@ -2459,6 +2512,9 @@ def oracle_sql() -> dict[str, str]:
         "edit_pipeline_events": _edit_pipeline_sql(),
         "video_frame_stats": _video_frame_sql(),
         "video_y4m_stats": _video_y4m_sql(),
-        # validate_images_summary: intentionally no oracle (pixel decode is
-        # not SQL-expressible) -> driver rows-only check; pytest pins it.
+        "image_invariants_summary": _image_invariants_sql(),
+        # validate_images_summary: intentionally no oracle (pixel/codec
+        # decode is not SQL-expressible) -> driver rows-only check; pytest
+        # pins it. Its SQL-replayable half (caption/dims/phash presence) IS
+        # hash-gated via image_invariants_summary above.
     }
