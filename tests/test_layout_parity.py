@@ -36,6 +36,39 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_bucketed_asof_cogroup_has_no_shuffle(spark):
+    """The 100 TB claim in layout.py's docstring, proven for the COGROUP
+    as-of path (not just equi-joins): points and channels bucketed on
+    activity_id feed asof_channels_wide's FlatMapCoGroupsInPandas with no
+    Exchange on either side — bucketing satisfies the cogroup's clustered
+    distribution, leaving only within-partition sorts."""
+    from activity_files_spark.operators.asof import asof_channels_wide
+
+    for t in ("pts_asof_b", "ch_asof_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    pts = spark.range(1000).select(
+        (F.col("id") % 50).cast("string").alias("activity_id"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+    )
+    ch = spark.range(3000).select(
+        (F.col("id") % 50).cast("string").alias("activity_id"),
+        F.timestamp_seconds(F.lit(1700000000) + (F.col("id") % 900)).alias("ts"),
+        F.lit("heart_rate").alias("channel"),
+        (F.col("id") % 200).cast("double").alias("value"),
+    )
+    write_bucketed(pts, "pts_asof_b", "activity_id", n_buckets=8)
+    write_bucketed(ch, "ch_asof_b", "activity_id", n_buckets=8)
+    out = asof_channels_wide(
+        spark.table("pts_asof_b"), spark.table("ch_asof_b"),
+        ["heart_rate"], default_tolerance_s=5.0,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Exchange" not in plan, plan  # co-located: zero shuffles
+    assert "Bucketed: true" in plan
+    assert out.count() == 1000
+
+
 def test_cell_partitioned_write_prunes(spark, tmp_path):
     from activity_files_spark.data.images import synth_images
     from activity_files_spark.operators.tiling import tile_assign
