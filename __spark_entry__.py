@@ -1656,6 +1656,132 @@ def _stream_sessionize_sql() -> str:
     """
 
 
+def stream_tile_rollup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 INCREMENTAL TILING ROLLUP, driver-gated: events stream through
+    readStream, each point is z12 quadkey-cell encoded with the native
+    packed-cell expression, and a watermarked 1-hour tumbling window
+    counts points per (window, cell) — the streaming twin of the
+    north-star tile rollup, drained via trigger(availableNow). The oracle
+    replays the epoch-aligned hour bucket (date_trunc) and the integer
+    tile math through the quadkey SQL twin, so a hash match proves the
+    windowed incremental aggregation matches the batch formula exactly."""
+    import tempfile
+    import uuid
+
+    from activity_files_spark.streaming.stream_ops import (
+        run_available_now,
+        stream_cell_histogram,
+    )
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select(
+        "event_id", "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    roll = stream_cell_histogram(pts, z=12, watermark="1 hour")
+    name = f"stream_tiles_{uuid.uuid4().hex[:10]}"
+    q = run_available_now(roll, name, tempfile.mkdtemp(), output_mode="complete")
+    q.awaitTermination()
+    return spark.table(name).select("window_start", "cell_id", "n_points")
+
+
+def _stream_tile_rollup_sql() -> str:
+    x, y = tile_xy_sql("lat", "lon", 12)
+    return f"""
+    WITH pts AS (
+      SELECT ts, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon FROM events
+    ), tiles AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             ({x} << 12) | ({y}) AS cell_id
+      FROM pts
+    )
+    SELECT window_start, cell_id, COUNT(*) AS n_points
+    FROM tiles GROUP BY window_start, cell_id
+    """
+
+
+def hamming_near_dups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Hamming near-duplicate mining over 64-bit codes (the
+    simhash / image-phash dedup shape), driver-gated with EXACT recall:
+    each document gets a deterministic 60-bit md5-derived code; planted
+    twins flip 1 bit (every doc), 3 bits (doc_id % 5 == 0) and 4 bits
+    (doc_id % 7 == 0, beyond the threshold) via OR-of-shifts masks. The
+    operator (operators/dedup.py hamming_near_dup_pairs) splits codes
+    into 4 x 16-bit bands — pigeonhole guarantees any pair <= 3 bits
+    apart collides on an intact band — equi-joins candidates, dedups
+    bare id pairs, and verifies with native bit_count. The oracle
+    replays codes by digit polynomial and brute-forces all pairs with
+    the same XOR/popcount — every found pair, missed pair, and distance
+    value is bit-exact."""
+    from activity_files_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+        md5_prefix_long,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", md5_prefix_long(F.col("text")).alias("code")
+    )
+    did = F.col("doc_id")
+
+    def bit(shift_sql: str):
+        # PySpark's shiftleft wrapper only takes a literal bit count; the
+        # SQL function accepts a column expression
+        return F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(({shift_sql}) % 60 AS INT))")
+
+    m1 = bit("doc_id")
+    m3 = m1.bitwiseOR(bit("doc_id * 7 + 13")).bitwiseOR(bit("doc_id * 31 + 29"))
+    m4 = m3.bitwiseOR(bit("doc_id * 17 + 41"))
+    twins1 = docs.select(
+        (did + 1000000).alias("doc_id"), F.col("code").bitwiseXOR(m1).alias("code")
+    )
+    twins3 = docs.filter(did % 5 == 0).select(
+        (did + 2000000).alias("doc_id"), F.col("code").bitwiseXOR(m3).alias("code")
+    )
+    twins4 = docs.filter(did % 7 == 0).select(
+        (did + 3000000).alias("doc_id"), F.col("code").bitwiseXOR(m4).alias("code")
+    )
+    allc = docs.unionByName(twins1).unionByName(twins3).unionByName(twins4)
+    return hamming_near_dup_pairs(
+        allc, code_col="code", id_col="doc_id", max_hamming=3, n_bands=4
+    )
+
+
+def _hamming_near_dups_sql() -> str:
+    from activity_files_spark.operators.dedup import md5_prefix_long_sql
+
+    code = md5_prefix_long_sql("text")
+    return f"""
+    WITH base AS (SELECT doc_id, {code} AS code FROM documents),
+    m AS (
+      SELECT doc_id, code,
+             (1::BIGINT << (doc_id % 60)) AS b1,
+             (1::BIGINT << ((doc_id * 7 + 13) % 60)) AS b2,
+             (1::BIGINT << ((doc_id * 31 + 29) % 60)) AS b3,
+             (1::BIGINT << ((doc_id * 17 + 41) % 60)) AS b4
+      FROM base
+    ),
+    allc AS (
+      SELECT doc_id, code FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, xor(code, b1) FROM m
+      UNION ALL
+      SELECT doc_id + 2000000, xor(code, b1 | b2 | b3) FROM m WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, xor(code, b1 | b2 | b3 | b4) FROM m WHERE doc_id % 7 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.code, b.code)) AS INT) AS hamming
+    FROM allc a JOIN allc b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.code, b.code)) <= 3
+    """
+
+
 def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style MERGE/upsert, driver-gated: target = even events,
     source = every-3rd events with doubled value; matched rows are replaced,
@@ -2462,6 +2588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": video_frame_stats,
         "video_y4m_stats": video_y4m_stats,
         "image_invariants_summary": image_invariants_summary,
+        "stream_tile_rollup_cells": stream_tile_rollup_cells,
+        "hamming_near_dups_docs": hamming_near_dups_docs,
     }
 
 
@@ -2513,6 +2641,8 @@ def oracle_sql() -> dict[str, str]:
         "video_frame_stats": _video_frame_sql(),
         "video_y4m_stats": _video_y4m_sql(),
         "image_invariants_summary": _image_invariants_sql(),
+        "stream_tile_rollup_cells": _stream_tile_rollup_sql(),
+        "hamming_near_dups_docs": _hamming_near_dups_sql(),
         # validate_images_summary: intentionally no oracle (pixel/codec
         # decode is not SQL-expressible) -> driver rows-only check; pytest
         # pins it. Its SQL-replayable half (caption/dims/phash presence) IS

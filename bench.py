@@ -74,6 +74,8 @@ HEADLINE = [
     "video_frame_stats",
     "video_y4m_stats",
     "image_invariants_summary",
+    "stream_tile_rollup_cells",
+    "hamming_near_dups_docs",
     "ivf_ann_embeddings",
     "downsample_distance_events",
     "edit_pipeline_events",

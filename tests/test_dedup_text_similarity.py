@@ -269,6 +269,64 @@ def test_ann_candidate_dedup_exchanges_carry_no_vectors(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_hamming_near_dup_pairs_exact_recall(spark):
+    """Banded-Hamming near-dup pairs: pigeonhole (4 bands > max_hamming 3)
+    guarantees every <=3-bit pair is found; the bit_count verify excludes
+    pairs beyond the threshold even when a band happens to collide."""
+    from activity_files_spark.operators.dedup import hamming_near_dup_pairs
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (0, base),
+        (1, base ^ 0b101),                      # distance 2 -> found
+        (2, base ^ (1 << 63) ^ (1 << 1) ^ (1 << 33)),  # distance 3, spread
+                                                # across three bands -> found
+        (3, base ^ 0b11110000),                 # distance 4 (band 0 differs,
+                                                # bands 1-3 collide) -> excluded
+        (4, base ^ -1),                         # far (all bits flipped)
+    ]
+    # codes are signed longs on the wire
+    rows = [(i, c if c < 2**63 else c - 2**64) for i, c in rows]
+    df = spark.createDataFrame(rows, "doc_id long, code long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in hamming_near_dup_pairs(df, max_hamming=3).collect()}
+    # (0,1) d2 and (0,2) d3 found; (0,3) d4 band-collides but the verify
+    # excludes it; id 4 pairs with nothing
+    assert got[(0, 1)] == 2 and got[(0, 2)] == 3
+    assert (0, 3) not in got
+    assert not any(4 in p for p in got)
+    with pytest.raises(ValueError, match="n_bands > max_hamming"):
+        hamming_near_dup_pairs(df, max_hamming=4, n_bands=4)
+
+
+def test_hamming_near_dups_finds_lossy_reencode_phash(spark):
+    """Image-dedup integration: the phash of a lossy (jpeg) re-encode of
+    the same pixels lands within a few bits of the original's phash, so
+    banded-Hamming mining over the phash column surfaces exactly the
+    planted (original, re-encode) pairs."""
+    from activity_files_spark.codecs.image import decode, encode, phash64
+    from activity_files_spark.data.images import pixels_for
+    from activity_files_spark.operators.dedup import hamming_near_dup_pairs
+
+    rows = []
+    for i in range(24):
+        px = pixels_for(i, 32, 32)
+        rows.append((i, phash64(px)))
+        # lossy round-trip: quantized pixels, near-identical structure
+        rows.append((i + 1000, phash64(decode(encode(px, "jpeg"), "jpeg"))))
+    df = spark.createDataFrame(
+        [(i, c if c < 2**63 else c - 2**64) for i, c in rows],
+        "doc_id long, code long",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           hamming_near_dup_pairs(df, max_hamming=3, n_bands=4).collect()}
+    planted = {(i, i + 1000) for i in range(24)}
+    assert planted <= got, planted - got
+    # distinct source images stay apart (measured min cross-image phash
+    # distance on this fixture grid is 6)
+    assert not any(a < 1000 and b < 1000 for a, b in got)
+
+
 def test_cosine_topk_kernel_query_cap(spark):
     """The Arrow-kernel brute path collects the query side; the cap guards
     the driver against unbounded collects and points at lsh/ivf."""
