@@ -278,19 +278,25 @@ def geojson_encode_points_df(points: DataFrame, channels: DataFrame | None = Non
     else:
         u = p2
 
-    from activity_files_spark.sources.records import fast_records
+    from activity_files_spark.sources.records import sorted_kind_idx, take_records
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         aid = key[0]
         is_ch = pdf["channel"].notna().to_numpy()
-        cols = ["ts", "lat", "lon", "ele"]
-        pts = fast_records(
-            pdf.loc[~is_ch, cols].sort_values("ts", kind="stable"), cols
+        # reuse the kind-index helper by mapping the boolean discriminator
+        kindish = np.where(is_ch, "c", "p")
+        pts = take_records(
+            pdf, sorted_kind_idx(pdf, kindish, "p", ["ts"]),
+            ["ts", "lat", "lon", "ele"],
         )
-        ch_pd = pdf.loc[is_ch, ["ts", "channel", "value"]]
+        ch_idx = np.nonzero(is_ch)[0]
         chmap: dict = {}
         for ts, cname, v in zip(
-            ch_pd["ts"].tolist(), ch_pd["channel"].tolist(), ch_pd["value"].tolist()
+            pdf["ts"].take(ch_idx).tolist(),
+            pdf["channel"].take(ch_idx).tolist(),
+            pdf["value"].take(ch_idx).tolist(),
         ):
             chmap.setdefault(_ts_key(ts), {})[cname] = v
         return pd.DataFrame([{"activity_id": aid,

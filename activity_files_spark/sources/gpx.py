@@ -580,45 +580,41 @@ def gpx_encode_records(records: DataFrame, version: str = "1.1") -> DataFrame:
     364-403), preserved extension trees, and trk/metadata fields — the
     lossless round-trip path."""
 
-    from activity_files_spark.sources.records import fast_records
+    from activity_files_spark.sources.records import (
+        channel_map,
+        meta_attrs,
+        sorted_kind_idx,
+        take_records,
+    )
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         aid = key[0]
         kind = pdf["kind"].to_numpy()
         pt_cols = ["seq", "ts", "lat", "lon", "ele", "attrs"]
-        pts = fast_records(
-            pdf.loc[kind == "point", pt_cols]
-            .sort_values(["ts", "seq"], kind="stable"),
-            pt_cols,
+        pts = take_records(
+            pdf, sorted_kind_idx(pdf, kind, "point", ["ts", "seq"]), pt_cols
         )
-        ch_pd = pdf.loc[kind == "channel", ["ts", "channel", "value"]]
-        chmap: dict = {}
-        for ts, cname, v in zip(
-            ch_pd["ts"].tolist(), ch_pd["channel"].tolist(), ch_pd["value"].tolist()
-        ):
-            chmap.setdefault(_ts_key(ts), {})[cname] = v
-        wps = fast_records(
-            pdf.loc[kind == "waypoint", pt_cols].sort_values("seq", kind="stable"),
-            pt_cols,
+        chmap, _ = channel_map(pdf, kind, _ts_key)
+        wps = take_records(
+            pdf, sorted_kind_idx(pdf, kind, "waypoint", ["seq"]), pt_cols
         )
         routes = []
         rp_cols = ["lap_id", "seq", "ts", "lat", "lon", "ele", "attrs"]
-        route_hdrs = pdf.loc[kind == "route", ["lap_id", "attrs"]].sort_values(
-            "lap_id", kind="stable"
-        )
-        rpts = pdf.loc[kind == "route_point", rp_cols]
-        for rid, rattrs in zip(route_hdrs["lap_id"].tolist(), route_hdrs["attrs"].tolist()):
-            routes.append({
-                "attrs": rattrs if isinstance(rattrs, dict) else None,
-                "points": fast_records(
-                    rpts[rpts["lap_id"] == rid].sort_values("seq", kind="stable"),
-                    rp_cols,
-                ),
-            })
-        meta: dict = {}
-        for attrs in pdf.loc[kind == "meta", "attrs"].tolist():
-            if isinstance(attrs, dict):
-                meta.update(attrs)
+        hdr_idx = sorted_kind_idx(pdf, kind, "route", ["lap_id"])
+        if len(hdr_idx):
+            rpts = take_records(
+                pdf, sorted_kind_idx(pdf, kind, "route_point", ["lap_id", "seq"]),
+                rp_cols,
+            )
+            for rid, rattrs in zip(
+                pdf["lap_id"].take(hdr_idx).tolist(),
+                pdf["attrs"].take(hdr_idx).tolist(),
+            ):
+                routes.append({
+                    "attrs": rattrs if isinstance(rattrs, dict) else None,
+                    "points": [p for p in rpts if p["lap_id"] == rid],
+                })
+        meta = meta_attrs(pdf, kind)
         xml = encode_gpx(pts, chmap, meta=meta, waypoints=wps, routes=routes,
                          version=version)
         return pd.DataFrame([{"activity_id": aid, "xml": xml}])

@@ -321,25 +321,31 @@ def tcx_encode_df(
     for x in parts[1:]:
         u = u.unionByName(x)
 
-    from activity_files_spark.sources.records import fast_records
+    from activity_files_spark.sources.records import (
+        channel_map,
+        sorted_kind_idx,
+        take_records,
+    )
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         aid = key[0]
         kind = pdf["_kind"].to_numpy()
-        pt_cols = ["ts", "lat", "lon", "ele"]
-        pts = fast_records(
-            pdf.loc[kind == "p", pt_cols].sort_values("ts", kind="stable"), pt_cols
+        pts = take_records(
+            pdf, sorted_kind_idx(pdf, kind, "p", ["ts"]),
+            ["ts", "lat", "lon", "ele"],
         )
-        ch_pd = pdf.loc[kind == "c", ["ts", "channel", "value"]]
+        # the _kind discriminator uses "c" for channel rows
+        ch_idx = sorted_kind_idx(pdf, kind, "c", [])
         chmap: dict = {}
         for ts, cname, v in zip(
-            ch_pd["ts"].tolist(), ch_pd["channel"].tolist(), ch_pd["value"].tolist()
+            pdf["ts"].take(ch_idx).tolist(),
+            pdf["channel"].take(ch_idx).tolist(),
+            pdf["value"].take(ch_idx).tolist(),
         ):
             chmap.setdefault(_ts_key(ts), {})[cname] = v
-        lap_cols = ["start_ts", "end_ts", "distance_m"]
-        lp = fast_records(
-            pdf.loc[kind == "l", lap_cols].sort_values("start_ts", kind="stable"),
-            lap_cols,
+        lp = take_records(
+            pdf, sorted_kind_idx(pdf, kind, "l", ["start_ts"]),
+            ["start_ts", "end_ts", "distance_m"],
         )
         xml = encode_tcx(pts, chmap, lp, sport=sport, version=version)
         return pd.DataFrame([{"activity_id": aid, "xml": xml}])
