@@ -364,6 +364,68 @@ def _num(raw):
 
 INTEGRITY_MODES = ("strict", "report", "silent")
 
+# Field numbers with dedicated handling per message; every other native
+# numeric field is preserved raw (fit_parser.dart:1036-1089 — scalars into
+# extra.{f}, arrays into extra_array.{f}) for lossless FIT -> FIT.
+# Supersets of the reference sets: lap 8 (total_timer_time) and 25 (sport)
+# surface as named attrs here instead of raw extras.
+_SESSION_DEDICATED = frozenset(
+    {253, 254, 5, 6, 7, 8, 9, 10, 11, 14, 15, 16, 17, 18, 19, 20, 21,
+     41, 43, 44, 47}
+)
+_LAP_DEDICATED = frozenset(
+    {253, 254, 0, 1, 2, 7, 8, 9, 11, 13, 14, 15, 16, 17, 18, 19, 20,
+     25, 38, 40}
+)
+
+
+def _capture_extras(values: dict, dedicated: frozenset) -> tuple[dict, dict]:
+    """(scalars {f: float}, arrays {f: [float]}) over non-dedicated native
+    fields — fit_parser.dart _extraFitFields/_extraFitArrays. Null array
+    elements (invalid sentinels / padding) are dropped."""
+    scal: dict = {}
+    arrs: dict = {}
+    for f, v in values.items():
+        if f in dedicated:
+            continue
+        if isinstance(v, (int, float)):
+            scal[f] = float(v)
+        elif isinstance(v, list):
+            nums = [float(x) for x in v if isinstance(x, (int, float))]
+            if nums:
+                arrs[f] = nums
+    return scal, arrs
+
+
+def _num_str(v: float) -> str:
+    """Integral floats print as ints (attr-map convention), else repr."""
+    fv = float(v)
+    return str(int(fv)) if fv.is_integer() else repr(fv)
+
+
+# (field, attr suffix, scale) for the session (18) summary fields beyond
+# sport/elapsed/timer/distance — fit_parser.dart:557-601
+_SESSION_SUMMARY_FIELDS = (
+    (10, "total_cycles", 1), (11, "calories", 1),
+    (14, "avg_speed_mps", 1000), (15, "max_speed_mps", 1000),
+    (16, "avg_hr", 1), (17, "max_hr", 1),
+    (18, "avg_cadence", 1), (19, "max_cadence", 1),
+    (20, "avg_power", 1), (21, "max_power", 1),
+    (41, "avg_stroke_count", 10), (44, "pool_length_m", 100),
+    (47, "num_active_lengths", 1),
+)
+
+# lap (19) summary fields beyond start/end/elapsed/timer/distance/sport —
+# fit_parser.dart:620-656
+_LAP_SUMMARY_FIELDS = (
+    (0, "event", 1), (1, "event_type", 1), (11, "calories", 1),
+    (13, "avg_speed_mps", 1000), (14, "max_speed_mps", 1000),
+    (15, "avg_hr", 1), (16, "max_hr", 1),
+    (17, "avg_cadence", 1), (18, "max_cadence", 1),
+    (19, "avg_power", 1), (20, "max_power", 1),
+    (40, "num_active_lengths", 1),
+)
+
 
 def parse_fit(
     activity_id: str,
@@ -621,6 +683,20 @@ def parse_fit(
                 attrs["total_elapsed_s"] = repr(_num(values[7]) / 1000.0)
             if _num(values.get(8)) is not None:
                 attrs["total_timer_s"] = repr(_num(values[8]) / 1000.0)
+            for f, key, scale in _LAP_SUMMARY_FIELDS:
+                v = _num(values.get(f))
+                if v is not None:
+                    attrs[key] = repr(v / scale) if scale != 1 else _num_str(v)
+            stroke = _scalar(values.get(38))
+            if isinstance(stroke, int):
+                attrs["swim_stroke"] = str(stroke)
+                if stroke in SWIM_STROKES:
+                    attrs["swim_stroke_name"] = SWIM_STROKES[stroke]
+            scal, arrs = _capture_extras(values, _LAP_DEDICATED)
+            for f, v in scal.items():
+                attrs[f"extra.{f}"] = _num_str(v)
+            for f, vals in arrs.items():
+                attrs[f"extra_array.{f}"] = ",".join(_num_str(x) for x in vals)
             dist = _num(values.get(9))
             out.append({"activity_id": activity_id, "kind": "lap", "lap_id": lap_id,
                         "start_ts": start, "end_ts": end_ts,
@@ -641,6 +717,30 @@ def parse_fit(
                 meta.setdefault("session.total_elapsed_s", repr(_num(values[7]) / 1000.0))
             if _num(values.get(8)) is not None:  # total_timer_time, scale 1000
                 meta.setdefault("session.total_timer_s", repr(_num(values[8]) / 1000.0))
+            # full summary surface (fit_parser.dart:557-601); first session
+            # wins via setdefault (primarySessionSeen semantics)
+            for f, key, scale in _SESSION_SUMMARY_FIELDS:
+                v = _num(values.get(f))
+                if v is not None:
+                    meta.setdefault(
+                        f"session.{key}",
+                        repr(v / scale) if scale != 1 else _num_str(v),
+                    )
+            sub = _scalar(values.get(6))
+            if isinstance(sub, int) and sub != 0:  # 0 = generic -> omitted
+                meta.setdefault("session.sub_sport", str(sub))
+            stroke = _scalar(values.get(43))
+            if isinstance(stroke, int):
+                meta.setdefault("session.swim_stroke", str(stroke))
+                if stroke in SWIM_STROKES:
+                    meta.setdefault("session.swim_stroke_name", SWIM_STROKES[stroke])
+            scal, arrs = _capture_extras(values, _SESSION_DEDICATED)
+            for f, v in scal.items():
+                meta.setdefault(f"session.extra.{f}", _num_str(v))
+            for f, vals in arrs.items():
+                meta.setdefault(
+                    f"session.extra_array.{f}", ",".join(_num_str(x) for x in vals)
+                )
         elif g == 34:  # activity (fit_parser.dart:769-776)
             # The reference's case-34 handler decodes ONLY field 0
             # (total_timer_time, ms scale 1000) as a timer-time fallback —
@@ -833,21 +933,123 @@ REC_DEF = [
     (13, 1, 0x01),   # temperature sint8
 ]
 
+# full lap layout (fit_encoder.dart:261-320 writeLap order, re-ordered to
+# keep this engine's historical prefix stable; 8/25 are supersets)
 LAP_DEF = [
     (253, 4, 0x86),  # end timestamp
     (2, 4, 0x86),    # start_time
     (7, 4, 0x86),    # total_elapsed_time ms
+    (8, 4, 0x86),    # total_timer_time ms
     (9, 4, 0x86),    # total_distance cm
     (25, 1, 0x00),   # sport enum
+    (0, 1, 0x00),    # event
+    (1, 1, 0x00),    # event_type
+    (11, 2, 0x84),   # total_calories
+    (13, 2, 0x84),   # avg_speed (scale 1000)
+    (14, 2, 0x84),   # max_speed (scale 1000)
+    (15, 1, 0x02),   # avg_heart_rate
+    (16, 1, 0x02),   # max_heart_rate
+    (17, 1, 0x02),   # avg_cadence
+    (18, 1, 0x02),   # max_cadence
+    (19, 2, 0x84),   # avg_power
+    (20, 2, 0x84),   # max_power
+    (38, 1, 0x00),   # swim_stroke enum
+    (40, 2, 0x84),   # num_active_lengths
 ]
 
+# full session summary layout (fit_encoder.dart:159-230 writeSession order,
+# re-ordered to keep this engine's historical prefix stable): every field
+# the parser reads back; absent values are invalid sentinels
 SESSION_DEF = [
     (253, 4, 0x86),  # timestamp
     (5, 1, 0x00),    # sport enum
+    (6, 1, 0x00),    # sub_sport enum
     (7, 4, 0x86),    # total_elapsed_time ms
     (8, 4, 0x86),    # total_timer_time ms
     (9, 4, 0x86),    # total_distance cm
+    (10, 4, 0x86),   # total_cycles
+    (11, 2, 0x84),   # total_calories
+    (14, 2, 0x84),   # avg_speed (scale 1000)
+    (15, 2, 0x84),   # max_speed (scale 1000)
+    (16, 1, 0x02),   # avg_heart_rate
+    (17, 1, 0x02),   # max_heart_rate
+    (18, 1, 0x02),   # avg_cadence
+    (19, 1, 0x02),   # max_cadence
+    (20, 2, 0x84),   # avg_power
+    (21, 2, 0x84),   # max_power
+    (41, 2, 0x84),   # avg_stroke_count (scale 10)
+    (43, 1, 0x00),   # swim_stroke enum
+    (44, 2, 0x84),   # pool_length (m, scale 100)
+    (47, 2, 0x84),   # num_active_lengths
 ]
+
+
+def _u8(v) -> int:
+    return 0xFF if v is None else int(round(v)) & 0xFF
+
+
+def _u16(v) -> int:
+    return 0xFFFF if v is None else int(round(v)) & 0xFFFF
+
+
+def _u32(v) -> int:
+    return 0xFFFFFFFF if v is None else int(round(v)) & 0xFFFFFFFF
+
+
+def _extra_encode_plan(attr_maps: list[dict], prefix: str = "") -> tuple[list, list]:
+    """Shared write-back layout for preserved raw fields (fit_encoder.dart
+    _unionExtraFields/_writeExtraFields): scalars as one int32/uint32 each
+    (signed iff any value is negative), arrays as uint32 elements padded to
+    the union element count with invalid sentinels. Returns
+    (scalar_fields [(fnum, signed)], array_fields [(fnum, count)])."""
+    scal: dict[int, bool] = {}
+    arrs: dict[int, int] = {}
+    for attrs in attr_maps:
+        for k, v in (attrs or {}).items():
+            if k.startswith(prefix + "extra."):
+                f = int(k[len(prefix) + 6:])
+                try:
+                    neg = float(v) < 0
+                except (TypeError, ValueError):
+                    continue
+                scal[f] = scal.get(f, False) or neg
+            elif k.startswith(prefix + "extra_array."):
+                f = int(k[len(prefix) + 12:])
+                arrs[f] = max(arrs.get(f, 0), len(str(v).split(",")))
+    return sorted(scal.items()), sorted(arrs.items())
+
+
+def _extra_def_fields(scal: list, arrs: list) -> list[tuple[int, int, int]]:
+    return [(f, 4, 0x85 if signed else 0x86) for f, signed in scal] + [
+        (f, 4 * n, 0x86) for f, n in arrs
+    ]
+
+
+def _extra_pack(attrs: dict, scal: list, arrs: list, prefix: str = "") -> bytes:
+    out = bytearray()
+    attrs = attrs or {}
+    for f, signed in scal:
+        v = attrs.get(f"{prefix}extra.{f}")
+        try:
+            iv = int(round(float(v))) if v is not None else None
+        except (TypeError, ValueError):
+            iv = None
+        if signed:
+            out += struct.pack("<i", 0x7FFFFFFF if iv is None else iv)
+        else:
+            out += struct.pack("<I", _u32(iv))
+    for f, n in arrs:
+        v = attrs.get(f"{prefix}extra_array.{f}")
+        vals: list = []
+        if v is not None:
+            try:
+                vals = [int(round(float(x))) for x in str(v).split(",")]
+            except (TypeError, ValueError):
+                vals = []
+        vals = (vals + [None] * n)[:n]
+        for x in vals:
+            out += struct.pack("<I", _u32(x))
+    return bytes(out)
 
 ACTIVITY_DEF = [
     (253, 4, 0x86),  # timestamp (UTC)
@@ -948,22 +1150,40 @@ def _encode_prefix(
         _meta_uint("device.product", 0xFFFF),
     )
 
-    # session: sport + activity summary (fit_encoder.dart:144-248)
+    # session: sport + the FULL activity summary (fit_encoder.dart:144-248
+    # writeSession) + preserved raw extras — absent values are invalid
+    # sentinels so they round-trip as null
     sport_id = SPORT_IDS_INV.get(meta.get("sport"), 0xFF)
-    sess_dist = _attr_num(meta, "session.total_distance_m")
-    sess_elapsed = _attr_num(meta, "session.total_elapsed_s")
-    sess_timer = _attr_num(meta, "session.total_timer_s")
-    if (sport_id != 0xFF or sess_dist is not None or sess_elapsed is not None
-            or sess_timer is not None):
-        body += _def_record(8, 18, SESSION_DEF)
+    if sport_id != 0xFF or any(k.startswith("session.") for k in meta):
+        def sc(key: str, k: float = 1.0):
+            v = _attr_num(meta, "session." + key)
+            return None if v is None else v * k
+
+        scal, arrs = _extra_encode_plan([meta], prefix="session.")
+        body += _def_record(8, 18, SESSION_DEF + _extra_def_fields(scal, arrs))
         body += bytes([0x08]) + struct.pack(
-            "<IBIII",
+            "<IBBIIIIHHHBBBBHHHBHH",
             first_ts_raw,
             sport_id,
-            int(round(sess_elapsed * 1000.0)) if sess_elapsed is not None else 0xFFFFFFFF,
-            int(round(sess_timer * 1000.0)) if sess_timer is not None else 0xFFFFFFFF,
-            int(round(sess_dist * 100.0)) if sess_dist is not None else 0xFFFFFFFF,
-        )
+            _u8(sc("sub_sport")),
+            _u32(sc("total_elapsed_s", 1000.0)),
+            _u32(sc("total_timer_s", 1000.0)),
+            _u32(sc("total_distance_m", 100.0)),
+            _u32(sc("total_cycles")),
+            _u16(sc("calories")),
+            _u16(sc("avg_speed_mps", 1000.0)),
+            _u16(sc("max_speed_mps", 1000.0)),
+            _u8(sc("avg_hr")),
+            _u8(sc("max_hr")),
+            _u8(sc("avg_cadence")),
+            _u8(sc("max_cadence")),
+            _u16(sc("avg_power")),
+            _u16(sc("max_power")),
+            _u16(sc("avg_stroke_count", 10.0)),
+            _u8(sc("swim_stroke")),
+            _u16(sc("pool_length_m", 100.0)),
+            _u16(sc("num_active_lengths")),
+        ) + _extra_pack(meta, scal, arrs, prefix="session.")
 
     # developer-field descriptions must precede the record definition that
     # references them (fit_encoder.dart:479-516)
@@ -1067,19 +1287,46 @@ def _encode_suffix(
     """laps -> lengths -> sets -> events -> activity + header/CRC framing —
     the message suffix shared by the scalar and vectorized encoders."""
     if laps:
-        body += _def_record(2, 19, LAP_DEF)
-        for lap in laps:
+        lap_attr_maps = [lap.get("attrs") or {} for lap in laps]
+        scal, arrs = _extra_encode_plan(lap_attr_maps)
+        body += _def_record(2, 19, LAP_DEF + _extra_def_fields(scal, arrs))
+        for lap, attrs in zip(laps, lap_attr_maps):
             s = _fit_secs_or(lap.get("start_ts"))
             e = _fit_secs_or(lap.get("end_ts"))
-            elapsed_ms = (
-                max(0, (e - s) * 1000) if 0xFFFFFFFF not in (s, e) else 0xFFFFFFFF
-            )
+            el = _attr_num(attrs, "total_elapsed_s")
+            if el is not None:
+                elapsed_ms = int(round(el * 1000.0))
+            else:
+                elapsed_ms = (
+                    max(0, (e - s) * 1000) if 0xFFFFFFFF not in (s, e) else 0xFFFFFFFF
+                )
             dm = lap.get("distance_m")
             dist_cm = int(round(dm * 100.0)) if dm is not None and dm == dm else 0xFFFFFFFF
+
+            def la(key: str, k: float = 1.0):
+                v = _attr_num(attrs, key)
+                return None if v is None else v * k
+
             body += bytes([0x02]) + struct.pack(
-                "<IIIIB", e, s, elapsed_ms, dist_cm,
+                "<IIIIIBBBHHHBBBBHHBH",
+                e, s, elapsed_ms,
+                _u32(la("total_timer_s", 1000.0)),
+                dist_cm,
                 SPORT_IDS_INV.get(lap.get("sport"), 0xFF),
-            )
+                _u8(la("event")),
+                _u8(la("event_type")),
+                _u16(la("calories")),
+                _u16(la("avg_speed_mps", 1000.0)),
+                _u16(la("max_speed_mps", 1000.0)),
+                _u8(la("avg_hr")),
+                _u8(la("max_hr")),
+                _u8(la("avg_cadence")),
+                _u8(la("max_cadence")),
+                _u16(la("avg_power")),
+                _u16(la("max_power")),
+                _u8(la("swim_stroke")),
+                _u16(la("num_active_lengths")),
+            ) + _extra_pack(attrs, scal, arrs)
 
     if lengths:
         body += _def_record(3, 101, LENGTH_DEF)

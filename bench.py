@@ -79,6 +79,9 @@ HEADLINE = [
     "ivf_ann_embeddings",
     "downsample_distance_events",
     "edit_pipeline_events",
+    "image_knn",
+    "lsh_ann_embeddings",
+    "validate_images_summary",
 ]
 
 

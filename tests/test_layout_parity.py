@@ -181,6 +181,126 @@ def test_fit_activity_message_34():
     assert back3["activity.local_ts_offset_s"] == "7200"
 
 
+def _fit_blob(body: bytes) -> bytes:
+    import struct
+
+    from activity_files_spark.sources.fit import fit_crc16
+
+    header = struct.pack("<BBHI4s", 14, 0x20, 2140, len(body), b".FIT")
+    header += struct.pack("<H", fit_crc16(header))
+    blob = header + bytes(body)
+    return blob + struct.pack("<H", fit_crc16(blob))
+
+
+def test_fit_definition_robustness_large_def_and_arrays():
+    """Mirrors the reference's fit_definition_robustness_test.dart: (1) a
+    100-field session definition must not derail the record stream (modern
+    Garmin sessions carry 130+ fields), with unknown fields captured as
+    raw extras; (2) a uint16 ARRAY field must advance by the field size,
+    not the base width, or every following field misaligns."""
+    import struct
+
+    from activity_files_spark.sources.fit import _def_record, parse_fit
+
+    base = 1_000_000_000
+    body = bytearray()
+    rec_def = [(253, 4, 0x86), (0, 4, 0x85), (1, 4, 0x85)]
+    semi = int(47.0 * (2**31) / 180.0)
+    semi2 = int(11.0 * (2**31) / 180.0)
+    body += _def_record(0, 20, rec_def)
+    for i in range(3):
+        body += bytes([0x00]) + struct.pack("<Iii", base + i, semi, semi2)
+    # session def with 100 fields: 253/9/14 + 97 dummy uint8s
+    sess_fields = [(253, 4, 0x86), (9, 4, 0x86), (14, 2, 0x84)] + [
+        (f, 1, 0x02) for f in range(100, 197)
+    ]
+    body += _def_record(1, 18, sess_fields)
+    body += bytes([0x01]) + struct.pack("<IIH", base, 500000, 3000)
+    body += bytes(42 if f == 150 else 0xFF for f in range(100, 197))
+    # records AFTER the large definition must still parse
+    for i in range(3, 6):
+        body += bytes([0x00]) + struct.pack("<Iii", base + i, semi, semi2)
+    recs = parse_fit("a", _fit_blob(body))
+    pts = [r for r in recs if r["kind"] == "point"]
+    assert len(pts) == 6, "records before and after a 100-field session"
+    meta = [r for r in recs if r["kind"] == "meta"][0]["attrs"]
+    assert meta["session.total_distance_m"] == "5000.0"
+    assert meta["session.avg_speed_mps"] == "3.0"
+    assert meta["session.extra.150"] == "42"
+
+    # (2) uint16 array (field 120, size 4 = two elements) BEFORE 14 and 9
+    body2 = bytearray()
+    body2 += _def_record(0, 20, rec_def)
+    body2 += bytes([0x00]) + struct.pack("<Iii", base, semi, semi2)
+    body2 += _def_record(1, 18, [(253, 4, 0x86), (120, 4, 0x84),
+                                 (14, 2, 0x84), (9, 4, 0x86)])
+    body2 += bytes([0x01]) + struct.pack("<IHHHI", base, 100, 200, 3000, 500000)
+    recs2 = parse_fit("a", _fit_blob(body2))
+    meta2 = [r for r in recs2 if r["kind"] == "meta"][0]["attrs"]
+    assert meta2["session.avg_speed_mps"] == "3.0", "no misalignment after array"
+    assert meta2["session.total_distance_m"] == "5000.0"
+    assert meta2["session.extra_array.120"] == "100,200"
+
+
+def test_fit_session_lap_summary_roundtrip():
+    """The full session/lap summary surface (fit_encoder.dart writeSession/
+    writeLap field sets) round-trips encode -> binary -> decode, including
+    preserved raw extras (scalars + padded uint32 arrays)."""
+    import pandas as pd
+
+    from activity_files_spark.sources.fit import encode_fit, parse_fit
+
+    t0 = pd.Timestamp("2024-03-01T10:00:00")
+    meta = {
+        "sport": "swimming", "session.total_elapsed_s": "1800.0",
+        "session.total_timer_s": "1750.5", "session.total_distance_m": "1500.0",
+        "session.calories": "350", "session.avg_speed_mps": "0.833",
+        "session.max_speed_mps": "1.25", "session.avg_hr": "120",
+        "session.max_hr": "155", "session.avg_cadence": "28",
+        "session.max_cadence": "40", "session.avg_power": "180",
+        "session.max_power": "320", "session.sub_sport": "17",
+        "session.total_cycles": "600", "session.avg_stroke_count": "21.5",
+        "session.swim_stroke": "0", "session.pool_length_m": "25.0",
+        "session.num_active_lengths": "60",
+        "session.extra.26": "12345", "session.extra_array.110": "7,8,9",
+    }
+    laps = [{
+        "lap_id": 0, "start_ts": t0, "end_ts": t0 + pd.Timedelta(seconds=900),
+        "distance_m": 750.0, "sport": "swimming",
+        "attrs": {
+            "total_elapsed_s": "900.0", "total_timer_s": "880.0",
+            "calories": "170", "avg_speed_mps": "0.82", "max_speed_mps": "1.1",
+            "avg_hr": "118", "max_hr": "150", "avg_cadence": "27",
+            "max_cadence": "38", "avg_power": "175", "max_power": "300",
+            "event": "9", "event_type": "1", "swim_stroke": "1",
+            "num_active_lengths": "30", "extra.33": "777",
+            "extra_array.60": "4,5",
+        },
+    }]
+    pts = [{"seq": 0, "ts": t0, "lat": 40.0, "lon": -105.0, "ele": None}]
+    blob = encode_fit(pts, {}, laps, meta=meta)
+    back = parse_fit("b", blob)
+    m = [r for r in back if r["kind"] == "meta"][0]["attrs"]
+    for k, want in meta.items():
+        if k == "sport":
+            continue
+        got = m.get(k)
+        assert got is not None, k
+        assert float(str(got).split(",")[0]) == float(str(want).split(",")[0]) \
+            or got == want, (k, got, want)
+    assert m["session.extra_array.110"] == "7,8,9"
+    assert m["session.sub_sport"] == "17"
+    assert m["session.swim_stroke_name"] == "freestyle"
+    lap = [r for r in back if r["kind"] == "lap"][0]
+    la = lap["attrs"]
+    assert la["total_timer_s"] == "880.0" and la["calories"] == "170"
+    assert la["avg_speed_mps"] == "0.82" and la["max_power"] == "300"
+    assert la["event"] == "9" and la["swim_stroke_name"] == "backstroke"
+    assert la["num_active_lengths"] == "30"
+    assert la["extra.33"] == "777" and la["extra_array.60"] == "4,5"
+    assert lap["distance_m"] == 750.0 and lap["sport"] == "swimming"
+
+
 def test_gpx_multi_track_concatenates(spark):
     from activity_files_spark.sources.gpx import gpx_records
     from activity_files_spark.sources.records import laps_of, points_of
