@@ -153,9 +153,19 @@ RECORD_FIELDS = {
     6: "speed_raw",
     7: "power",
     13: "temperature",
-    73: "enhanced_speed_raw",
-    78: "enhanced_altitude_raw",
+    78: "grade_raw",           # scale 100 (fit_parser.dart:481)
+    120: "left_right_balance",  # raw (fit_parser.dart:482)
 }
+
+# record fields with dedicated decoding; every other numeric native field
+# becomes a fit_field_<n> channel with its RAW value so no sensor data is
+# silently dropped (fit_parser.dart:1024-1031, e.g. running dynamics)
+_RECORD_DEDICATED = frozenset({253, 0, 1, 2, 3, 4, 5, 6, 7, 13, 8, 78, 120})
+
+# globals with dedicated handlers — never rerouted through the fallback
+# record heuristic (fit_parser.dart:1096-1107: a lap's 253/0/1 fields would
+# otherwise be misread as a GPS record)
+_EXPLICIT_GLOBALS = frozenset({0, 18, 19, 20, 21, 23, 34, 49, 101, 225})
 
 SPORTS = {
     0: "generic", 1: "running", 2: "cycling", 5: "swimming",
@@ -259,14 +269,25 @@ def _emit_g20_run(
         s = plan["sent"][name]
         return v, (np.ones(n, dtype=bool) if s is None else v != s)
 
+    def ts_diags(count: int):
+        for _ in range(count):
+            out.append({
+                "activity_id": activity_id, "kind": "diag",
+                "attrs": {"code": "fit.record.missing_timestamp",
+                          "severity": "warning",
+                          "message": "Record without timestamp skipped."},
+            })
+
     ts_raw, ts_has = col("f253")
     if ts_raw is None:
-        # no timestamp field: the scalar path emits nothing for these
-        # records (points and channels both require ts)
+        # no timestamp field: every record in the run gets the scalar
+        # path's missing-timestamp diagnostic and emits nothing else
+        ts_diags(n)
         return seq, last_ts_raw
     if ts_has.any():
         last_ts_raw = int(ts_raw[np.nonzero(ts_has)[0][-1]])
     ts_ok = ts_has & (ts_raw >= 1) & (ts_raw <= FIT_TS_MAX)
+    ts_diags(int(n - ts_ok.sum()))
     if not ts_ok.any():
         return seq, last_ts_raw
     ts_all = pd.to_datetime(ts_raw + FIT_EPOCH_UNIX, unit="s")
@@ -284,10 +305,9 @@ def _emit_g20_run(
         )
         idx = np.nonzero(mpt)[0]
         if len(idx):
-            # altitude: field 78 (enhanced) wins over 2 when the definition
-            # DECLARES it, even if its value is the invalid sentinel —
-            # matching values.get(78, values.get(2)) on the scalar path
-            alt_v, alt_m = col("f78") if "f78" in names else col("f2")
+            # altitude: field 2 only (78 is the grade channel —
+            # fit_parser.dart:414, 481)
+            alt_v, alt_m = col("f2")
             if alt_v is not None:
                 ele = alt_v / 5.0 - 500.0
                 ele_l = [
@@ -322,12 +342,26 @@ def _emit_g20_run(
     emit("cadence", *col("f4"))
     emit("power", *col("f7"))
     emit("temperature", *col("f13"))
-    # speed: enhanced (73) wins over 6 when declared; distance: 5
-    sp_v, sp_m = col("f73") if "f73" in names else col("f6")
-    emit("speed", sp_v, sp_m, scale=1000.0)
+    emit("left_right_balance", *col("f120"))
+    emit("grade", *col("f78"), scale=100.0)
+    emit("speed", *col("f6"), scale=1000.0)
     emit("distance", *col("f5"), scale=100.0)
+    # unknown native record fields -> fit_field_<n> channels, raw values
+    for name in names:
+        if name.startswith("f") and not name.startswith("fit"):
+            fnum = int(name[1:])
+            if fnum not in _RECORD_DEDICATED:
+                emit(f"fit_field_{fnum}", *col(name))
     for name, didx, fnum in plan["dev"]:
-        emit(dev_fields[(didx, fnum)]["channel"], *col(name))
+        desc = dev_fields[(didx, fnum)]
+        v, m = col(name)
+        if v is not None and (desc.get("scale") or desc.get("offset")):
+            v = v.astype(np.float64)
+            if desc.get("scale"):
+                v = v / desc["scale"]
+            if desc.get("offset"):
+                v = v - desc["offset"]
+        emit(desc["channel"], v, m)
     return seq, last_ts_raw
 
 
@@ -610,7 +644,16 @@ def parse_fit(
                 values[fnum] = val
 
         g = d["global"]
-        if g == 20:  # record
+        # vendor-specific messages carrying GPS data under a non-standard
+        # global id: def declares timestamp+lat+lon -> treated as a record,
+        # but only when the position actually decodes
+        # (fit_parser.dart:352-354, 412-414, 1111-1121)
+        if "_fallback_rec" not in d:
+            d["_fallback_rec"] = (
+                g not in _EXPLICIT_GLOBALS
+                and {253, 0, 1} <= {f[0] for f in d["fields"]}
+            )
+        if g == 20 or d["_fallback_rec"]:  # record
             ts_raw = values.get(253)
             if compressed and ts_raw is None and last_ts_raw is not None:
                 # 5-bit rollover (fit_parser.dart:1134-1142)
@@ -620,61 +663,91 @@ def parse_fit(
             if ts_raw is not None:
                 last_ts_raw = ts_raw
             ts = _fit_ts(ts_raw)
+            if ts is None:
+                # parse diagnostic (not an integrity gate — strict mode
+                # does not abort): fit_parser.dart:385-400
+                out.append({
+                    "activity_id": activity_id, "kind": "diag",
+                    "attrs": {"code": "fit.record.missing_timestamp",
+                              "severity": "warning",
+                              "message": "Record without timestamp skipped."},
+                })
+                continue
             lat = _semi_deg(values.get(0))
             lon = _semi_deg(values.get(1))
+            if d["_fallback_rec"] and (lat is None or lon is None):
+                continue  # heuristic records must carry a position
             ele = None
-            alt_raw = _num(values.get(78, values.get(2)))
+            alt_raw = _num(values.get(2))
             if alt_raw is not None:
                 ele = alt_raw / 5.0 - 500.0
-            if ts is not None and lat is not None and lon is not None:
+            if lat is not None and lon is not None:
                 out.append({"activity_id": activity_id, "kind": "point",
                             "seq": seq, "ts": ts, "lat": lat, "lon": lon,
                             "ele": ele, "attrs": None})
                 seq += 1
-            if ts is not None:
-                chans = {
-                    "heart_rate": _num(values.get(3)),
-                    "cadence": _num(values.get(4)),
-                    "power": _num(values.get(7)),
-                    "temperature": _num(values.get(13)),
-                }
-                sp = _num(values.get(73, values.get(6)))
-                if sp is not None:
-                    chans["speed"] = sp / 1000.0
-                di = _num(values.get(5))
-                if di is not None:
-                    chans["distance"] = di / 100.0
-                # G7: compressed speed/distance (record field 8, 3 bytes):
-                # 12-bit speed (/100 m/s) + 12-bit wrapping distance
-                # accumulator (/16 m); explicit fields win
-                # (fit_parser.dart:448-472)
-                raw8 = raw_fields.get(8)
-                if raw8 is not None and len(raw8) == 3:
-                    b0, b1, b2 = raw8[0], raw8[1], raw8[2]
-                    speed_raw = b0 | ((b1 & 0x0F) << 8)
-                    dist_raw = ((b1 >> 4) & 0x0F) | (b2 << 4)
-                    if "speed" not in chans and speed_raw != 0xFFF:
-                        chans["speed"] = speed_raw / 100.0
-                    if "distance" not in chans and dist_raw != 0xFFF:
-                        # unwrap the 12-bit accumulator (1/16 m units)
-                        prev = csd_state.get("dist")
-                        cur16 = dist_raw
-                        if prev is None:
-                            total16 = cur16
-                        else:
-                            delta = (cur16 - (prev & 0xFFF)) & 0xFFF
-                            total16 = prev + delta
-                        csd_state["dist"] = total16
-                        chans["distance"] = total16 / 16.0
-                for cname, v in chans.items():
-                    if v is not None:
-                        out.append({"activity_id": activity_id, "kind": "channel",
-                                    "channel": cname, "ts": ts, "value": float(v)})
-                for key, v in dev_values.items():
-                    if v is not None:
-                        out.append({"activity_id": activity_id, "kind": "channel",
-                                    "channel": dev_fields[key]["channel"], "ts": ts,
-                                    "value": float(v)})
+            chans = {
+                "heart_rate": _num(values.get(3)),
+                "cadence": _num(values.get(4)),
+                "power": _num(values.get(7)),
+                "temperature": _num(values.get(13)),
+                "left_right_balance": _num(values.get(120)),
+            }
+            g78 = _num(values.get(78))
+            if g78 is not None:
+                chans["grade"] = g78 / 100.0
+            sp = _num(values.get(6))
+            if sp is not None:
+                chans["speed"] = sp / 1000.0
+            di = _num(values.get(5))
+            if di is not None:
+                chans["distance"] = di / 100.0
+            # unknown native record fields -> fit_field_<n> channels
+            # with raw values (fit_parser.dart:507-512)
+            for fnum, fv in values.items():
+                if fnum not in _RECORD_DEDICATED:
+                    nv = _num(fv)
+                    if nv is not None:
+                        chans[f"fit_field_{fnum}"] = nv
+            # G7: compressed speed/distance (record field 8, 3 bytes):
+            # 12-bit speed (/100 m/s) + 12-bit wrapping distance
+            # accumulator (/16 m); explicit fields win
+            # (fit_parser.dart:448-472)
+            raw8 = raw_fields.get(8)
+            if raw8 is not None and len(raw8) == 3:
+                b0, b1, b2 = raw8[0], raw8[1], raw8[2]
+                speed_raw = b0 | ((b1 & 0x0F) << 8)
+                dist_raw = ((b1 >> 4) & 0x0F) | (b2 << 4)
+                if "speed" not in chans and speed_raw != 0xFFF:
+                    chans["speed"] = speed_raw / 100.0
+                if "distance" not in chans and dist_raw != 0xFFF:
+                    # unwrap the 12-bit accumulator (1/16 m units)
+                    prev = csd_state.get("dist")
+                    cur16 = dist_raw
+                    if prev is None:
+                        total16 = cur16
+                    else:
+                        delta = (cur16 - (prev & 0xFFF)) & 0xFFF
+                        total16 = prev + delta
+                    csd_state["dist"] = total16
+                    chans["distance"] = total16 / 16.0
+            for cname, v in chans.items():
+                if v is not None:
+                    out.append({"activity_id": activity_id, "kind": "channel",
+                                "channel": cname, "ts": ts, "value": float(v)})
+            for key, v in dev_values.items():
+                if v is not None:
+                    desc = dev_fields[key]
+                    fv = float(v)
+                    # field_description scale/offset (spec formula
+                    # raw / scale - offset; fit_parser.dart:490-496)
+                    if desc.get("scale"):
+                        fv = fv / desc["scale"]
+                    if desc.get("offset"):
+                        fv = fv - desc["offset"]
+                    out.append({"activity_id": activity_id, "kind": "channel",
+                                "channel": desc["channel"], "ts": ts,
+                                "value": fv})
         elif g == 19:  # lap
             start = _fit_ts(values.get(2))
             end_ts = _fit_ts(values.get(253))
@@ -758,11 +831,13 @@ def parse_fit(
             if (isinstance(ts_raw, int) and isinstance(lt_raw, int)
                     and 1 <= ts_raw <= FIT_TS_MAX and 1 <= lt_raw <= FIT_TS_MAX):
                 meta.setdefault("activity.local_ts_offset_s", str(lt_raw - ts_raw))
-        elif g == 0:  # file_id
+        elif g == 0:  # file_id (1 manufacturer, 2 product, 3 serial)
             if _scalar(values.get(1)) is not None:
                 meta.setdefault("device.manufacturer", str(_scalar(values[1])))
             if _scalar(values.get(2)) is not None:
                 meta.setdefault("device.product", str(_scalar(values[2])))
+            if _num(values.get(3)) is not None:
+                meta.setdefault("device.serial", str(int(_num(values[3]))))
         elif g == 21:  # event
             ts = _fit_ts(values.get(253))
             if ts is not None:
@@ -770,15 +845,25 @@ def parse_fit(
                             "channel": "event", "ts": ts,
                             "value": float(_num(values.get(0)) or 0)})
         elif g == 23:  # device_info (fit_parser.dart:730-768)
-            if _scalar(values.get(2)) is not None:
-                meta.setdefault("device.manufacturer", str(_scalar(values[2])))
-            if _scalar(values.get(4)) is not None:
-                meta.setdefault("device.product", str(_scalar(values[4])))
-            if _num(values.get(5)) is not None:
-                meta.setdefault("device.software_version",
-                                repr(_num(values[5]) / 100.0))  # scale 100 (G4)
-            if _scalar(values.get(27)) is not None:
-                meta.setdefault("device.product_name", str(_scalar(values[27])))
+            # device_index 0 is the recording head unit ("creator"); a
+            # paired sensor (device_index != 0) must not overwrite its
+            # identity. Messages without a device_index are treated as the
+            # creator (some watches omit it). Later creator messages
+            # OVERWRITE per-field (reference merges latest-non-null).
+            dev_idx = _num(values.get(0))
+            if dev_idx is None or int(dev_idx) == 0:
+                if _scalar(values.get(2)) is not None:
+                    meta["device.manufacturer"] = str(_scalar(values[2]))
+                if _scalar(values.get(4)) is not None:
+                    meta["device.product"] = str(_scalar(values[4]))
+                if _num(values.get(3)) is not None:
+                    meta["device.serial"] = str(int(_num(values[3])))
+                if _num(values.get(5)) is not None:
+                    meta["device.software_version"] = repr(
+                        _num(values[5]) / 100.0  # scale 100 (G4)
+                    )
+                if _scalar(values.get(27)) is not None:
+                    meta["device.product_name"] = str(_scalar(values[27]))
         elif g == 49:  # file_creator (fit_parser.dart:777-804)
             if _num(values.get(0)) is not None:
                 meta.setdefault("creator.software_version", str(_num(values[0])))
@@ -836,9 +921,16 @@ def parse_fit(
             btype = _scalar(values.get(2))
             name = _scalar(values.get(3)) or f"fit_dev_{didx}_{fnum}"
             if didx is not None and fnum is not None:
+                # scale (6) / offset (7) per the reference's gating
+                # (fit_parser.dart:828-835): scale only when > 0 and != 1,
+                # offset only when != 0
+                scale = _num(values.get(6))
+                offset = _num(values.get(7))
                 dev_fields[(didx, fnum)] = {
                     "base_type": btype,
                     "channel": _sanitize_dev_name(str(name), didx, fnum),
+                    "scale": float(scale) if scale is not None and scale > 0 and scale != 1 else None,
+                    "offset": float(offset) if offset is not None and offset != 0 else None,
                 }
     # timer-time merge (fit_parser.dart:609-612, 773): the primary session's
     # total_timer_time wins; an activity (34) message supplies it only when

@@ -301,6 +301,95 @@ def test_fit_session_lap_summary_roundtrip():
     assert lap["distance_m"] == 750.0 and lap["sport"] == "swimming"
 
 
+def test_fit_record_channel_surface_parity():
+    """Record-path parity sweep (fit_parser.dart:352-515): field 78 is the
+    GRADE channel (scale 100) and 120 left_right_balance (raw) — altitude
+    comes from field 2 only and speed from field 6 only; unknown native
+    numeric fields become fit_field_<n> channels with raw values; records
+    without a timestamp emit the missing-timestamp diagnostic; vendor
+    messages under a non-standard global id whose definition carries
+    253/0/1 are harvested as records (position required); developer fields
+    apply field_description scale/offset (raw / scale - offset)."""
+    import struct
+
+    from activity_files_spark.sources.fit import _def_record, parse_fit
+
+    base = 1_000_000_000
+    semi = int(47.0 * (2**31) / 180.0)
+    body = bytearray()
+    # record def: ts, lat, lon, alt(2), grade(78, u16), lrb(120, u16),
+    # unknown 90 (u16), speed(6)
+    body += _def_record(0, 20, [
+        (253, 4, 0x86), (0, 4, 0x85), (1, 4, 0x85), (2, 2, 0x84),
+        (78, 2, 0x84), (120, 2, 0x84), (90, 2, 0x84), (6, 2, 0x84),
+    ])
+    body += bytes([0x00]) + struct.pack(
+        "<IiiHHHHH", base, semi, semi, (1600 + 500) * 5, 250, 5150, 77, 3000
+    )
+    # a record WITHOUT a timestamp value (sentinel) -> diagnostic
+    body += bytes([0x00]) + struct.pack(
+        "<IiiHHHHH", 0xFFFFFFFF, semi, semi, 0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF
+    )
+    # developer field with scale 10 offset 5: field_description first
+    body += _def_record(1, 207, [(3, 1, 0x02)])
+    body += bytes([0x01, 0])
+    name = b"scaled_chan"
+    body += _def_record(2, 206, [(0, 1, 0x02), (1, 1, 0x02), (2, 1, 0x02),
+                                 (3, len(name) + 1, 0x07),
+                                 (6, 1, 0x02), (7, 1, 0x02)])
+    body += bytes([0x02, 0, 7, 0x84]) + name + b"\x00" + bytes([10, 5])
+    body += _def_record(3, 20, [(253, 4, 0x86)],
+                        dev_fields=[(7, 2, 0)])
+    body += bytes([0x03]) + struct.pack("<IH", base + 1, 150)  # 150/10-5 = 10
+    # vendor message global 65280 with ts/lat/lon -> fallback record
+    body += _def_record(4, 65280, [(253, 4, 0x86), (0, 4, 0x85), (1, 4, 0x85)])
+    body += bytes([0x04]) + struct.pack("<Iii", base + 2, semi, semi)
+    # fallback record with missing position -> dropped entirely
+    body += bytes([0x04]) + struct.pack("<Iii", base + 3, 0x7FFFFFFF, semi)
+
+    recs = parse_fit("a", _fit_blob(body))
+    pts = [r for r in recs if r["kind"] == "point"]
+    ch = {}
+    for r in recs:
+        if r["kind"] == "channel":
+            ch.setdefault(r["channel"], []).append(r["value"])
+    diags = [r for r in recs if r["kind"] == "diag"]
+
+    assert len(pts) == 2  # canonical + fallback (positionless one dropped)
+    assert pts[0]["ele"] == 1600.0  # field 2 only
+    assert ch["grade"] == [2.5]  # 250 / 100
+    assert ch["left_right_balance"] == [5150.0]  # raw
+    assert ch["fit_field_90"] == [77.0]  # unknown native -> raw channel
+    assert ch["speed"] == [3.0]
+    assert ch["scaled_chan"] == [10.0]  # 150 / 10 - 5
+    assert [d["attrs"]["code"] for d in diags].count(
+        "fit.record.missing_timestamp") == 1
+
+
+def test_fit_device_info_sensor_does_not_override_creator():
+    """device_index 0 is the head unit; a paired sensor (device_index 3)
+    must not overwrite its manufacturer, and later creator messages merge
+    latest-non-null (fit_parser.dart:738-768)."""
+    import struct
+
+    from activity_files_spark.sources.fit import _def_record, parse_fit
+
+    body = bytearray()
+    di_def = [(0, 1, 0x02), (2, 2, 0x84), (4, 2, 0x84), (3, 4, 0x86)]
+    body += _def_record(0, 23, di_def)
+    # head unit: wahoo(32), product 99, serial 12345
+    body += bytes([0x00]) + struct.pack("<BHHI", 0, 32, 99, 12345)
+    # paired sensor: garmin(1) — must NOT override
+    body += bytes([0x00]) + struct.pack("<BHHI", 3, 1, 55, 999)
+    # later head-unit message with only product set -> merges over
+    body += bytes([0x00]) + struct.pack("<BHHI", 0, 0xFFFF, 100, 0xFFFFFFFF)
+    recs = parse_fit("a", _fit_blob(body))
+    meta = [r for r in recs if r["kind"] == "meta"][0]["attrs"]
+    assert meta["device.manufacturer"] == "32"
+    assert meta["device.product"] == "100"  # latest creator value wins
+    assert meta["device.serial"] == "12345"
+
+
 def test_gpx_multi_track_concatenates(spark):
     from activity_files_spark.sources.gpx import gpx_records
     from activity_files_spark.sources.records import laps_of, points_of
