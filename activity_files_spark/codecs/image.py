@@ -224,9 +224,23 @@ def _dct_matrix(n: int) -> np.ndarray:
 _DCT32 = _dct_matrix(32)
 
 
+# bumped when block-mean arithmetic changes in a way that can move stored
+# phash values by an ulp (cached bench image tables key on it)
+PHASH_VERSION = 2
+
+
 def _resize_area(gray: np.ndarray, size: int = 32) -> np.ndarray:
-    """Deterministic area-average resize to size x size (float64)."""
+    """Deterministic area-average resize to size x size (float64).
+
+    Divisible dimensions (every real bench/corpus tier: 256x192 etc.) take
+    the direct reshape block-sum — ~5x the integral-image path and MORE
+    accurate (no large-cancellation subtraction); ragged dimensions keep
+    the integral-image gather."""
     h, w = gray.shape
+    if h % size == 0 and w % size == 0:
+        bh, bw = h // size, w // size
+        blocks = gray.astype(np.float64).reshape(size, bh, size, bw)
+        return blocks.sum(axis=(1, 3)) / float(bh * bw)
     ys = (np.arange(size + 1) * h / size).astype(np.int64)
     xs = (np.arange(size + 1) * w / size).astype(np.int64)
     ys = np.clip(ys, 0, h)
