@@ -121,19 +121,22 @@ def downsample_time_channels(
     ts: str = "ts",
     channel_col: str = "channel",
     value: str = "value",
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """W7 channel half: keep each channel sample (at its own timestamp) iff
     its nearest retained point time is within max(1us, step/2) — the
     reference's closestIndex cursor + tolerance gate
-    (raw_editor.dart:529-563). Cogrouped Arrow kernel per activity."""
+    (raw_editor.dart:529-563). Cogrouped Arrow kernel per activity.
+    ``tiebreak``: extra point-sort columns (determinism on tied ts)."""
     tol_us = max(1, int(step_s * 1_000_000) // 2)
     out_cols = [key, channel_col, ts, value]
+    order = [ts] + list(tiebreak or [])
     schema = f"`{key}` string, `{channel_col}` string, `{ts}` timestamp, `{value}` double"
 
     def kernel(pts: pd.DataFrame, ch: pd.DataFrame) -> pd.DataFrame:
         if len(pts) == 0 or len(ch) == 0:
             return pd.DataFrame(columns=out_cols)
-        pts = pts.sort_values(ts, kind="stable")
+        pts = pts.sort_values(order, kind="stable")
         t = _us(pts[ts]).astype("float64") / 1e6
         ret_us = _us(pts[ts])[_keep_by_time(t, step_s)]
         ch = ch.sort_values(ts, kind="stable")
@@ -167,20 +170,23 @@ def downsample_distance_channels(
     ts: str = "ts",
     channel_col: str = "channel",
     value: str = "value",
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """W8 channel half: nearest-sample resample ONTO the retained point
     grid — one output sample per (channel, retained time) whose nearest
     input sample lies within the adaptive tolerance; the output timestamp
     is the retained grid time (transform_utils.dart:95-140 _resampleNearest
-    via raw_editor.dart:595-608)."""
+    via raw_editor.dart:595-608). ``tiebreak``: extra point-sort columns
+    (determinism on tied ts)."""
 
     out_cols = [key, channel_col, ts, value]
+    order = [ts] + list(tiebreak or [])
     schema = f"`{key}` string, `{channel_col}` string, `{ts}` timestamp, `{value}` double"
 
     def kernel(pts: pd.DataFrame, ch: pd.DataFrame) -> pd.DataFrame:
         if len(pts) == 0 or len(ch) == 0:
             return pd.DataFrame(columns=out_cols)
-        pts = pts.sort_values(ts, kind="stable")
+        pts = pts.sort_values(order, kind="stable")
         keep = _keep_by_distance(pts["lat"].values, pts["lon"].values, meters)
         ret_us = _us(pts[ts])[keep]
         tol_us = _adaptive_snap_tol_us(ret_us)
