@@ -247,13 +247,13 @@ def _fast_plan(d: dict, dev_fields: dict) -> dict | None:
 
 def _emit_g20_run(
     out: list, activity_id: str, rec: np.ndarray, plan: dict,
-    seq: int, last_ts_raw: int | None, dev_fields: dict,
-) -> tuple[int, int | None]:
+    seq: int, ctx: dict, local: int, dev_fields: dict,
+) -> int:
     """Vectorized record (msg 20) handler for one same-definition run —
-    bit-identical outputs to the scalar handler (same masks, scales, and
-    null semantics), with per-kind grouped emission order (row order is
-    immaterial: the record stream feeds an unordered DataFrame and every
-    consumer sorts on (ts, seq))."""
+    bit-identical outputs to the scalar handler (same masks, scales,
+    null/recovery semantics), with per-kind grouped emission order (row
+    order is immaterial: the record stream feeds an unordered DataFrame
+    and every consumer sorts on (ts, seq))."""
     names = rec.dtype.names
     n = len(rec)
 
@@ -269,7 +269,7 @@ def _emit_g20_run(
         s = plan["sent"][name]
         return v, (np.ones(n, dtype=bool) if s is None else v != s)
 
-    def ts_diags(count: int):
+    def miss_diags(count: int):
         for _ in range(count):
             out.append({
                 "activity_id": activity_id, "kind": "diag",
@@ -278,19 +278,59 @@ def _emit_g20_run(
                           "message": "Record without timestamp skipped."},
             })
 
+    def recover_diags(count: int):
+        budget = max(0, 5 - ctx["recovered"])
+        ctx["recovered"] += count
+        for _ in range(min(count, budget)):
+            out.append({
+                "activity_id": activity_id, "kind": "diag",
+                "attrs": {"code": "fit.record.recovered_timestamp",
+                          "severity": "warning",
+                          "message": "Record timestamp missing; reused recent "
+                                     "timestamp context for best-effort "
+                                     "extraction."},
+            })
+
+    # timestamp semantics mirror the scalar path exactly: any NUMERIC 253
+    # (plausible or not) updates the per-local context as the run is
+    # walked; records whose own decode fails recover to the latest context
+    # (forward-fill within the run; the incoming context before the first
+    # numeric row); only context-less records are skipped with a diag
+    incoming = ctx["last_ts"].get(local, ctx["last_known"])
     ts_raw, ts_has = col("f253")
     if ts_raw is None:
-        # no timestamp field: every record in the run gets the scalar
-        # path's missing-timestamp diagnostic and emits nothing else
-        ts_diags(n)
-        return seq, last_ts_raw
-    if ts_has.any():
-        last_ts_raw = int(ts_raw[np.nonzero(ts_has)[0][-1]])
-    ts_ok = ts_has & (ts_raw >= 1) & (ts_raw <= FIT_TS_MAX)
-    ts_diags(int(n - ts_ok.sum()))
-    if not ts_ok.any():
-        return seq, last_ts_raw
-    ts_all = pd.to_datetime(ts_raw + FIT_EPOCH_UNIX, unit="s")
+        # no timestamp field in the definition: every record recovers to
+        # the incoming context (or is skipped when there is none)
+        if incoming is None:
+            miss_diags(n)
+            return seq
+        recover_diags(n)
+        ts_eff = np.full(n, int(incoming), dtype=np.int64)
+        has_eff = np.ones(n, dtype=bool)
+    else:
+        if ts_has.any():
+            last = int(ts_raw[np.nonzero(ts_has)[0][-1]])
+            ctx["last_ts"][local] = last
+            ctx["last_known"] = last
+        plausible = ts_has & (ts_raw >= 1) & (ts_raw <= FIT_TS_MAX)
+        # forward-fill of numeric raws (a numeric-but-implausible row
+        # recovers to ITSELF — the scalar path updates context first)
+        idx_last = np.maximum.accumulate(
+            np.where(ts_has, np.arange(n), -1)
+        )
+        ffilled = ts_raw[np.clip(idx_last, 0, None)]
+        if incoming is None:
+            has_eff = idx_last >= 0
+            ts_eff = np.where(has_eff, ffilled, 0)
+        else:
+            has_eff = np.ones(n, dtype=bool)
+            ts_eff = np.where(idx_last >= 0, ffilled, int(incoming))
+        miss_diags(int(n - has_eff.sum()))
+        recover_diags(int((has_eff & ~plausible).sum()))
+        if not has_eff.any():
+            return seq
+    ts_ok = has_eff
+    ts_all = pd.to_datetime(ts_eff + FIT_EPOCH_UNIX, unit="s")
 
     # points: ts + lat + lon all valid (G2 semicircle scale + range gate)
     lat_raw, lat_has = col("f0")
@@ -362,7 +402,66 @@ def _emit_g20_run(
             if desc.get("offset"):
                 v = v - desc["offset"]
         emit(desc["channel"], v, m)
-    return seq, last_ts_raw
+    return seq
+
+
+def _read_def_at(payload: bytes, p: int, end: int):
+    """Parse one definition record starting at the header byte ``p``;
+    returns (local, def-dict, position-after) or None when it does not fit
+    within ``end`` or declares zero fields. Pure (no diags) — used by the
+    stream-resync scan."""
+    h = payload[p]
+    has_dev = bool(h & 0x20)
+    local = h & 0xF
+    if p + 6 > end:
+        return None
+    arch = payload[p + 2]
+    endian = ">" if arch == 1 else "<"
+    global_num = struct.unpack_from(endian + "H", payload, p + 3)[0]
+    n_fields = payload[p + 5]
+    if n_fields == 0:
+        return None
+    q = p + 6
+    fields = []
+    for _ in range(n_fields):
+        if q + 3 > end:
+            return None
+        fields.append((payload[q], payload[q + 1], payload[q + 2], False, None))
+        q += 3
+    if has_dev:
+        if q >= end:
+            return None
+        n_dev = payload[q]
+        q += 1
+        for _ in range(n_dev):
+            if q + 3 > end:
+                return None
+            fields.append((payload[q], payload[q + 1], 0x0D, True, payload[q + 2]))
+            q += 3
+    d = {"endian": endian, "global": global_num, "fields": fields,
+         "size": sum(f[1] for f in fields)}
+    return local, d, q
+
+
+def _try_resync(payload: bytes, start: int, end: int, defs: dict) -> int | None:
+    """Stream resynchronization after an unknown-definition reference
+    (fit_parser.dart:984-1021): scan forward up to 2 KiB for a parseable
+    definition record; register it and return the position after it, or
+    None when nothing in the window parses."""
+    scan_end = min(end, start + 2048)
+    cursor = start
+    while cursor < scan_end - 6:
+        h = payload[cursor]
+        if (h & 0x80) or not (h & 0x40):
+            cursor += 1
+            continue
+        parsed = _read_def_at(payload, cursor, end)
+        if parsed is not None:
+            local, d, new_pos = parsed
+            defs[local] = d
+            return new_pos
+        cursor += 1
+    return None
 
 
 def _scalar(raw):
@@ -518,19 +617,42 @@ def parse_fit(
     defs: dict[int, dict] = {}
     dev_fields: dict[tuple[int, int], dict] = {}
     csd_state: dict[str, int] = {}  # compressed speed/distance accumulator
-    last_ts_raw: int | None = None
+    # best-effort context (fit_parser.dart:143-144, 340-380): per-local-type
+    # + global timestamp memory for compressed rollover and recovery of
+    # records whose own timestamp is missing/implausible
+    ctx: dict = {"last_ts": {}, "last_known": None, "recovered": 0}
+    unknown_defs = 0
+    resync_fails = 0
     pos = hdr_size
     seq = 0
     lap_id = 0
     meta: dict[str, str] = {"format": "fit"}
 
+    def parse_diag(code: str, message: str) -> None:
+        out.append({"activity_id": activity_id, "kind": "diag",
+                    "attrs": {"code": code, "severity": "warning",
+                              "message": message}})
+
     while pos < end:
         hdr = payload[pos]
         pos += 1
         compressed = bool(hdr & 0x80)
+        cts = None
         if compressed:
             local = (hdr >> 5) & 0x3
             time_offset = hdr & 0x1F
+            # per-local-type compressed rollover; an unseen local type
+            # seeds from the bare offset so the message is not skipped
+            # (fit_parser.dart:241-252, 1133-1141 — note <=: a repeated
+            # low-bits value wraps forward)
+            prev = ctx["last_ts"].get(local)
+            if prev is None:
+                cts = time_offset
+            else:
+                cts = (prev & ~0x1F) | time_offset
+                if cts <= prev:
+                    cts += 0x20
+                cts &= 0xFFFFFFFF
         else:
             local = hdr & 0xF
 
@@ -579,9 +701,31 @@ def parse_fit(
         # data record
         d = defs.get(local)
         if d is None:
-            diag("fit.data.unknown_definition", "error",
-                 f"local type {local} at byte {pos - 1}")
-            break
+            # unknown definition -> warn (capped) and RESYNCHRONIZE the
+            # stream instead of aborting (fit_parser.dart:266-315): scan
+            # forward for the next parseable definition record; if none is
+            # found within the window, skip one byte and keep going
+            unknown_defs += 1
+            if unknown_defs <= 5:
+                parse_diag(
+                    "fit.data.unknown_definition",
+                    f"Data message references unknown definition #{local}; "
+                    "attempting stream resynchronization.",
+                )
+            new_pos = _try_resync(payload, pos, end, defs)
+            if new_pos is None:
+                resync_fails += 1
+                if resync_fails <= 5:
+                    parse_diag(
+                        "fit.data.resync_failed",
+                        f"Unable to resynchronize after unknown definition "
+                        f"#{local}; skipping one byte to continue parsing.",
+                    )
+                if pos < end:
+                    pos += 1
+            else:
+                pos = new_pos
+            continue
         if pos + d["size"] > end:
             diag("fit.data.truncated", "warning", f"at byte {pos}")
             break
@@ -608,8 +752,8 @@ def parse_fit(
                 brk = np.nonzero(hdrs != hdr)[0]
                 n_run = int(brk[0]) if len(brk) else max_n
                 rec = np.frombuffer(payload, plan["dtype"], n_run, p0)
-                seq, last_ts_raw = _emit_g20_run(
-                    out, activity_id, rec, plan, seq, last_ts_raw, dev_fields
+                seq = _emit_g20_run(
+                    out, activity_id, rec, plan, seq, ctx, local, dev_fields
                 )
                 pos = p0 + n_run * stride
                 continue
@@ -643,6 +787,19 @@ def parse_fit(
             else:
                 values[fnum] = val
 
+        # timestamp context (fit_parser.dart:340-348): a compressed header
+        # supplies field 253 and updates the per-local + global memory; any
+        # explicit numeric 253 (plausible or not) updates it too
+        if cts is not None:
+            values[253] = cts
+            ctx["last_ts"][local] = cts
+            ctx["last_known"] = cts
+        else:
+            _r253 = values.get(253)
+            if isinstance(_r253, (int, float)):
+                ctx["last_ts"][local] = int(_r253)
+                ctx["last_known"] = int(_r253)
+
         g = d["global"]
         # vendor-specific messages carrying GPS data under a non-standard
         # global id: def declares timestamp+lat+lon -> treated as a record,
@@ -654,25 +811,25 @@ def parse_fit(
                 and {253, 0, 1} <= {f[0] for f in d["fields"]}
             )
         if g == 20 or d["_fallback_rec"]:  # record
-            ts_raw = values.get(253)
-            if compressed and ts_raw is None and last_ts_raw is not None:
-                # 5-bit rollover (fit_parser.dart:1134-1142)
-                ts_raw = (last_ts_raw & ~0x1F) | time_offset
-                if ts_raw < last_ts_raw:
-                    ts_raw += 0x20
-            if ts_raw is not None:
-                last_ts_raw = ts_raw
-            ts = _fit_ts(ts_raw)
+            ts = _fit_ts(values.get(253))
             if ts is None:
-                # parse diagnostic (not an integrity gate — strict mode
-                # does not abort): fit_parser.dart:385-400
-                out.append({
-                    "activity_id": activity_id, "kind": "diag",
-                    "attrs": {"code": "fit.record.missing_timestamp",
-                              "severity": "warning",
-                              "message": "Record without timestamp skipped."},
-                })
-                continue
+                # best-effort recovery (fit_parser.dart:355-380): reuse the
+                # most recent timestamp context; only records with no
+                # context at all are skipped (missing-timestamp diag)
+                rec_raw = ctx["last_ts"].get(local, ctx["last_known"])
+                if rec_raw is not None:
+                    ts = pd.Timestamp(int(rec_raw) + FIT_EPOCH_UNIX, unit="s")
+                    ctx["recovered"] += 1
+                    if ctx["recovered"] <= 5:
+                        parse_diag(
+                            "fit.record.recovered_timestamp",
+                            "Record timestamp missing; reused recent "
+                            "timestamp context for best-effort extraction.",
+                        )
+                else:
+                    parse_diag("fit.record.missing_timestamp",
+                               "Record without timestamp skipped.")
+                    continue
             lat = _semi_deg(values.get(0))
             lon = _semi_deg(values.get(1))
             if d["_fallback_rec"] and (lat is None or lon is None):
@@ -932,6 +1089,12 @@ def parse_fit(
                     "scale": float(scale) if scale is not None and scale > 0 and scale != 1 else None,
                     "offset": float(offset) if offset is not None and offset != 0 else None,
                 }
+    if unknown_defs > 5:
+        parse_diag(
+            "fit.data.unknown_definition.summary",
+            f"Encountered {unknown_defs - 5} additional unknown-definition "
+            "messages while resynchronizing FIT stream.",
+        )
     # timer-time merge (fit_parser.dart:609-612, 773): the primary session's
     # total_timer_time wins; an activity (34) message supplies it only when
     # no session carried one — replicated order-independently here

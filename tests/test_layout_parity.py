@@ -326,7 +326,8 @@ def test_fit_record_channel_surface_parity():
     body += bytes([0x00]) + struct.pack(
         "<IiiHHHHH", base, semi, semi, (1600 + 500) * 5, 250, 5150, 77, 3000
     )
-    # a record WITHOUT a timestamp value (sentinel) -> diagnostic
+    # a record WITHOUT a timestamp value (sentinel) -> RECOVERED from the
+    # previous record's context (fit_parser.dart:355-380) with a warning
     body += bytes([0x00]) + struct.pack(
         "<IiiHHHHH", 0xFFFFFFFF, semi, semi, 0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF
     )
@@ -355,15 +356,68 @@ def test_fit_record_channel_surface_parity():
             ch.setdefault(r["channel"], []).append(r["value"])
     diags = [r for r in recs if r["kind"] == "diag"]
 
-    assert len(pts) == 2  # canonical + fallback (positionless one dropped)
+    # canonical pair + fallback (the positionless fallback is dropped);
+    # the sentinel-ts record RECOVERS to the prior record's timestamp
+    assert len(pts) == 3
     assert pts[0]["ele"] == 1600.0  # field 2 only
+    assert pts[1]["ts"] == pts[0]["ts"]  # recovered context
+    codes = [d["attrs"]["code"] for d in diags]
+    assert codes.count("fit.record.recovered_timestamp") == 1
+    assert codes.count("fit.record.missing_timestamp") == 0
     assert ch["grade"] == [2.5]  # 250 / 100
     assert ch["left_right_balance"] == [5150.0]  # raw
     assert ch["fit_field_90"] == [77.0]  # unknown native -> raw channel
     assert ch["speed"] == [3.0]
     assert ch["scaled_chan"] == [10.0]  # 150 / 10 - 5
-    assert [d["attrs"]["code"] for d in diags].count(
-        "fit.record.missing_timestamp") == 1
+
+
+def test_fit_stream_resync_and_diag_caps():
+    """Unknown-definition references RESYNCHRONIZE instead of aborting
+    (fit_parser.dart:266-315, 984-1021): the scanner finds the next
+    parseable definition and parsing continues; unresyncable bytes skip
+    one at a time; warnings cap at 5 with an overflow summary; records
+    with no timestamp context at all emit the missing-timestamp diag."""
+    import struct
+
+    from activity_files_spark.sources.fit import _def_record, parse_fit
+
+    base = 1_000_000_000
+    semi = int(47.0 * (2**31) / 180.0)
+    body = bytearray()
+    rec_def = [(253, 4, 0x86), (0, 4, 0x85), (1, 4, 0x85)]
+    # record with sentinel ts BEFORE any context -> missing-timestamp diag
+    body += _def_record(0, 20, rec_def)
+    body += bytes([0x00]) + struct.pack("<Iii", 0xFFFFFFFF, semi, semi)
+    body += bytes([0x00]) + struct.pack("<Iii", base, semi, semi)
+    # data message for UNDEFINED local 5, immediately followed by a valid
+    # definition for local 5 (event, global 21) -> resync finds it and the
+    # subsequent data message parses
+    body += bytes([0x05])
+    body += _def_record(5, 21, [(253, 4, 0x86), (0, 1, 0x00)])
+    body += bytes([0x05]) + struct.pack("<IB", base + 10, 4)
+    # records after the resync still parse
+    body += bytes([0x00]) + struct.pack("<Iii", base + 20, semi, semi)
+    # 14 unresyncable junk bytes at the end (each failed resync consumes
+    # two bytes: the header + one skipped, like the reference's
+    # progressBeforeResync + 1): 7 unknown events -> 5 capped warnings +
+    # the overflow summary. Low nibbles avoid the DEFINED locals (0, 5) so
+    # no junk byte aliases to a known definition.
+    body += bytes([0x21, 0x22, 0x23, 0x24, 0x26, 0x27, 0x28,
+                   0x29, 0x2A, 0x2B, 0x2C, 0x2D, 0x2E, 0x2F])
+
+    recs = parse_fit("a", _fit_blob(body))
+    pts = [r for r in recs if r["kind"] == "point"]
+    codes = [r["attrs"]["code"] for r in recs if r["kind"] == "diag"]
+    ev = [r for r in recs if r["kind"] == "channel" and r["channel"] == "event"]
+    assert len(pts) == 2  # both valid records survive the resync
+    assert len(ev) == 1  # the post-resync event message parsed
+    assert codes.count("fit.record.missing_timestamp") == 1
+    assert codes.count("fit.data.unknown_definition") == 5  # capped (8 total)
+    assert any(c == "fit.data.unknown_definition.summary" for c in codes)
+    summary_msg = [r["attrs"]["message"] for r in recs if r["kind"] == "diag"
+                   and r["attrs"]["code"] == "fit.data.unknown_definition.summary"][0]
+    assert "3 additional" in summary_msg
+    assert 1 <= codes.count("fit.data.resync_failed") <= 5
 
 
 def test_fit_device_info_sensor_does_not_override_creator():
