@@ -21,6 +21,16 @@ import sys
 from pyspark.sql import functions as F
 
 
+# accepted --encoding names -> JVM charset (reference: Dart Encoding names)
+_CHARSETS = {
+    "utf8": "UTF-8", "utf-8": "UTF-8",
+    "latin1": "ISO-8859-1", "iso-8859-1": "ISO-8859-1",
+    "ascii": "US-ASCII",
+    "utf16": "UTF-16", "utf-16": "UTF-16",
+    "utf16le": "UTF-16LE", "utf16be": "UTF-16BE",
+}
+
+
 def _load_records(spark, args):
     from activity_files_spark.sources.csvsrc import csv_records
     from activity_files_spark.sources.detect import detect_format_df
@@ -37,9 +47,16 @@ def _load_records(spark, args):
         files = detect_format_df(files, payload_col="payload", path_col="activity_id")
     else:
         files = files.withColumn("fmt", F.lit(args.from_fmt))
-    text = files.withColumn("xml", F.col("payload").cast("string")).withColumn(
-        "text", F.col("payload").cast("string")
-    )
+    # --encoding: text decode for GPX/TCX/CSV/GeoJSON inputs (reference
+    # bin/activity_files.dart 'encoding' option; FIT is binary, unaffected).
+    # Native F.decode keeps the conversion JVM-side.
+    charset = _CHARSETS.get(getattr(args, "encoding", "utf8") or "utf8")
+    if charset is None:
+        raise SystemExit(
+            f"unsupported --encoding (choose from {sorted(_CHARSETS)})"
+        )
+    decoded = F.decode(F.col("payload"), charset)
+    text = files.withColumn("xml", decoded).withColumn("text", decoded)
     parts = [
         gpx_records(text.filter(F.col("fmt") == "gpx"), id_col="activity_id", xml_col="xml"),
         tcx_records(text.filter(F.col("fmt") == "tcx"), id_col="activity_id", xml_col="xml"),
@@ -64,6 +81,26 @@ def _load_records(spark, args):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_STREAM_NULLS = {
+    "seq": "long", "ts": "timestamp", "lat": "double", "lon": "double",
+    "ele": "double", "channel": "string", "value": "double",
+    "lap_id": "int", "start_ts": "timestamp", "end_ts": "timestamp",
+    "distance_m": "double", "sport": "string",
+}
+
+
+def _widen_stream(df, kind: str, seq: bool = False):
+    """Split-table frame -> unified record-stream shape (missing columns
+    null-typed) so processed points/channels can rejoin raw stream rows."""
+    out = df.withColumn("kind", F.lit(kind))
+    for c, t in _STREAM_NULLS.items():
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(None).cast(t))
+    if "attrs" not in out.columns:
+        out = out.withColumn("attrs", F.lit(None).cast("map<string,string>"))
+    return out.select("activity_id", "kind", *_STREAM_NULLS.keys(), "attrs")
 
 
 def cmd_convert(spark, args) -> int:
@@ -142,9 +179,23 @@ def cmd_convert(spark, args) -> int:
     )
 
     if args.to_fmt == "gpx":
-        # GPX keeps no lap structure (lossy.laps_dropped reports it)
-        enc = gpx_encode_df(
-            points, channels,
+        # GPX keeps no lap structure (lossy.laps_dropped reports it), but
+        # standalone waypoints, routes, and metadata survive gpx -> gpx:
+        # the normalized points/channels rejoin the source stream's
+        # waypoint/route/meta records through the lossless record-stream
+        # encoder (reference gpx_encoder.dart:125-130 writes wpt/rte
+        # before tracks)
+        from activity_files_spark.sources.gpx import gpx_encode_records
+
+        stream = _widen_stream(points, "point", seq=True).unionByName(
+            _widen_stream(channels, "channel")
+        ).unionByName(
+            records.filter(
+                F.col("kind").isin("waypoint", "route", "route_point", "meta")
+            )
+        )
+        enc = gpx_encode_records(
+            stream,
             version=getattr(args, "gpx_version", "1.1"),
             coord_dp=getattr(args, "precision_latlon", 6),
             ele_dp=getattr(args, "precision_ele", 2),
@@ -280,6 +331,8 @@ def main(argv=None) -> int:
                    help="with --autofix: generate distance-split laps when "
                         "missing (1 km run / 5 km bike)")
     # encoder options (reference bin/activity_files.dart:313-360)
+    c.add_argument("--encoding", default="utf8",
+                   help="text encoding for GPX/TCX/CSV/GeoJSON inputs")
     c.add_argument("--max-delta-seconds", dest="max_delta_seconds",
                    type=float, default=5.0,
                    help="channel-to-point association tolerance")

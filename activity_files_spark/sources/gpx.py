@@ -574,7 +574,12 @@ def gpx_encode_df(
     return u.groupBy("activity_id").applyInPandas(kernel, "activity_id string, xml string")
 
 
-def gpx_encode_records(records: DataFrame, version: str = "1.1") -> DataFrame:
+def gpx_encode_records(
+    records: DataFrame,
+    version: str = "1.1",
+    coord_dp: int = 6,
+    ele_dp: int = 2,
+) -> DataFrame:
     """Unified record stream (RECORD_SCHEMA) -> per-activity GPX documents,
     including waypoints, routes (kind=route/route_point, gpx_parser.dart:
     364-403), preserved extension trees, and trk/metadata fields — the
@@ -616,7 +621,7 @@ def gpx_encode_records(records: DataFrame, version: str = "1.1") -> DataFrame:
                 })
         meta = meta_attrs(pdf, kind)
         xml = encode_gpx(pts, chmap, meta=meta, waypoints=wps, routes=routes,
-                         version=version)
+                         version=version, coord_dp=coord_dp, ele_dp=ele_dp)
         return pd.DataFrame([{"activity_id": aid, "xml": xml}])
 
     return records.groupBy("activity_id").applyInPandas(

@@ -300,6 +300,36 @@ def test_wav_codec_rejects_non_pcm(spark):
         parse_wav(b"OggS" + bytes(40))
 
 
+def test_cli_convert_encoding_latin1(spark, tmp_path):
+    """--encoding decodes text inputs with the named charset (reference
+    bin 'encoding' option): a latin-1 GPX with a non-ASCII waypoint name
+    round-trips the character instead of mojibake."""
+    from activity_files_spark.cli import main
+
+    xml = (
+        '<?xml version="1.0"?>\n'
+        '<gpx version="1.1" creator="t" '
+        'xmlns="http://www.topografix.com/GPX/1/1">\n'
+        '<wpt lat="40.0" lon="-105.0"><name>Führer</name></wpt>\n'
+        "<trk><trkseg>\n"
+        '<trkpt lat="40.0" lon="-105.0"><time>2024-01-10T07:00:00Z</time></trkpt>\n'
+        '<trkpt lat="40.01" lon="-105.0"><time>2024-01-10T07:00:10Z</time></trkpt>\n'
+        "</trkseg></trk></gpx>\n"
+    )
+    d = tmp_path / "enc"
+    d.mkdir()
+    (d / "a.gpx").write_bytes(xml.encode("latin-1"))
+    out = str(tmp_path / "enc_out")
+    rc = main(["convert", "--input", str(d), "--from", "gpx", "--to", "gpx",
+               "--output", out, "--encoding", "latin1"])
+    assert rc == 0
+    got = spark.read.parquet(out).first()["xml"]
+    assert "Führer" in got
+    with pytest.raises(SystemExit, match="unsupported --encoding"):
+        main(["convert", "--input", str(d), "--from", "gpx", "--to", "gpx",
+              "--output", out, "--encoding", "klingon"])
+
+
 def test_cli_convert_gpx_precision_options(spark, tmp_path):
     """Encoder options pass through the CLI (bin/activity_files.dart:313-330):
     --precision-latlon/--precision-ele control the GPX coordinate format."""
