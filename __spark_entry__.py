@@ -1782,6 +1782,40 @@ def _hamming_near_dups_sql() -> str:
     """
 
 
+def simhash_near_dups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END text near-dup mining, driver-gated: simhash64 signatures
+    (Arrow bit-vote kernels, exact integer majority votes) feed the
+    banded-Hamming pair miner — the production-shape composition of two
+    independently-oracled operators. The documents table carries planted
+    near-duplicate pairs (small edits), whose simhashes land within a few
+    bits while unrelated docs sit ~30 bits apart. The oracle recomputes
+    every signature with the SQL majority-vote twin and brute-forces all
+    pairs with the same XOR/popcount, so every surfaced pair and distance
+    is bit-exact."""
+    from activity_files_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+        simhash64,
+    )
+
+    docs = _read(spark, sf_dir, "documents", spread=True)
+    codes = simhash64(docs, text_col="text", id_col="doc_id")
+    return hamming_near_dup_pairs(
+        codes, code_col="simhash", id_col="doc_id",
+        max_hamming=3, n_bands=4,
+    )
+
+
+def _simhash_near_dups_sql() -> str:
+    sim = _simhash_sql().strip()
+    return f"""
+    WITH sims AS ({sim})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
 def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style MERGE/upsert, driver-gated: target = even events,
     source = every-3rd events with doubled value; matched rows are replaced,
@@ -2590,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_invariants_summary": image_invariants_summary,
         "stream_tile_rollup_cells": stream_tile_rollup_cells,
         "hamming_near_dups_docs": hamming_near_dups_docs,
+        "simhash_near_dups_docs": simhash_near_dups_docs,
     }
 
 
@@ -2643,6 +2678,7 @@ def oracle_sql() -> dict[str, str]:
         "image_invariants_summary": _image_invariants_sql(),
         "stream_tile_rollup_cells": _stream_tile_rollup_sql(),
         "hamming_near_dups_docs": _hamming_near_dups_sql(),
+        "simhash_near_dups_docs": _simhash_near_dups_sql(),
         # validate_images_summary: intentionally no oracle (pixel/codec
         # decode is not SQL-expressible) -> driver rows-only check; pytest
         # pins it. Its SQL-replayable half (caption/dims/phash presence) IS

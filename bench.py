@@ -82,6 +82,7 @@ HEADLINE = [
     "image_knn",
     "lsh_ann_embeddings",
     "validate_images_summary",
+    "simhash_near_dups_docs",
 ]
 
 
