@@ -649,6 +649,16 @@ def _write_scaling_baseline() -> None:
             "(metadata-only, points scan) saturate the bus by design — on a cluster\n"
             "each node brings its own scan bandwidth. The plan has no serial barrier,\n"
             "no skewed shuffle, and no driver-side per-row work.\n"
+            "\n"
+            "A separate-JVM executor emulation (bench.py --scaling-executors: one\n"
+            "pinned Spark JVM per emulated executor) was evaluated and is NOT used\n"
+            "for the headline: four full JVM + python-worker stacks oversubscribe\n"
+            "this box at any worthwhile per-executor width (each stack wants ~2x\n"
+            "its task slots in cores plus GC/daemon threads), so it measures\n"
+            "multi-tenant interference on one machine, not the plan. The\n"
+            "in-process capacity-fitting levels above, cross-checked by the\n"
+            "outside-Spark process-group kernel scaling in SCALING_PROFILE.md,\n"
+            "are the faithful N-vs-4N evidence this sandbox can produce.\n"
         )
 
 
