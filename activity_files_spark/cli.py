@@ -50,7 +50,7 @@ def _load_records(spark, args):
     # --encoding: text decode for GPX/TCX/CSV/GeoJSON inputs (reference
     # bin/activity_files.dart 'encoding' option; FIT is binary, unaffected).
     # Native F.decode keeps the conversion JVM-side.
-    charset = _CHARSETS.get(getattr(args, "encoding", "utf8") or "utf8")
+    charset = _CHARSETS.get((getattr(args, "encoding", "utf8") or "utf8").lower())
     if charset is None:
         raise SystemExit(
             f"unsupported --encoding (choose from {sorted(_CHARSETS)})"
@@ -91,7 +91,7 @@ _STREAM_NULLS = {
 }
 
 
-def _widen_stream(df, kind: str, seq: bool = False):
+def _widen_stream(df, kind: str):
     """Split-table frame -> unified record-stream shape (missing columns
     null-typed) so processed points/channels can rejoin raw stream rows."""
     out = df.withColumn("kind", F.lit(kind))
@@ -187,7 +187,7 @@ def cmd_convert(spark, args) -> int:
         # before tracks)
         from activity_files_spark.sources.gpx import gpx_encode_records
 
-        stream = _widen_stream(points, "point", seq=True).unionByName(
+        stream = _widen_stream(points, "point").unionByName(
             _widen_stream(channels, "channel")
         ).unionByName(
             records.filter(

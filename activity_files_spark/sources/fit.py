@@ -164,8 +164,11 @@ _RECORD_DEDICATED = frozenset({253, 0, 1, 2, 3, 4, 5, 6, 7, 13, 8, 78, 120})
 
 # globals with dedicated handlers — never rerouted through the fallback
 # record heuristic (fit_parser.dart:1096-1107: a lap's 253/0/1 fields would
-# otherwise be misread as a GPS record)
-_EXPLICIT_GLOBALS = frozenset({0, 18, 19, 20, 21, 23, 34, 49, 101, 225})
+# otherwise be misread as a GPS record). Deliberate superset: the reference
+# set omits 206, so a field_description whose definition happened to
+# declare 253 would be hijacked as a record there and its developer-field
+# registration silently lost — 206 is protected here.
+_EXPLICIT_GLOBALS = frozenset({0, 18, 19, 20, 21, 23, 34, 49, 101, 206, 225})
 
 SPORTS = {
     0: "generic", 1: "running", 2: "cycling", 5: "swimming",
@@ -270,6 +273,8 @@ def _emit_g20_run(
         return v, (np.ones(n, dtype=bool) if s is None else v != s)
 
     def miss_diags(count: int):
+        if ctx["silent"]:
+            return
         for _ in range(count):
             out.append({
                 "activity_id": activity_id, "kind": "diag",
@@ -281,6 +286,8 @@ def _emit_g20_run(
     def recover_diags(count: int):
         budget = max(0, 5 - ctx["recovered"])
         ctx["recovered"] += count
+        if ctx["silent"]:
+            return
         for _ in range(min(count, budget)):
             out.append({
                 "activity_id": activity_id, "kind": "diag",
@@ -620,15 +627,27 @@ def parse_fit(
     # best-effort context (fit_parser.dart:143-144, 340-380): per-local-type
     # + global timestamp memory for compressed rollover and recovery of
     # records whose own timestamp is missing/implausible
-    ctx: dict = {"last_ts": {}, "last_known": None, "recovered": 0}
+    ctx: dict = {"last_ts": {}, "last_known": None, "recovered": 0,
+                 "silent": integrity == "silent"}
     unknown_defs = 0
     resync_fails = 0
+    resync_clean_until = 0  # scans proved def-free up to here (linearity)
     pos = hdr_size
     seq = 0
     lap_id = 0
     meta: dict[str, str] = {"format": "fit"}
 
     def parse_diag(code: str, message: str) -> None:
+        """Best-effort parse diagnostic: unlike diag(), never aborts —
+        strict mode fail-fasts only on INTEGRITY issues (CRC, truncation,
+        malformed structure), matching the reference where unknown-def
+        resync and timestamp recovery continue in every mode. Silent mode
+        suppresses these rows like all diagnostics (IntegrityMode.silent
+        returns an empty diagnostics list)."""
+        if code.startswith("fit.data."):
+            stats["invalid_messages"] += 1
+        if integrity == "silent":
+            return
         out.append({"activity_id": activity_id, "kind": "diag",
                     "attrs": {"code": code, "severity": "warning",
                               "message": message}})
@@ -712,8 +731,20 @@ def parse_fit(
                     f"Data message references unknown definition #{local}; "
                     "attempting stream resynchronization.",
                 )
-            new_pos = _try_resync(payload, pos, end, defs)
+            # high-water mark keeps pathological input LINEAR: a failed
+            # scan proves no definition starts in [pos, scan_clean_until),
+            # so later failures inside that window skip the (re-)scan — the
+            # reference rescans the overlapping 2 KiB per skipped byte,
+            # which is quadratic on unparseable garbage
+            if pos >= resync_clean_until:
+                new_pos = _try_resync(payload, pos, end, defs)
+            else:
+                new_pos = None
             if new_pos is None:
+                if pos >= resync_clean_until:
+                    resync_clean_until = max(
+                        resync_clean_until, min(end, pos + 2048) - 6
+                    )
                 resync_fails += 1
                 if resync_fails <= 5:
                     parse_diag(
@@ -1239,16 +1270,28 @@ SESSION_DEF = [
 ]
 
 
+# out-of-range values CLAMP below the invalid sentinel, mirroring the
+# reference's write helpers (fit_encoder.dart:853-875 value.clamp(0,
+# 0xFE/0xFFFE/0xFFFFFFFE)) — neither silent wrap-around nor a crash, and
+# a clamped value can never alias "absent"
 def _u8(v) -> int:
-    return 0xFF if v is None else int(round(v)) & 0xFF
+    return 0xFF if v is None else min(max(int(round(v)), 0), 0xFE)
 
 
 def _u16(v) -> int:
-    return 0xFFFF if v is None else int(round(v)) & 0xFFFF
+    return 0xFFFF if v is None else min(max(int(round(v)), 0), 0xFFFE)
 
 
 def _u32(v) -> int:
-    return 0xFFFFFFFF if v is None else int(round(v)) & 0xFFFFFFFF
+    return 0xFFFFFFFF if v is None else min(max(int(round(v)), 0), 0xFFFFFFFE)
+
+
+def _i8(v) -> int:
+    return 0x7F if v is None else min(max(int(round(v)), -0x80), 0x7E)
+
+
+def _i32(v) -> int:
+    return 0x7FFFFFFF if v is None else min(max(int(round(v)), -0x80000000), 0x7FFFFFFE)
 
 
 def _extra_encode_plan(attr_maps: list[dict], prefix: str = "") -> tuple[list, list]:
@@ -1290,9 +1333,17 @@ def _extra_pack(attrs: dict, scal: list, arrs: list, prefix: str = "") -> bytes:
         except (TypeError, ValueError):
             iv = None
         if signed:
-            out += struct.pack("<i", 0x7FFFFFFF if iv is None else iv)
+            # full-range clamp per _writeRawInt32 (fit_encoder.dart:885-890)
+            out += struct.pack(
+                "<i",
+                0x7FFFFFFF if iv is None
+                else min(max(iv, -0x80000000), 0x7FFFFFFF),
+            )
         else:
-            out += struct.pack("<I", _u32(iv))
+            out += struct.pack(
+                "<I",
+                0xFFFFFFFF if iv is None else min(max(iv, 0), 0xFFFFFFFF),
+            )
     for f, n in arrs:
         v = attrs.get(f"{prefix}extra_array.{f}")
         vals: list = []
@@ -1506,16 +1557,17 @@ def encode_fit(
         lon = p.get("lon")
         lat_ok = lat is not None and lat == lat
         lon_ok = lon is not None and lon == lon
-        lat_semi = int(round(lat / SEMI_TO_DEG)) if lat_ok else 0x7FFFFFFF
-        lon_semi = int(round(lon / SEMI_TO_DEG)) if lon_ok else 0x7FFFFFFF
+        # out-of-range values clamp (reference write helpers), never raise
+        lat_semi = _i32(lat / SEMI_TO_DEG) if lat_ok else 0x7FFFFFFF
+        lon_semi = _i32(lon / SEMI_TO_DEG) if lon_ok else 0x7FFFFFFF
         ele = p.get("ele")
-        alt_raw = int(round((ele + 500.0) * 5.0)) if ele is not None and ele == ele else 0xFFFF
-        hr = int(round(ch["heart_rate"])) if "heart_rate" in ch else 0xFF
-        cad = int(round(ch["cadence"])) if "cadence" in ch else 0xFF
-        dist = int(round(ch["distance"] * 100.0)) if "distance" in ch else 0xFFFFFFFF
-        speed = int(round(ch["speed"] * 1000.0)) if "speed" in ch else 0xFFFF
-        power = int(round(ch["power"])) if "power" in ch else 0xFFFF
-        temp = int(round(ch["temperature"])) if "temperature" in ch else 0x7F
+        alt_raw = _u16((ele + 500.0) * 5.0) if ele is not None and ele == ele else 0xFFFF
+        hr = _u8(ch.get("heart_rate")) if "heart_rate" in ch else 0xFF
+        cad = _u8(ch.get("cadence")) if "cadence" in ch else 0xFF
+        dist = _u32(ch["distance"] * 100.0) if "distance" in ch else 0xFFFFFFFF
+        speed = _u16(ch["speed"] * 1000.0) if "speed" in ch else 0xFFFF
+        power = _u16(ch.get("power")) if "power" in ch else 0xFFFF
+        temp = _i8(ch.get("temperature")) if "temperature" in ch else 0x7F
         body += bytes([0x01]) + struct.pack(
             "<IiiHBBIHHb", ts_raw, lat_semi, lon_semi, alt_raw, hr, cad,
             dist, speed, power, temp,
@@ -1688,28 +1740,43 @@ def _record_block_vec(ts_raw: np.ndarray, cols: dict, dev_channels: list[str]) -
 
     _nan = np.full(n, np.nan)
 
-    def scaled(name, scale, sentinel, pre=None):
+    def scaled(name, scale, sentinel, lo, hi, pre=None):
+        """Rounded+scaled with the reference's sentinel-preserving CLAMP
+        (fit_encoder.dart:853-875) — numpy's unsafe cast would otherwise
+        silently wrap out-of-range values where the scalar path clamps."""
         v = cols.get(name, _nan)
         if pre is not None:
             v = pre(v)
-        return np.where(~np.isnan(v), np.round(v * scale), float(sentinel))
+        return np.where(
+            ~np.isnan(v),
+            np.clip(np.round(v * scale), float(lo), float(hi)),
+            float(sentinel),
+        )
 
-    arr["lat"] = scaled("lat", 1.0, 0x7FFFFFFF, pre=lambda v: v / SEMI_TO_DEG)
-    arr["lon"] = scaled("lon", 1.0, 0x7FFFFFFF, pre=lambda v: v / SEMI_TO_DEG)
-    arr["alt"] = scaled("ele", 1.0, 0xFFFF, pre=lambda v: (v + 500.0) * 5.0)
-    arr["hr"] = scaled("heart_rate", 1.0, 0xFF)
-    arr["cad"] = scaled("cadence", 1.0, 0xFF)
-    arr["dist"] = scaled("distance", 100.0, 0xFFFFFFFF)
-    arr["speed"] = scaled("speed", 1000.0, 0xFFFF)
-    arr["power"] = scaled("power", 1.0, 0xFFFF)
-    arr["temp"] = scaled("temperature", 1.0, 0x7F)
+    arr["lat"] = scaled("lat", 1.0, 0x7FFFFFFF, -0x80000000, 0x7FFFFFFE,
+                        pre=lambda v: v / SEMI_TO_DEG)
+    arr["lon"] = scaled("lon", 1.0, 0x7FFFFFFF, -0x80000000, 0x7FFFFFFE,
+                        pre=lambda v: v / SEMI_TO_DEG)
+    arr["alt"] = scaled("ele", 1.0, 0xFFFF, 0, 0xFFFE,
+                        pre=lambda v: (v + 500.0) * 5.0)
+    arr["hr"] = scaled("heart_rate", 1.0, 0xFF, 0, 0xFE)
+    arr["cad"] = scaled("cadence", 1.0, 0xFF, 0, 0xFE)
+    arr["dist"] = scaled("distance", 100.0, 0xFFFFFFFF, 0, 0xFFFFFFFE)
+    arr["speed"] = scaled("speed", 1000.0, 0xFFFF, 0, 0xFFFE)
+    arr["power"] = scaled("power", 1.0, 0xFFFF, 0, 0xFFFE)
+    arr["temp"] = scaled("temperature", 1.0, 0x7F, -0x80, 0x7E)
     for i, name in enumerate(dev_channels):
         arr[f"dv{i}"] = cols.get(name, _nan)  # NaN = absent (round-trips null)
     return arr.tobytes()
 
 
 def _ts_us(col) -> np.ndarray:
-    return col.to_numpy().astype("datetime64[us]").astype(np.int64)
+    """Epoch-microseconds with NaT mapped to INT64_MAX so lexsorts put
+    null timestamps LAST, matching DataFrame.sort_values (and
+    records.sorted_kind_idx) — raw NaT is INT64_MIN, which would sort
+    null-ts spans FIRST and diverge from the scalar encoder's order."""
+    a = col.to_numpy().astype("datetime64[us]").astype(np.int64)
+    return np.where(a == np.iinfo(np.int64).min, np.iinfo(np.int64).max, a)
 
 
 def _span_records(masked: dict, idx: np.ndarray, cols: list[str]) -> list[dict]:
@@ -1750,7 +1817,7 @@ def _encode_activity_pdf(aid: str, pdf: pd.DataFrame) -> bytes:
         order = np.lexsort((p_seq, p_ts))
         p_idx = p_idx[order]
         p_ts = p_ts[order]
-        ok = p_ts != np.iinfo(np.int64).min
+        ok = p_ts != np.iinfo(np.int64).max  # NaT (mapped by _ts_us)
         p_idx, p_ts = p_idx[ok], p_ts[ok]
     else:
         p_ts = np.empty(0, np.int64)

@@ -328,6 +328,10 @@ def test_cli_convert_encoding_latin1(spark, tmp_path):
     with pytest.raises(SystemExit, match="unsupported --encoding"):
         main(["convert", "--input", str(d), "--from", "gpx", "--to", "gpx",
               "--output", out, "--encoding", "klingon"])
+    # charset names are case-insensitive ("UTF-8", "Latin1" are standard)
+    rc = main(["convert", "--input", str(d), "--from", "gpx", "--to", "gpx",
+               "--output", out, "--encoding", "Latin1"])
+    assert rc == 0
 
 
 def test_cli_convert_gpx_precision_options(spark, tmp_path):

@@ -420,6 +420,56 @@ def test_fit_stream_resync_and_diag_caps():
     assert 1 <= codes.count("fit.data.resync_failed") <= 5
 
 
+def test_fit_encode_clamps_out_of_range_and_silent_mode():
+    """Out-of-range channel values CLAMP below the invalid sentinel in
+    BOTH encoder paths (fit_encoder.dart:853-875) instead of raising
+    (scalar struct.pack) or silently wrapping (numpy cast); and
+    integrity='silent' suppresses the best-effort parse diagnostics too."""
+    import numpy as np
+    import pandas as pd
+
+    import activity_files_spark.sources.fit as FIT
+    from activity_files_spark.sources.gpx import _ts_key
+
+    t0 = pd.Timestamp("2024-03-01T10:00:00")
+    pts = [{"seq": 0, "ts": t0, "lat": 40.0, "lon": -105.0, "ele": 20000.0}]
+    ch = {_ts_key(t0): {"heart_rate": 300.0, "temperature": -200.0,
+                        "power": 99999.0}}
+    blob = FIT.encode_fit(pts, ch, [])  # previously raised struct.error
+    back = FIT.parse_fit("a", blob)
+    vals = {r["channel"]: r["value"] for r in back if r["kind"] == "channel"}
+    assert vals["heart_rate"] == 254.0  # clamped to 0xFE, not wrapped to 44
+    assert vals["temperature"] == -128.0
+    assert vals["power"] == 65534.0
+    # the vectorized kernel clamps identically (byte parity on bad input)
+    rows = [{"activity_id": "a", "kind": "point", "seq": 0, "ts": t0,
+             "lat": 40.0, "lon": -105.0, "ele": 20000.0, "channel": None,
+             "value": None, "lap_id": None, "start_ts": None, "end_ts": None,
+             "distance_m": None, "sport": None, "attrs": None}]
+    for cname, v in (("heart_rate", 300.0), ("temperature", -200.0),
+                     ("power", 99999.0)):
+        rows.append({"activity_id": "a", "kind": "channel", "seq": None,
+                     "ts": t0, "lat": None, "lon": None, "ele": None,
+                     "channel": cname, "value": v, "lap_id": None,
+                     "start_ts": None, "end_ts": None, "distance_m": None,
+                     "sport": None, "attrs": None})
+    assert FIT._encode_activity_pdf("a", pd.DataFrame(rows)) == blob
+    # silent mode: recovery/resync/missing diagnostics are suppressed like
+    # every other diagnostic (IntegrityMode.silent -> empty list)
+    import struct
+
+    body = bytearray()
+    body += FIT._def_record(0, 20, [(253, 4, 0x86), (0, 4, 0x85), (1, 4, 0x85)])
+    semi = int(47.0 * (2**31) / 180.0)
+    body += bytes([0x00]) + struct.pack("<Iii", 1_000_000_000, semi, semi)
+    body += bytes([0x00]) + struct.pack("<Iii", 0xFFFFFFFF, semi, semi)
+    body += bytes([0x2B, 0x2C])  # unresyncable junk
+    silent = FIT.parse_fit("a", _fit_blob(body), integrity="silent")
+    assert not [r for r in silent if r["kind"] == "diag"]
+    report = FIT.parse_fit("a", _fit_blob(body), integrity="report")
+    assert [r for r in report if r["kind"] == "diag"]
+
+
 def test_fit_device_info_sensor_does_not_override_creator():
     """device_index 0 is the head unit; a paired sensor (device_index 3)
     must not overwrite its manufacturer, and later creator messages merge
