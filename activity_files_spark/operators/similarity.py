@@ -8,6 +8,12 @@
   Hamming-1 neighbors. The scale path: at 10^12 rows the bucket join
   replaces the cross join; recall < 1 is the documented tradeoff.
 
+PRECONDITION for the approximate paths (lsh/ivf/cosine_dup_pairs_lsh):
+id columns are PRIMARY KEYS of their tables. Candidate pairs dedup on
+bare ids and re-attach vectors by an id equi-join (keeping the wide
+arrays out of the candidate shuffles); a duplicated id would fan each
+pair back out to one scored row per duplicate vector.
+
 Both keep vectors as array<double> columns — dot products run as
 F.aggregate folds inside codegen; no Python in the row path.
 """

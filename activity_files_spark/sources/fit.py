@@ -141,25 +141,12 @@ BASE_TYPES = {
     0x90: ("Q", 8, 0x0),           # uint64z
 }
 
-# record (msg 20) field -> (channel/coord, transform)
-RECORD_FIELDS = {
-    253: "timestamp",
-    0: "lat_semi",
-    1: "lon_semi",
-    2: "altitude_raw",
-    3: "heart_rate",
-    4: "cadence",
-    5: "distance_raw",
-    6: "speed_raw",
-    7: "power",
-    13: "temperature",
-    78: "grade_raw",           # scale 100 (fit_parser.dart:481)
-    120: "left_right_balance",  # raw (fit_parser.dart:482)
-}
-
-# record fields with dedicated decoding; every other numeric native field
-# becomes a fit_field_<n> channel with its RAW value so no sensor data is
-# silently dropped (fit_parser.dart:1024-1031, e.g. running dynamics)
+# record (msg 20) fields with dedicated decoding: 253 ts, 0/1 position,
+# 2 altitude, 3 hr, 4 cadence, 5 distance, 6 speed, 7 power, 13 temp,
+# 8 compressed speed/distance, 78 grade (scale 100), 120 left_right_balance
+# (fit_parser.dart:410-512); every other numeric native field becomes a
+# fit_field_<n> channel with its RAW value so no sensor data is silently
+# dropped (fit_parser.dart:1024-1031, e.g. running dynamics)
 _RECORD_DEDICATED = frozenset({253, 0, 1, 2, 3, 4, 5, 6, 7, 13, 8, 78, 120})
 
 # globals with dedicated handlers — never rerouted through the fallback
@@ -225,10 +212,19 @@ def _fast_plan(d: dict, dev_fields: dict) -> dict | None:
             dev_cols.append((name, didx, fnum))
         else:
             bt = BASE_TYPES.get(btype & 0xFF)
-            if bt is None:  # unknown base type: both paths skip the bytes
-                off += fsize
+            if bt is None:
+                if fnum == 8:
+                    # the scalar path decodes field 8 from RAW bytes before
+                    # the base-type check (compressed speed/distance), so an
+                    # unknown-typed field 8 must take the general path
+                    return None
+                off += fsize  # other unknown base types: both paths skip
                 continue
-            if bt[0] in ("s", "Q") or fsize != bt[1] or fnum in seen:
+            if bt[0] in ("s", "Q", "f", "d") or fsize != bt[1] or fnum in seen:
+                # floats bail to the general path: the scalar handlers
+                # treat non-int values differently per field (_fit_ts
+                # rejects them -> recovery; NaN channel values EMIT as NaN
+                # where the vector mask would drop them)
                 return None
             seen.add(fnum)
             name = f"f{fnum}"
@@ -450,12 +446,15 @@ def _read_def_at(payload: bytes, p: int, end: int):
     return local, d, q
 
 
-def _try_resync(payload: bytes, start: int, end: int, defs: dict) -> int | None:
+def _try_resync(
+    payload: bytes, start: int, scan_end: int, end: int, defs: dict
+) -> int | None:
     """Stream resynchronization after an unknown-definition reference
-    (fit_parser.dart:984-1021): scan forward up to 2 KiB for a parseable
+    (fit_parser.dart:984-1021): scan [start, scan_end) for a parseable
     definition record; register it and return the position after it, or
-    None when nothing in the window parses."""
-    scan_end = min(end, start + 2048)
+    None when nothing in the window parses. The caller passes a start
+    past its def-free high-water mark so repeated failures stay linear
+    without skipping the unproven tail of the window."""
     cursor = start
     while cursor < scan_end - 6:
         h = payload[cursor]
@@ -632,6 +631,7 @@ def parse_fit(
     unknown_defs = 0
     resync_fails = 0
     resync_clean_until = 0  # scans proved def-free up to here (linearity)
+    dev_version = 0  # bumped on EVERY field_description (incl. overwrites)
     pos = hdr_size
     seq = 0
     lap_id = 0
@@ -732,19 +732,17 @@ def parse_fit(
                     "attempting stream resynchronization.",
                 )
             # high-water mark keeps pathological input LINEAR: a failed
-            # scan proves no definition starts in [pos, scan_clean_until),
-            # so later failures inside that window skip the (re-)scan — the
-            # reference rescans the overlapping 2 KiB per skipped byte,
-            # which is quadratic on unparseable garbage
-            if pos >= resync_clean_until:
-                new_pos = _try_resync(payload, pos, end, defs)
-            else:
-                new_pos = None
+            # scan proves no definition starts before resync_clean_until,
+            # so later scans start past it (never re-examining proven
+            # bytes) while still covering the window's unproven tail —
+            # the reference rescans the overlapping 2 KiB per skipped
+            # byte, which is quadratic on unparseable garbage
+            scan_end = min(end, pos + 2048)
+            new_pos = _try_resync(
+                payload, max(pos, resync_clean_until), scan_end, end, defs
+            )
             if new_pos is None:
-                if pos >= resync_clean_until:
-                    resync_clean_until = max(
-                        resync_clean_until, min(end, pos + 2048) - 6
-                    )
+                resync_clean_until = max(resync_clean_until, scan_end - 6)
                 resync_fails += 1
                 if resync_fails <= 5:
                     parse_diag(
@@ -769,9 +767,12 @@ def parse_fit(
         # Compressed-timestamp records and odd layouts (strings, arrays,
         # the 3-byte field 8) take the general per-record path below.
         if not compressed and d["global"] == 20:
-            if d.get("_plan_devn") != len(dev_fields):
+            # keyed on a registration VERSION, not len(dev_fields): a
+            # field_description that re-registers an existing (didx, fnum)
+            # with a new type/name must invalidate the cached plan
+            if d.get("_plan_devv") != dev_version:
                 d["_plan"] = _fast_plan(d, dev_fields)
-                d["_plan_devn"] = len(dev_fields)
+                d["_plan_devv"] = dev_version
             plan = d["_plan"]
             if plan is not None:
                 p0 = pos - 1
@@ -1120,6 +1121,7 @@ def parse_fit(
                     "scale": float(scale) if scale is not None and scale > 0 and scale != 1 else None,
                     "offset": float(offset) if offset is not None and offset != 0 else None,
                 }
+                dev_version += 1
     if unknown_defs > 5:
         parse_diag(
             "fit.data.unknown_definition.summary",
@@ -1304,15 +1306,20 @@ def _extra_encode_plan(attr_maps: list[dict], prefix: str = "") -> tuple[list, l
     arrs: dict[int, int] = {}
     for attrs in attr_maps:
         for k, v in (attrs or {}).items():
+            # non-numeric suffixes (foreign attrs like "extra.note") are
+            # skipped — the encoder never throws on odd metadata
             if k.startswith(prefix + "extra."):
-                f = int(k[len(prefix) + 6:])
                 try:
+                    f = int(k[len(prefix) + 6:])
                     neg = float(v) < 0
                 except (TypeError, ValueError):
                     continue
                 scal[f] = scal.get(f, False) or neg
             elif k.startswith(prefix + "extra_array."):
-                f = int(k[len(prefix) + 12:])
+                try:
+                    f = int(k[len(prefix) + 12:])
+                except ValueError:
+                    continue
                 arrs[f] = max(arrs.get(f, 0), len(str(v).split(",")))
     return sorted(scal.items()), sorted(arrs.items())
 
@@ -1834,7 +1841,10 @@ def _encode_activity_pdf(aid: str, pdf: pd.DataFrame) -> bytes:
         c_ts = ts_all[c_idx]
         uniq = sorted(set(names.tolist()))
         if "event" in uniq:
-            em = names == "event"
+            # null-ts events are dropped here, matching the scalar
+            # encoder's skip-guard (NaT maps to INT64_MAX in _ts_us, which
+            # pd.Timestamp would otherwise turn into a year-294247 value)
+            em = (names == "event") & (c_ts != np.iinfo(np.int64).max)
             e_ts, e_vals = c_ts[em], vals[em]
             eo = np.argsort(e_ts, kind="stable")
             events = [
@@ -1856,26 +1866,27 @@ def _encode_activity_pdf(aid: str, pdf: pd.DataFrame) -> bytes:
                 grid[pos_ok[hit]] = vals[m][hit]
                 ch_cols[name] = grid[inv]
 
-    # --- laps / lengths / sets / meta (column-wise, no frame slicing)
+    # --- laps / lengths / sets / meta (column-wise, no frame slicing);
+    # sorting reuses the shared NaT-last helper so span order matches the
+    # scalar kernels (and the GPX/TCX encoders) exactly
+    from activity_files_spark.sources.records import sorted_kind_idx
+
     masked = {
         c: col[c].to_numpy()
         for c in ("lap_id", "start_ts", "end_ts", "distance_m", "sport", "attrs")
     }
     lap_cols = ["lap_id", "start_ts", "end_ts", "distance_m", "sport"]
     span_cols = ["start_ts", "end_ts", "attrs"]
-    st_us = _ts_us(col["start_ts"])
-    en_us = _ts_us(col["end_ts"])
-
-    def span_idx(k, primary, secondary):
-        idx = np.nonzero(kind == k)[0]
-        if len(idx) == 0:
-            return idx
-        return idx[np.lexsort((secondary[idx], primary[idx]))]
-
-    lap_primary = col["lap_id"].to_numpy(dtype=np.float64)
-    laps = _span_records(masked, span_idx("lap", lap_primary, st_us), lap_cols)
-    lengths = _span_records(masked, span_idx("length", st_us, en_us), span_cols)
-    sets = _span_records(masked, span_idx("set", st_us, en_us), span_cols)
+    laps = _span_records(
+        masked, sorted_kind_idx(pdf, kind, "lap", ["lap_id", "start_ts"]), lap_cols
+    )
+    lengths = _span_records(
+        masked, sorted_kind_idx(pdf, kind, "length", ["start_ts", "end_ts"]),
+        span_cols,
+    )
+    sets = _span_records(
+        masked, sorted_kind_idx(pdf, kind, "set", ["start_ts", "end_ts"]), span_cols
+    )
     meta: dict = {}
     for i in np.nonzero(kind == "meta")[0].tolist():
         attrs = masked["attrs"][i]
