@@ -1952,6 +1952,8 @@ def edit_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     x = crop(ev, "2024-01-03 00:00:00", "2024-01-28 00:00:00")
     x = delete_range(x, "2024-01-10 00:00:00", "2024-01-12 00:00:00")
+    # boundary parity (raw_editor.dart:407-503): removePause drops STRICTLY
+    # inside (from,to) and shifts >= to; insertPause shifts STRICTLY after at
     x = remove_pause(x, "2024-01-20 00:00:00", "2024-01-22 00:00:00")
     x = insert_pause(x, "2024-01-25 00:00:00", 3600.0)
     return x.groupBy("user_id").agg(
@@ -1979,12 +1981,12 @@ def _edit_pipeline_sql() -> str:
              CASE WHEN ts >= TIMESTAMP '2024-01-22 00:00:00'
                   THEN ts - INTERVAL 172800 SECONDS ELSE ts END AS ts
       FROM deleted
-      WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+      WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
          OR ts >= TIMESTAMP '2024-01-22 00:00:00'
     ),
     shifted AS (
       SELECT user_id, event_id,
-             CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00'
+             CASE WHEN ts > TIMESTAMP '2024-01-25 00:00:00'
                   THEN ts + INTERVAL 3600 SECONDS ELSE ts END AS ts
       FROM nopause
     )
@@ -1992,6 +1994,118 @@ def _edit_pipeline_sql() -> str:
            CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
            CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us
     FROM shifted GROUP BY user_id
+    """
+
+
+def point_edit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's point-level editing API (raw_editor.dart:244-365:
+    shiftTime / insertPoint / deletePointAt / updatePoint), driver-gated as
+    one composed chain over per-user point lists (seq = 0-based list
+    position). Chain: shiftTime(+1h, everything moves) -> insertPoint at a
+    mid-track time (lands at the FIRST seq whose ts is strictly later, list
+    positions above shift up, no re-sort) -> updatePoint(seq 3: new lat AND
+    new ts, so the list re-sorts and renumbers; lon preserved) ->
+    deletePointAt(0) (positions close up). The aggregate pins the exact
+    epoch-µs sum, exact µ-degree coordinate sums, and the exact seq sum, so
+    every insertion index, renumber, and shift must match the SQL replay."""
+    from activity_files_spark.operators.normalize import (
+        delete_point_at,
+        insert_point,
+        shift_time,
+        update_point,
+    )
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    pts = ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("activity_id"),
+        "ts",
+        (F.lit(40.0) + (F.col("event_id") % 7).cast("double") * F.lit(0.0005)).alias("lat"),
+        (F.lit(-105.0) + (F.col("event_id") % 5).cast("double") * F.lit(0.001)).alias("lon"),
+        (
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).cast("long") - F.lit(1)
+        ).alias("seq"),
+    )
+    x = shift_time(pts, 3600.0)
+    x = insert_point(
+        x, {"ts": "2024-01-15 12:00:00", "lat": 40.1234, "lon": -105.4321}
+    )
+    x = update_point(
+        x, 3, lat=41.5, ts="2024-01-02 00:00:00", strict=False
+    )
+    x = delete_point_at(x, 0, strict=False)
+    return x.groupBy("activity_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+        .cast("long").alias("sum_ts_us"),
+        F.sum(F.round(F.col("lat") * F.lit(1e6), 0).cast("long"))
+        .cast("long").alias("sum_lat_udeg"),
+        F.sum(F.round(F.col("lon") * F.lit(1e6), 0).cast("long"))
+        .cast("long").alias("sum_lon_udeg"),
+        F.sum("seq").cast("long").alias("sum_seq"),
+    ).select(
+        F.substring("activity_id", 2, 20).cast("long").alias("user_id"),
+        "n_points", "sum_ts_us", "sum_lat_udeg", "sum_lon_udeg", "sum_seq",
+    )
+
+
+def _point_edit_sql() -> str:
+    return """
+    WITH pts AS (
+      SELECT user_id,
+             ts + INTERVAL 3600 SECONDS AS ts,
+             CAST(40.0 AS DOUBLE)
+               + CAST(event_id % 7 AS DOUBLE) * CAST(0.0005 AS DOUBLE) AS lat,
+             CAST(-105.0 AS DOUBLE)
+               + CAST(event_id % 5 AS DOUBLE) * CAST(0.001 AS DOUBLE) AS lon,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - 1 AS seq
+      FROM events
+    ),
+    ins AS (
+      SELECT user_id,
+             COALESCE(
+               MIN(seq) FILTER (ts > TIMESTAMP '2024-01-15 12:00:00'),
+               MAX(seq) + 1) AS ins_at
+      FROM pts GROUP BY user_id
+    ),
+    after_ins AS (
+      SELECT p.user_id, p.ts, p.lat, p.lon,
+             p.seq + CASE WHEN p.seq >= i.ins_at THEN 1 ELSE 0 END AS seq
+      FROM pts p JOIN ins i USING (user_id)
+      UNION ALL
+      SELECT user_id, TIMESTAMP '2024-01-15 12:00:00',
+             CAST(40.1234 AS DOUBLE), CAST(-105.4321 AS DOUBLE), ins_at
+      FROM ins
+    ),
+    upd AS (
+      SELECT user_id,
+             CASE WHEN seq = 3 THEN TIMESTAMP '2024-01-02 00:00:00'
+                  ELSE ts END AS ts,
+             CASE WHEN seq = 3 THEN CAST(41.5 AS DOUBLE) ELSE lat END AS lat,
+             lon, seq AS old_seq
+      FROM after_ins
+    ),
+    renum AS (
+      SELECT user_id, ts, lat, lon,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, old_seq)
+               - 1 AS seq
+      FROM upd
+    ),
+    del AS (
+      SELECT user_id, ts, lat, lon, seq - 1 AS seq
+      FROM renum WHERE seq <> 0
+    )
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           CAST(SUM(epoch_us(ts)) AS BIGINT) AS sum_ts_us,
+           CAST(SUM(CAST(round(lat * CAST(1e6 AS DOUBLE)) AS BIGINT))
+                AS BIGINT) AS sum_lat_udeg,
+           CAST(SUM(CAST(round(lon * CAST(1e6 AS DOUBLE)) AS BIGINT))
+                AS BIGINT) AS sum_lon_udeg,
+           CAST(SUM(seq) AS BIGINT) AS sum_seq
+    FROM del GROUP BY user_id
     """
 
 
@@ -2619,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_wav_features": audio_wav_features,
         "downsample_distance_events": downsample_distance_events,
         "edit_pipeline_events": edit_pipeline_events,
+        "point_edit_events": point_edit_events,
         "video_frame_stats": video_frame_stats,
         "video_y4m_stats": video_y4m_stats,
         "image_invariants_summary": image_invariants_summary,
@@ -2673,6 +2788,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_wav_features": _audio_wav_sql(),
         "downsample_distance_events": _downsample_distance_sql(),
         "edit_pipeline_events": _edit_pipeline_sql(),
+        "point_edit_events": _point_edit_sql(),
         "video_frame_stats": _video_frame_sql(),
         "video_y4m_stats": _video_y4m_sql(),
         "image_invariants_summary": _image_invariants_sql(),

@@ -170,26 +170,253 @@ def largest_contiguous_group(
     return df.join(best, [key, "_grp"], "left_semi").drop("_new_grp", "_grp")
 
 
+def _interval_us(seconds: float):
+    """Signed sub-second-capable interval literal (µs resolution, matching
+    the reference's Duration granularity)."""
+    return F.expr(f"INTERVAL {int(round(seconds * 1_000_000))} MICROSECOND")
+
+
 def insert_pause(df: DataFrame, at, duration_s: float, ts: str = "ts") -> DataFrame:
-    """Shift every row at/after ``at`` later by ``duration_s`` — the
-    reference's pause-insert time edit (raw_editor.dart:412-503). Pure
-    expression; channels/laps shift with the same call."""
+    """Shift every row STRICTLY after ``at`` later by ``duration_s`` — the
+    reference's pause-insert time edit (raw_editor.dart:407-449: the remap
+    is ``t.isAfter(atUtc)``, so a sample exactly at ``at`` does NOT move).
+    Pure expression; channel rows shift with the same call. Negative
+    durations raise, matching the reference's ArgumentError."""
+    if duration_s < 0:
+        raise ValueError("insert_pause duration must not be negative")
     at_lit = F.lit(at).cast("timestamp")
-    shift = F.expr(f"INTERVAL {int(duration_s)} SECONDS")
     return df.withColumn(
-        ts, F.when(F.col(ts) >= at_lit, F.col(ts) + shift).otherwise(F.col(ts))
+        ts,
+        F.when(F.col(ts) > at_lit, F.col(ts) + _interval_us(duration_s))
+        .otherwise(F.col(ts)),
     )
 
 
 def remove_pause(df: DataFrame, start, end, ts: str = "ts") -> DataFrame:
-    """Delete [start, end) and close the timeline gap: rows at/after ``end``
-    shift earlier by the pause length (raw_editor.dart pause removal)."""
+    """Close a time gap (raw_editor.dart:451-503): drop rows STRICTLY inside
+    ``(start, end)`` (both boundaries kept), then shift rows at/after ``end``
+    earlier by the gap length — a row exactly at ``start`` stays put and a
+    row exactly at ``end`` lands on ``start``."""
     s_lit = F.lit(start).cast("timestamp")
     e_lit = F.lit(end).cast("timestamp")
     import pandas as pd
 
-    dur = int((pd.Timestamp(end) - pd.Timestamp(start)).total_seconds())
-    shift = F.expr(f"INTERVAL {dur} SECONDS")
-    return df.filter((F.col(ts) < s_lit) | (F.col(ts) >= e_lit)).withColumn(
-        ts, F.when(F.col(ts) >= e_lit, F.col(ts) - shift).otherwise(F.col(ts))
+    dur = (pd.Timestamp(end) - pd.Timestamp(start)).total_seconds()
+    if dur < 0:
+        raise ValueError("remove_pause end must not be before start")
+    return df.filter((F.col(ts) <= s_lit) | (F.col(ts) >= e_lit)).withColumn(
+        ts,
+        F.when(F.col(ts) >= e_lit, F.col(ts) - _interval_us(dur))
+        .otherwise(F.col(ts)),
     )
+
+
+def insert_pause_intervals(
+    laps: DataFrame, at, duration_s: float,
+    start: str = "start_ts", end: str = "end_ts",
+) -> DataFrame:
+    """Pause-insert on interval rows (laps/sets), mirroring the reference's
+    ``_shiftRangesAfter`` (raw_editor.dart:425-447 via the helper): an
+    interval starting strictly after ``at`` shifts wholly; one that merely
+    *ends* after ``at`` (straddles the pause) has only its end extended."""
+    if duration_s < 0:
+        raise ValueError("insert_pause duration must not be negative")
+    at_lit = F.lit(at).cast("timestamp")
+    d = _interval_us(duration_s)
+    return laps.withColumn(
+        end, F.when(F.col(end) > at_lit, F.col(end) + d).otherwise(F.col(end))
+    ).withColumn(
+        start, F.when(F.col(start) > at_lit, F.col(start) + d).otherwise(F.col(start))
+    )
+
+
+def remove_pause_intervals(
+    laps: DataFrame, from_, to,
+    start: str = "start_ts", end: str = "end_ts",
+) -> DataFrame:
+    """Close-gap on interval rows, mirroring ``_closeGapInRanges``
+    (raw_editor.dart:477-495 via the helper): keep-before, shift-after,
+    drop-inside, clip straddle-start to ``from``, snap straddle-end's start
+    to ``from`` and shift its end back, spanning intervals lose the gap
+    length; zero-length results are dropped."""
+    import pandas as pd
+
+    gap_s = (pd.Timestamp(to) - pd.Timestamp(from_)).total_seconds()
+    if gap_s < 0:
+        raise ValueError("remove_pause end must not be before start")
+    f_lit = F.lit(from_).cast("timestamp")
+    t_lit = F.lit(to).cast("timestamp")
+    g = _interval_us(gap_s)
+    s, e = F.col(start), F.col(end)
+    before = e <= f_lit
+    after = s >= t_lit
+    inside = (s > f_lit) & (e < t_lit)
+    straddle_start = (s <= f_lit) & (e > f_lit) & (e < t_lit)
+    straddle_end = (s > f_lit) & (s < t_lit) & (e >= t_lit)
+    new_start = (
+        F.when(before, s)
+        .when(after, s - g)
+        .when(straddle_start, s)
+        .when(straddle_end, f_lit)
+        .otherwise(s)  # spans the whole gap: start keeps
+    )
+    new_end = (
+        F.when(before, e)
+        .when(after, e - g)
+        .when(straddle_start, f_lit)
+        .otherwise(e - g)  # straddle-end and spanning: shift end back
+    )
+    # single projection so every condition sees the ORIGINAL boundaries;
+    # before/after branches keep zero-length intervals (no addIfPositive)
+    out = laps.filter(~inside).select(
+        *[
+            new_start.alias(c) if c == start
+            else new_end.alias(c) if c == end
+            else c
+            for c in laps.columns
+        ],
+        (before | after).alias("_keep_zero"),
+    )
+    # addIfPositive: clipped/snapped intervals that collapsed are dropped
+    return out.filter(
+        (F.col(end) > F.col(start)) | F.col("_keep_zero")
+    ).drop("_keep_zero")
+
+
+def shift_time(df: DataFrame, delta_s: float, ts_cols=("ts",)) -> DataFrame:
+    """Offset every timestamp column by ``delta_s`` seconds — the reference's
+    ``shiftTime`` (raw_editor.dart:244-291), which moves points, channel
+    samples, laps, sets, events, and lengths together. Callers pass the
+    interval frames' columns via ``ts_cols=("start_ts", "end_ts")``; negative
+    deltas shift backwards."""
+    d = _interval_us(delta_s)
+    for c in ts_cols:
+        df = df.withColumn(c, F.col(c) + d)
+    return df
+
+
+def insert_point(
+    points: DataFrame,
+    values: dict,
+    key: str = "activity_id",
+    seq: str = "seq",
+    ts: str = "ts",
+) -> DataFrame:
+    """Insert one point into every activity's point list, maintaining
+    chronological order the way the reference does (raw_editor.dart:296-307):
+    the new point lands at the FIRST list position whose time is strictly
+    after the new time, or is appended. The list is NOT re-sorted, so
+    ordering bugs in the input stay observable, and no channel/lap rows are
+    touched (the op takes only the points frame).
+
+    ``values`` maps column name -> literal for the new point and must
+    include ``ts``; columns not named are null. ``seq`` must be the
+    contiguous 0-based list position (the repo's trackpoint convention);
+    positions at/after the insertion index shift up by one and the new row
+    takes the insertion index, exactly like ``List.insert``.
+    """
+    if ts not in values:
+        raise ValueError("insert_point values must include the ts column")
+    new_ts = F.lit(values[ts]).cast("timestamp")
+    w = Window.partitionBy(key)
+    with_idx = points.withColumn(
+        "_ins_at",
+        F.coalesce(
+            F.min(F.when(F.col(ts) > new_ts, F.col(seq))).over(w),
+            F.max(F.col(seq)).over(w) + F.lit(1),
+        ),
+    )
+    shifted = with_idx.withColumn(
+        seq,
+        F.col(seq) + F.when(F.col(seq) >= F.col("_ins_at"), F.lit(1)).otherwise(F.lit(0)),
+    )
+    cols = points.columns
+    new_rows = with_idx.groupBy(key).agg(F.min("_ins_at").alias(seq)).select(
+        *[
+            F.col(c) if c in (key, seq)
+            else F.lit(values.get(c)).cast(points.schema[c].dataType).alias(c)
+            for c in cols
+        ]
+    )
+    return shifted.drop("_ins_at").unionByName(new_rows)
+
+
+def _check_index_in_range(points: DataFrame, index: int, key: str) -> None:
+    """Eager RangeError twin: raise IndexError unless every activity has a
+    point at ``index`` (reference RangeError.checkValidIndex). Costs one tiny
+    agg job — the distributed query path passes strict=False instead."""
+    if index < 0:
+        raise IndexError(f"point index {index} is negative")
+    row = points.groupBy(key).count().agg(F.min("count").alias("n")).first()
+    n = row["n"] if row is not None else None
+    if n is None or n <= index:
+        raise IndexError(f"point index {index} out of range (min group size {n or 0})")
+
+
+def delete_point_at(
+    points: DataFrame,
+    index: int,
+    key: str = "activity_id",
+    seq: str = "seq",
+    strict: bool = True,
+) -> DataFrame:
+    """Remove the point at list position ``index`` from every activity and
+    close the seq gap (raw_editor.dart:309-319). ``strict=True`` replays the
+    reference's RangeError as IndexError (one small eager agg); strict=False
+    is the lazy plan-only form used inside composed driver queries, where an
+    out-of-range index is a per-activity no-op. No channel/lap changes."""
+    if strict:
+        _check_index_in_range(points, index, key)
+    elif index < 0:
+        raise IndexError(f"point index {index} is negative")
+    return points.filter(F.col(seq) != F.lit(index)).withColumn(
+        seq,
+        F.col(seq) - F.when(F.col(seq) > F.lit(index), F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def update_point(
+    points: DataFrame,
+    index: int,
+    *,
+    lat: float | None = None,
+    lon: float | None = None,
+    ele: float | None = None,
+    ts=None,
+    key: str = "activity_id",
+    seq: str = "seq",
+    strict: bool = True,
+) -> DataFrame:
+    """Update the point at list position ``index`` in place, preserving every
+    field not named (raw_editor.dart:321-346). When ``ts`` is given the list
+    is re-sorted by time afterwards (list positions renumbered); otherwise
+    order is untouched. Ties on the new time keep their prior relative order
+    (a stable sort — the reference's comparator leaves tie order
+    unspecified, so the deterministic choice is ours). ``strict`` as in
+    :func:`delete_point_at`."""
+    if strict:
+        _check_index_in_range(points, index, key)
+    elif index < 0:
+        raise IndexError(f"point index {index} is negative")
+    at_idx = F.col(seq) == F.lit(index)
+    out = points
+    for col_name, val in (("lat", lat), ("lon", lon), ("ele", ele)):
+        if val is not None and col_name in points.columns:
+            out = out.withColumn(
+                col_name, F.when(at_idx, F.lit(float(val))).otherwise(F.col(col_name))
+            )
+    if ts is not None:
+        # cast to the column's own dtype (parquet timestamps are NTZ in
+        # Spark 4) so the when/otherwise branches don't coerce
+        out = out.withColumn(
+            "ts",
+            F.when(at_idx, F.lit(ts).cast(points.schema["ts"].dataType))
+            .otherwise(F.col("ts")),
+        )
+        out = out.withColumn(
+            seq,
+            F.row_number().over(
+                Window.partitionBy(key).orderBy(F.col("ts").asc(), F.col(seq).asc())
+            ).cast("long") - F.lit(1),
+        )
+    return out

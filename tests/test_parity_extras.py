@@ -61,13 +61,16 @@ def test_insert_and_remove_pause(spark):
     shifted = {r["seq"]: str(r["ts"]) for r in insert_pause(df, "2024-03-01T10:00:20", 60.0).collect()}
     assert shifted[0] == "2024-03-01 10:00:00"
     assert shifted[1] == "2024-03-01 10:00:10"
-    assert shifted[2] == "2024-03-01 10:01:20"  # at boundary: shifted
+    # raw_editor.dart:407-449: shift STRICTLY after `at` — boundary stays
+    assert shifted[2] == "2024-03-01 10:00:20"
     assert shifted[3] == "2024-03-01 10:01:30"
-    # remove a 20s pause: rows inside dropped, later rows pulled earlier
+    # remove a 20s pause: rows STRICTLY inside (from,to) dropped, both
+    # boundaries kept, rows >= to pulled earlier (raw_editor.dart:451-503)
     removed = {r["seq"]: str(r["ts"]) for r in
                remove_pause(df, "2024-03-01T10:00:10", "2024-03-01T10:00:30").collect()}
-    assert sorted(removed) == [0, 3]
-    assert removed[3] == "2024-03-01 10:00:10"  # 10:00:30 - 20s
+    assert sorted(removed) == [0, 1, 3]
+    assert removed[1] == "2024-03-01 10:00:10"  # at `from`: kept in place
+    assert removed[3] == "2024-03-01 10:00:10"  # 10:00:30 - 20s closes the gap
 
 
 def test_map_channels_wide_with_overrides(spark):
