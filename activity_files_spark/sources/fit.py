@@ -903,23 +903,31 @@ def parse_fit(
             # accumulator (/16 m); explicit fields win
             # (fit_parser.dart:448-472)
             raw8 = raw_fields.get(8)
-            if raw8 is not None and len(raw8) == 3:
+            if (
+                raw8 is not None
+                and len(raw8) >= 3
+                and not (raw8[0] == 0xFF and raw8[1] == 0xFF and raw8[2] == 0xFF)
+            ):
                 b0, b1, b2 = raw8[0], raw8[1], raw8[2]
                 speed_raw = b0 | ((b1 & 0x0F) << 8)
                 dist_raw = ((b1 >> 4) & 0x0F) | (b2 << 4)
+                # the accumulator advances on EVERY CSD-bearing record
+                # (gated only by the all-0xFF check above) and starts at 0 —
+                # distance-since-start, not first-raw-seeded
+                # (fit_parser.dart:459-463)
+                if csd_state.get("seen"):
+                    csd_state["accum"] = (
+                        csd_state.get("accum", 0)
+                        + ((dist_raw - csd_state["last"]) & 0xFFF)
+                    )
+                csd_state["last"] = dist_raw
+                csd_state["seen"] = True
                 if "speed" not in chans and speed_raw != 0xFFF:
                     chans["speed"] = speed_raw / 100.0
-                if "distance" not in chans and dist_raw != 0xFFF:
-                    # unwrap the 12-bit accumulator (1/16 m units)
-                    prev = csd_state.get("dist")
-                    cur16 = dist_raw
-                    if prev is None:
-                        total16 = cur16
-                    else:
-                        delta = (cur16 - (prev & 0xFFF)) & 0xFFF
-                        total16 = prev + delta
-                    csd_state["dist"] = total16
-                    chans["distance"] = total16 / 16.0
+                if "distance" not in chans:
+                    # emitted whenever the explicit field is absent — no
+                    # 0xFFF gate on the distance nibble (fit_parser.dart:467)
+                    chans["distance"] = csd_state.get("accum", 0) / 16.0
             for cname, v in chans.items():
                 if v is not None:
                     out.append({"activity_id": activity_id, "kind": "channel",
@@ -1553,7 +1561,9 @@ def encode_fit(
     body = bytearray()
     _encode_prefix(
         body, meta, dev_channels,
-        _fit_secs(points[0]["ts"]) if points else 0xFFFFFFFF,
+        # _or variant: an all-NaT point list maps to the invalid sentinel,
+        # matching the vectorized _encode_activity_pdf path byte-for-byte
+        _fit_secs_or(points[0]["ts"]) if points else 0xFFFFFFFF,
     )
     for p in points:
         if p.get("ts") is None or pd.isna(p["ts"]):

@@ -169,9 +169,14 @@ def _suite_state_merge(timings: dict, tput: dict) -> dict:
     state = {"queries": {}, "throughput": {}, "passes": 0}
     if os.path.exists(SUITE_STATE):
         try:
-            state = json.load(open(SUITE_STATE))
+            loaded = json.load(open(SUITE_STATE))
+            if isinstance(loaded, dict):
+                state = loaded
         except Exception:  # noqa: BLE001
             pass
+    # tolerate a well-formed but partial/legacy state file
+    state.setdefault("queries", {})
+    state.setdefault("throughput", {})
     for name, sec in timings.items():
         prev = state["queries"].get(name)
         if prev is None or sec < prev["best"]:
@@ -819,4 +824,43 @@ if __name__ == "__main__":
     elif "--flagship-only" in sys.argv:
         print(json.dumps(run_flagship_only()))
     else:
-        print(json.dumps(run_suite()))
+        full = run_suite()
+        # the driver captures only the TAIL of stdout, so the final line
+        # must stay compact: full detail (best-ever maps, commit stamps,
+        # variance note) goes to BENCH/last_suite.json; the printed line
+        # keeps the driver-contract fields and shrinks until it fits
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_suite.json"
+        )
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump(full, f, indent=1)
+        compact = {
+            "metric": "headline suite wall time (sec); img/s in images_tiled_pip_per_s",
+            "value": full["value"],
+            "unit": "sec",
+            "queries": {n: round(s, 2) for n, s in full["queries"].items()},
+            "sf": full["sf"],
+            "value_best_ever": full["value_best_ever"],
+            "images_tiled_pip_per_s": full["images_tiled_pip_per_s"],
+            "images_validated_per_s": full["images_validated_per_s"],
+            "points_pip_rows_per_s": full["points_pip_rows_per_s"],
+            "bench_passes": full["bench_passes"],
+            "cpus": full["cpus"],
+            "detail": "BENCH/last_suite.json",
+        }
+        line = json.dumps(compact)
+        if len(line) > 1900:  # tail capture is 2000 chars
+            compact["queries"] = {
+                n: round(s, 1) for n, s in compact["queries"].items()
+            }
+            line = json.dumps(compact)
+        while len(line) > 1900 and len(compact) > 5:
+            for k in ("detail", "cpus", "bench_passes", "value_best_ever"):
+                if k in compact:
+                    del compact[k]
+                    break
+            else:
+                break
+            line = json.dumps(compact)
+        print(line)

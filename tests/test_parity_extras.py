@@ -47,10 +47,12 @@ def test_fit_compressed_speed_distance_g7():
     speed = [r["value"] for r in recs if r["kind"] == "channel" and r["channel"] == "speed"]
     dist = [r["value"] for r in recs if r["kind"] == "channel" and r["channel"] == "distance"]
     assert speed == [2.5, 3.0, 3.1]
-    assert dist[0] == 100 / 16.0
-    assert dist[1] == 4000 / 16.0
-    # wrap: (200 - (4000 & 0xFFF)) & 0xFFF = 296 -> total 4296 units
-    assert dist[2] == 4296 / 16.0
+    # the accumulator starts at ZERO and advances by wrapped deltas on every
+    # CSD record (fit_parser.dart:459-470): distance-since-start semantics
+    assert dist[0] == 0.0
+    assert dist[1] == (4000 - 100) / 16.0
+    # wrap: (200 - 4000) & 0xFFF = 296 -> total 4196 units
+    assert dist[2] == 4196 / 16.0
 
 
 def test_insert_and_remove_pause(spark):
@@ -400,3 +402,46 @@ def test_merge_records_null_ts_points_survive_normalize(spark):
 
     out = merge_records([mk("a", 3), mk("b", 2)], "m", normalize=True)
     assert out.filter(F.col("kind") == "point").count() == 5
+
+
+def test_fit_csd_state_advances_without_emission():
+    """ADVICE r4: the CSD accumulator advances on EVERY CSD-bearing record
+    (fit_parser.dart:459-463) — records with an explicit distance field or a
+    0xFFF distance nibble still move csdLastRaw, so later deltas compute
+    from the true previous raw, and distance emits whenever the explicit
+    field is absent (no 0xFFF gate)."""
+    t0 = 1_000_000_000
+    body = bytearray()
+    # def: ts + explicit distance (field 5, uint32, /100 m) + csd (field 8)
+    body += _def_record(0, 20, [(253, 4, 0x86), (5, 4, 0x86), (8, 3, 0x0D)])
+
+    def csd(speed_raw, dist_raw):
+        b0 = speed_raw & 0xFF
+        b1 = ((speed_raw >> 8) & 0x0F) | ((dist_raw & 0x0F) << 4)
+        b2 = (dist_raw >> 4) & 0xFF
+        return bytes([b0, b1, b2])
+
+    inv_dist = struct.pack("<I", 0xFFFFFFFF)  # explicit distance absent
+    # r1: seeds accumulator (emit 0); r2: EXPLICIT distance wins but state
+    # still advances; r3: emits from the full 100->500->900 chain
+    body += bytes([0x00]) + struct.pack("<I", t0) + inv_dist + csd(250, 100)
+    body += bytes([0x00]) + struct.pack("<I", t0 + 10) + struct.pack("<I", 12345) + csd(260, 500)
+    body += bytes([0x00]) + struct.pack("<I", t0 + 20) + inv_dist + csd(270, 900)
+    recs = parse_fit("a", _fit_payload(bytes(body)))
+    dist = [r["value"] for r in recs if r["kind"] == "channel" and r["channel"] == "distance"]
+    # r1 csd 0, r2 explicit 123.45, r3 accumulated (500-100)+(900-500)=800 units
+    assert dist == [0.0, 123.45, 800 / 16.0]
+
+
+def test_fit_encode_all_nat_points_matches_sentinel():
+    """ADVICE r4: scalar encode_fit on an all-NaT point list must fall back
+    to the 0xFFFFFFFF sentinel like the vectorized path, not crash."""
+    import pandas as pd
+
+    from activity_files_spark.sources.fit import encode_fit
+
+    blob = encode_fit([{"ts": pd.NaT, "lat": 40.0, "lon": -105.0}], {}, [])
+    assert isinstance(blob, bytes) and len(blob) > 14
+    recs = parse_fit("a", blob)
+    # the NaT record row is skipped; no point rows come back
+    assert not [r for r in recs if r["kind"] == "point"]
