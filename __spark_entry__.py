@@ -343,20 +343,16 @@ GEOFENCES = [
 
 
 def pip_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 PIP join against a broadcast geofence set (rect fast path: the
-    containment predicate is a pure Column expression; general polygons go
+    """J6 PIP join against a broadcast geofence set (rect fast path: cell
+    cover broadcast hash join + exact inclusive Column refine — no
+    BroadcastNestedLoopJoin anywhere in the plan; general polygons go
     through operators/spatial.pip_join's ray-cast kernel)."""
+    from activity_files_spark.operators.spatial import rect_pip_join
+
     ev = _read(spark, sf_dir, "events").select(
         "event_id", _lat_col().alias("lat"), _lon_col().alias("lon")
     )
-    gf = spark.createDataFrame(
-        GEOFENCES, "geofence_id string, lon_w double, lon_e double, lat_s double, lat_n double"
-    )
-    j = ev.join(
-        F.broadcast(gf),
-        (F.col("lon") >= F.col("lon_w")) & (F.col("lon") <= F.col("lon_e"))
-        & (F.col("lat") >= F.col("lat_s")) & (F.col("lat") <= F.col("lat_n")),
-    )
+    j = rect_pip_join(ev, GEOFENCES)
     return j.groupBy("geofence_id").agg(
         F.count("*").alias("n_points"),
         F.min("event_id").alias("min_event_id"),
@@ -1323,20 +1319,15 @@ def _tile_assign_sql() -> str:
 
 
 def image_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIP join of the image table against the broadcast geofence set."""
+    """PIP join of the image table against the broadcast geofence set (cell
+    cover broadcast hash join + exact Column refine, as pip_rect_join)."""
     from activity_files_spark.data.images import synth_images
+    from activity_files_spark.operators.spatial import rect_pip_join
 
     imgs = synth_images(spark, N_IMAGES_CORRECTNESS, partitions=8).select(
         "image_id", "lat", "lon"
     )
-    gf = spark.createDataFrame(
-        GEOFENCES, "geofence_id string, lon_w double, lon_e double, lat_s double, lat_n double"
-    )
-    j = imgs.join(
-        F.broadcast(gf),
-        (F.col("lon") >= F.col("lon_w")) & (F.col("lon") <= F.col("lon_e"))
-        & (F.col("lat") >= F.col("lat_s")) & (F.col("lat") <= F.col("lat_n")),
-    )
+    j = rect_pip_join(imgs, GEOFENCES)
     return j.groupBy("geofence_id").agg(
         F.count("*").alias("n_images"),
         F.min("image_id").alias("first_image"),

@@ -184,6 +184,50 @@ def pip_join(
     raise ValueError(f"unsupported how={how}")
 
 
+def rect_pip_join(
+    points: DataFrame,
+    rects: list[tuple],
+    z: int | None = None,
+    lat: str = "lat",
+    lon: str = "lon",
+    id_col: str = "geofence_id",
+) -> DataFrame:
+    """Inclusive axis-aligned rectangle containment as a cell-prefix hash
+    join — the rect fast path of :func:`pip_join` with the ray-cast kernel
+    replaced by an exact pure-Column refine.
+
+    ``rects``: list of ``(rect_id, lon_w, lon_e, lat_s, lat_n)``. Points are
+    cell-encoded at zoom ``z`` (native expression); the broadcast
+    ``(rect_id, cell, bounds)`` bbox cover is equi-joined on cell; the
+    inclusive containment predicate then filters candidates exactly. Same
+    rows as the naive theta-join, but the plan is a BroadcastHashJoin
+    instead of a BroadcastNestedLoopJoin: at 100 TB the work is
+    |points ∩ cover cells| candidate rows, not n_points × n_rects predicate
+    evaluations, and the join stays whole-stage-codegen'd.
+    """
+    spark = points.sparkSession
+    rings = {
+        rid: [(w, s), (e, s), (e, n), (w, n)] for rid, w, e, s, n in rects
+    }
+    if z is None:
+        z = min(auto_cover_zoom(r) for r in rings.values()) if rects else 12
+    cover_rows = []
+    for rid, w, e, s, n in rects:
+        for x, y in polygon_cover_tiles(rings[rid], z):
+            cover_rows.append((rid, (x << z) | y, w, e, s, n))
+    cover = spark.createDataFrame(
+        cover_rows,
+        f"{id_col} string, cell long, lon_w double, lon_e double,"
+        " lat_s double, lat_n double",
+    )
+    pts = points.withColumn("_cell", cell_id_col(F.col(lat), F.col(lon), z))
+    j = pts.join(F.broadcast(cover), pts["_cell"] == cover["cell"], "inner")
+    return j.filter(
+        (F.col(lon) >= F.col("lon_w")) & (F.col(lon) <= F.col("lon_e"))
+        & (F.col(lat) >= F.col("lat_s")) & (F.col(lat) <= F.col("lat_n"))
+    ).drop("cell", "_cell", "lon_w", "lon_e", "lat_s", "lat_n")
+
+
 def knn_join(
     queries: DataFrame,
     points: DataFrame,

@@ -96,6 +96,24 @@ def _noop_write(df):
     df.write.mode("overwrite").format("noop").save()
 
 
+def _geofence_cover_df(spark, z: int):
+    """Broadcast-able (geofence_id, cell_j, bounds) bbox cover of
+    E.GEOFENCES at zoom ``z`` — the small side of the cell-prefix hash join
+    both bench pipelines use instead of a rect theta-join."""
+    import __spark_entry__ as E
+    from activity_files_spark.operators.spatial import polygon_cover_tiles
+
+    rows = []
+    for g, w, e, s, n in E.GEOFENCES:
+        for x, y in polygon_cover_tiles([(w, s), (e, s), (e, n), (w, n)], z):
+            rows.append((g, (x << z) | y, w, e, s, n))
+    return spark.createDataFrame(
+        rows,
+        "geofence_id string, cell_j long, lon_w double, lon_e double,"
+        " lat_s double, lat_n double",
+    )
+
+
 def flagship(
     spark, sf_dir: str, mult: int | None, cpus: int = CPUS, n_rows: int | None = None
 ) -> tuple[float, int]:
@@ -122,16 +140,18 @@ def flagship(
         (F.lit(40.0) + (F.col("id") % 1000).cast("double") * F.lit(0.0005)).alias("lat"),
         (F.lit(-105.0) - (F.col("id") % 997).cast("double") * F.lit(0.0005)).alias("lon"),
     )
-    gf = spark.createDataFrame(
-        E.GEOFENCES, "geofence_id string, lon_w double, lon_e double, lat_s double, lat_n double"
-    )
+    cover = _geofence_cover_df(spark, 12)
     t0 = time.monotonic()
     enc = pts.withColumn("cell_id", cell_id_col(F.col("lat"), F.col("lon"), 12))
+    # cell-prefix broadcast hash join on the z12 cell the rollup already
+    # needs, + exact inclusive refine — no BroadcastNestedLoopJoin; same
+    # rows as the rect theta-join (cover is a superset, refine is exact)
     j = enc.join(
-        F.broadcast(gf),
+        F.broadcast(cover), enc["cell_id"] == cover["cell_j"], "inner"
+    ).filter(
         (F.col("lon") >= F.col("lon_w")) & (F.col("lon") <= F.col("lon_e"))
-        & (F.col("lat") >= F.col("lat_s")) & (F.col("lat") <= F.col("lat_n")),
-    )
+        & (F.col("lat") >= F.col("lat_s")) & (F.col("lat") <= F.col("lat_n"))
+    ).drop("cell_j", "lon_w", "lon_e", "lat_s", "lat_n")
     agg = j.groupBy("geofence_id", "cell_id").agg(F.count("*").alias("n_points"))
     _noop_write(
         agg.select(
@@ -517,6 +537,9 @@ def run_scaling() -> None:
         "levels": [lo_lvl, hi_lvl],
         "pinned": os.environ.get("SPARK_GRAFT_SCALING_PIN") == "1",
         "repeat": int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")),
+        # bump when the measured job's PLAN changes, so stale bests can't
+        # merge across definitions (2 = PIP as cover equi-join, round 5)
+        "jobdef": 2,
     }
     results: dict = {lo_lvl: None, hi_lvl: None}
     if os.path.exists(state_path):
@@ -677,19 +700,25 @@ def _fused_pipeline_df(spark, path: str, lo: int, hi: int):
     import __spark_entry__ as E
     from activity_files_spark.operators.tiling import tile_assign, validate_images
 
-    gf = spark.createDataFrame(
-        E.GEOFENCES, "geofence_id string, lon_w double, lon_e double, lat_s double, lat_n double"
-    )
+    from activity_files_spark.functions.quadkey import cell_id_col
+
+    cover = _geofence_cover_df(spark, 12)
     imgs = spark.read.parquet(path).filter(
         (F.col("image_id") >= f"img_{lo:012d}") & (F.col("image_id") < f"img_{hi:012d}")
     )
     v = validate_images(imgs, passthrough=("lat", "lon")).filter(F.col("ok"))
+    # left-outer cell-prefix hash join: equi key on the z12 cell with the
+    # exact inclusive containment folded INTO the join condition, so
+    # unlabeled images keep their null geofence_id and the plan is a
+    # BroadcastHashJoin, not a BroadcastNestedLoopJoin
+    v = v.withColumn("_cell12", cell_id_col(F.col("lat"), F.col("lon"), 12))
     labeled = v.join(
-        F.broadcast(gf),
-        (F.col("lon") >= F.col("lon_w")) & (F.col("lon") <= F.col("lon_e"))
+        F.broadcast(cover),
+        (v["_cell12"] == cover["cell_j"])
+        & (F.col("lon") >= F.col("lon_w")) & (F.col("lon") <= F.col("lon_e"))
         & (F.col("lat") >= F.col("lat_s")) & (F.col("lat") <= F.col("lat_n")),
         "left_outer",
-    )
+    ).drop("cell_j", "lon_w", "lon_e", "lat_s", "lat_n", "_cell12")
     tiles = tile_assign(
         labeled, resolutions=[8, 10, 12], with_quadkey=False, extra_cols=("geofence_id",)
     )
