@@ -614,7 +614,9 @@ def parse_fit(
     if end + 2 > len(payload):
         diag("fit.trailer.truncated", "error",
              f"need {end + 2} bytes, have {len(payload)}")
-        end = len(payload) - 2 if len(payload) >= hdr_size + 2 else len(payload)
+        # the reference decodes up to min(dataLimit, payload.length) — no
+        # bytes are reserved for the absent CRC (fit_parser.dart:235, 290)
+        end = min(end, len(payload))
     else:
         file_crc = struct.unpack_from("<H", payload, end)[0]
         if fit_crc16(payload[:end]) != file_crc:

@@ -446,6 +446,113 @@ def _refine_kernel(spark, n_rows: int, cpus: int) -> float:
     return time.monotonic() - t0
 
 
+SCALE_TIER_QUERIES = (
+    "fit_roundtrip_stats", "gpx_roundtrip_stats", "tcx_roundtrip_stats",
+    "csv_roundtrip_stats", "geojson_roundtrip_stats",
+)
+
+
+def _scale_tier_events(spark, mult: int = 10) -> tuple[str, int, int]:
+    """Build (once, cached) an sf1-equivalent events tier: SF_DIR's events
+    replicated ``mult``x with shifted user_id/event_id so per-user group
+    sizes stay identical while user count scales — the shape a 10x bigger
+    driver table would have. Returns (dir, rows, n_base_rows)."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    n_base = base.count()
+    out_dir = os.path.join(IMG_CACHE_DIR, f"scale_tier_events_x{mult}")
+    pq = os.path.join(out_dir, "events.parquet")
+    if not os.path.exists(pq):
+        users = base.agg(F.max("user_id")).first()[0] + 1
+        evmax = base.agg(F.max("event_id")).first()[0] + 1
+        rep = base.select(
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("_k"), "*"
+        )
+        rep = rep.select(
+            (F.col("user_id") + F.col("_k") * F.lit(users)).alias("user_id"),
+            (F.col("event_id") + F.col("_k") * F.lit(evmax)).alias("event_id"),
+            *[c for c in base.columns if c not in ("user_id", "event_id")],
+        )
+        rep.repartition(CPUS).write.mode("overwrite").parquet(pq)
+    return out_dir, n_base * mult, n_base
+
+
+def run_scale_tier() -> dict:
+    """Per-row throughput retention from sf0.1 to an sf1-equivalent (10x
+    rows, 10x users) for the flagship and the five codec round-trips — the
+    cheapest local probe for hidden driver-side or per-group fixed costs
+    before a real cluster would expose them. Writes BENCH/SCALE_TIER.md."""
+    import __spark_entry__ as E
+
+    spark = _spark(CPUS)
+    qs = E.queries()
+    spark.range(1000).selectExpr("sum(id)").collect()
+    big_dir, big_rows, base_rows = _scale_tier_events(spark)
+
+    rows = []
+    for name in SCALE_TIER_QUERIES:
+        per = {}
+        for tier, (d, n) in (("sf0.1", (SF_DIR, base_rows)),
+                             ("sf1", (big_dir, big_rows))):
+            qs[name](spark, d).count()  # warm plan + codegen
+            secs = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                _noop_write(qs[name](spark, d))
+                secs.append(time.monotonic() - t0)
+            sec = min(secs)
+            per[tier] = (sec, n / sec)
+        rows.append((name, per))
+
+    # flagship: same derived-points job at n and 10n rows
+    fl = {}
+    n_events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
+    for tier, n_rows in (("sf0.1", n_events * MULT), ("sf1", n_events * MULT * 10)):
+        flagship(spark, SF_DIR, None, cpus=CPUS, n_rows=n_rows)  # warm
+        s, n = flagship(spark, SF_DIR, None, cpus=CPUS, n_rows=n_rows)
+        fl[tier] = (s, n / s)
+    rows.append(("flagship_points_pip", fl))
+
+    lines = [
+        "# Scale-tier evidence (round 5)",
+        "",
+        "Per-row throughput retention from sf0.1 to an sf1-equivalent tier",
+        "(events replicated 10x with shifted user/event ids: 10x users, same",
+        "per-user group sizes; flagship at 10x derived points). Generated by",
+        "`python bench.py --scale-tier` on local[%d]; best-of-2 per tier" % CPUS,
+        "after a warm pass. Retention = (rows/s at sf1) / (rows/s at sf0.1);",
+        "the gate from VERDICT r4 item 4 is >= 0.8x for every row.",
+        "",
+        "| job | sf0.1 sec | sf0.1 rows/s | sf1 sec | sf1 rows/s | retention |",
+        "|---|---|---|---|---|---|",
+    ]
+    result = {}
+    for name, per in rows:
+        r01, r1 = per["sf0.1"], per["sf1"]
+        ret = r1[1] / r01[1]
+        result[name] = round(ret, 3)
+        lines.append(
+            f"| {name} | {r01[0]:.2f} | {r01[1]:,.0f} | "
+            f"{r1[0]:.2f} | {r1[1]:,.0f} | {ret:.3f} |"
+        )
+    lines += [
+        "",
+        "Rows/s is measured against each job's own input-row count "
+        f"({base_rows:,} vs {big_rows:,} events; flagship "
+        f"{n_events * MULT:,} vs {n_events * MULT * 10:,} points).",
+        "A retention above 1.0 means the fixed per-job cost (plan, codegen,",
+        "task launch) amortizes further at the bigger tier — the expected",
+        "direction when the per-row path is genuinely linear.",
+    ]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/SCALE_TIER.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return {"metric": "sf0.1->sf1 per-row throughput retention",
+            "retention": result, "min": min(result.values()),
+            "gate_0.8": min(result.values()) >= 0.8}
+
+
 def run_flagship_only() -> dict:
     spark = _spark(CPUS)
     n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "0")) or None
@@ -852,6 +959,8 @@ if __name__ == "__main__":
         run_scaling()
     elif "--flagship-only" in sys.argv:
         print(json.dumps(run_flagship_only()))
+    elif "--scale-tier" in sys.argv:
+        print(json.dumps(run_scale_tier()))
     else:
         full = run_suite()
         # the driver captures only the TAIL of stdout, so the final line
