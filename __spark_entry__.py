@@ -2214,6 +2214,94 @@ def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal AUDIO through the REAL pure-python FLAC codec
+    (codecs/flac.py, RFC 9639): one deterministic STEREO clip per user —
+    left[t] = (t * freq) % 16384 - 8192 (freq = 100 + user_id * 7),
+    right[t] = left[t] - ((t % 7) - 3) * 100 (correlated, so the encoder's
+    auto stereo-mode picks a decorrelated layout and the decoder's
+    left/side / mid/side reconstruction is on the hot path) — encoded to a
+    real rice-coded FLAC bitstream, decoded back inside the distributed
+    feature kernel (audio_features). FLAC is lossless, so the all-integer
+    synthesis lets the oracle replay every sample exactly: a hash match
+    proves the full bitstream codec round-trips bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from activity_files_spark.codecs.flac import encode_flac
+    from activity_files_spark.operators.multimodal import (
+        AUDIO_SCHEMA,
+        audio_features,
+    )
+
+    users = _read(spark, sf_dir, "events").select("user_id").distinct()
+
+    def gen(batches):
+        t = np.arange(2000, dtype=np.int64)
+        wob = ((t % 7) - 3) * 100
+        for pdf in batches:
+            rows = []
+            for uid in pdf["user_id"]:
+                freq = 100 + int(uid) * 7
+                left = (t * freq) % 16384 - 8192
+                x = np.stack([left, left - wob], axis=1).astype(np.int16)
+                rows.append({
+                    "clip_id": f"u{int(uid)}",
+                    "bytes": encode_flac(x, 8000),
+                    "sample_rate": 8000, "n_samples": 2000, "channels": 2,
+                    "fmt": "flac",
+                })
+            yield pd.DataFrame(rows)
+
+    clips = users.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, AUDIO_SCHEMA
+    )
+    feats = audio_features(clips)
+    return feats.select(
+        F.substring("clip_id", 2, 20).cast("long").alias("user_id"),
+        "rms", "peak", "zcr",
+    )
+
+
+def _audio_flac_sql() -> str:
+    return """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    samp AS (
+      SELECT user_id, t.t AS t,
+             CAST((t.t * (100 + user_id * 7)) % 16384 - 8192 AS BIGINT) AS x0
+      FROM users, (SELECT unnest(range(2000)) AS t) t
+    ),
+    chans AS (
+      SELECT user_id, t, x0,
+             x0 - ((t % 7) - 3) * 100 AS x1
+      FROM samp
+    ),
+    signs AS (
+      SELECT user_id, t,
+             CASE WHEN x0 < 0 THEN 1 ELSE 0 END AS s
+      FROM chans
+    ),
+    flips AS (
+      SELECT user_id,
+             ABS(s - LAG(s) OVER (PARTITION BY user_id ORDER BY t)) AS c
+      FROM signs
+    ),
+    a1 AS (
+      SELECT user_id,
+             sqrt(CAST(SUM(x0 * x0 + x1 * x1) AS DOUBLE)
+                  / CAST(4000.0 AS DOUBLE)) AS rms,
+             CAST(GREATEST(MAX(ABS(x0)), MAX(ABS(x1))) AS BIGINT) AS peak
+      FROM chans GROUP BY user_id
+    ),
+    a2 AS (
+      SELECT user_id, CAST(SUM(c) AS DOUBLE) / 1999.0 AS zcr
+      FROM flips WHERE c IS NOT NULL GROUP BY user_id
+    )
+    SELECT a1.user_id, rms, peak, zcr
+    FROM a1 JOIN a2 ON a1.user_id = a2.user_id
+    """
+
+
 def _audio_wav_sql() -> str:
     return """
     WITH users AS (SELECT DISTINCT user_id FROM events),
@@ -2722,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip_stats": geojson_roundtrip_stats,
         "stream_downsample_events": stream_downsample_events,
         "audio_wav_features": audio_wav_features,
+        "audio_flac_features": audio_flac_features,
         "downsample_distance_events": downsample_distance_events,
         "edit_pipeline_events": edit_pipeline_events,
         "point_edit_events": point_edit_events,
@@ -2777,6 +2866,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip_stats": _geojson_roundtrip_sql(),
         "stream_downsample_events": _stream_downsample_sql(),
         "audio_wav_features": _audio_wav_sql(),
+        "audio_flac_features": _audio_flac_sql(),
         "downsample_distance_events": _downsample_distance_sql(),
         "edit_pipeline_events": _edit_pipeline_sql(),
         "point_edit_events": _point_edit_sql(),

@@ -531,12 +531,22 @@ def encode_flac(
         hdr.write(0, 4)   # sample rate: from STREAMINFO
         mode = stereo_mode
         if ch == 2 and mode == "auto":
-            side = blk[:, 0] - blk[:, 1]
-            mode = (
-                "mid_side"
-                if int(np.abs(side).sum()) < int(np.abs(blk[:, 1]).sum())
-                else "independent"
-            )
+            # pick the mode with the smallest order-2-residual magnitude —
+            # a cheap proxy for the rice-coded size of each channel pair
+            def _cost(v):
+                if len(v) <= 2:
+                    return int(np.abs(v).sum())
+                return int(np.abs(v[2:] - 2 * v[1:-1] + v[:-2]).sum())
+
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            mid = (left + right) >> 1
+            costs = {
+                "independent": _cost(left) + _cost(right),
+                "left_side": _cost(left) + _cost(side),
+                "mid_side": _cost(mid) + _cost(side),
+            }
+            mode = min(costs, key=costs.get)
         if ch == 1 or mode == "independent":
             hdr.write(ch - 1, 4)
         elif mode == "left_side":

@@ -1,13 +1,14 @@
 """Multimodal columns: audio/video as opaque binary + typed metadata.
 
-Two REAL container codecs are implemented pure-python (the container has
-no media libraries): RIFF/WAVE PCM16 for audio and YUV4MPEG2 (Y4M) for
-video — both are plain header + raw samples/planes formats in real-world
-use (Y4M is what ffmpeg/x264/mplayer exchange uncompressed video in).
-Compressed codecs (mp3/flac/ogg, mp4/webm/mkv) are honestly stubbed with
-NotImplementedError — they need bindings absent from this container — but
-the Spark-side plumbing (schemas, Arrow batch shapes, frame/sample offset
-math, partitioning) is identical for a real libav binding dropped in.
+Three REAL codecs are implemented pure-python (the container has no media
+libraries): RIFF/WAVE PCM16 and FLAC (codecs/flac.py — a real RFC 9639
+bitstream codec with rice coding and stereo decorrelation) for audio, and
+YUV4MPEG2 (Y4M) for video (the format ffmpeg/x264/mplayer exchange
+uncompressed video in). Remaining compressed codecs (mp3/ogg, mp4/webm/
+mkv) are honestly stubbed with NotImplementedError — they need bindings
+absent from this container — but the Spark-side plumbing (schemas, Arrow
+batch shapes, frame/sample offset math, partitioning) is identical for a
+real libav binding dropped in.
 
 Schemas:
   audio: (clip_id string, bytes binary, sample_rate int, n_samples long,
@@ -35,8 +36,10 @@ VIDEO_SCHEMA = (
     "clip_id string, bytes binary, w int, h int, fps double, n_frames long, fmt string"
 )
 
-REAL_AUDIO_FMTS = {"mp3", "flac", "ogg"}  # compressed codecs: stubbed
+REAL_AUDIO_FMTS = {"mp3", "ogg"}  # still-stubbed compressed codecs
 REAL_VIDEO_FMTS = {"mp4", "webm", "mkv"}
+# flac moved OUT of the stub set in round 5: codecs/flac.py is a real
+# pure-python RFC 9639 decoder/encoder (the format is fully public)
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -91,10 +94,17 @@ def decode_audio(data: bytes, fmt: str, n_samples: int, channels: int) -> np.nda
     if fmt == "wav":
         samples, _ = parse_wav(bytes(data))
         return samples
+    if fmt == "flac":
+        from activity_files_spark.codecs.flac import parse_flac
+
+        samples, _sr, bps = parse_flac(bytes(data))
+        if bps != 16:
+            raise NotImplementedError(f"flac bit depth {bps}: pipeline is int16")
+        return samples.astype(np.int16)
     if fmt in REAL_AUDIO_FMTS:
         raise NotImplementedError(
             f"audio codec {fmt!r} needs a soundfile/ffmpeg binding (not in "
-            "this container); 'wav' and 'rawpcm16' are decodable here"
+            "this container); 'wav', 'flac', and 'rawpcm16' decode here"
         )
     if fmt != "rawpcm16":
         raise ValueError(f"unknown audio fmt {fmt!r}")

@@ -71,6 +71,7 @@ HEADLINE = [
     "geojson_roundtrip_stats",
     "stream_downsample_events",
     "audio_wav_features",
+    "audio_flac_features",
     "video_frame_stats",
     "video_y4m_stats",
     "image_invariants_summary",
