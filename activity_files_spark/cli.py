@@ -55,8 +55,21 @@ def _load_records(spark, args):
         raise SystemExit(
             f"unsupported --encoding (choose from {sorted(_CHARSETS)})"
         )
-    decoded = F.decode(F.col("payload"), charset)
-    text = files.withColumn("xml", decoded).withColumn("text", decoded)
+    # BOM-priority decode (facade _parseBytesWithBom parity): a UTF-16/32/8
+    # BOM always wins over --encoding; UTF-32 rows (outside Spark's decode
+    # charset set) take a vectorized Arrow fallback, everything else stays
+    # JVM-side
+    from activity_files_spark.sources.detect import (
+        decode_text_col,
+        decode_text_utf32_df,
+        has_utf32_bom_col,
+    )
+
+    is32 = has_utf32_bom_col(F.col("payload"))
+    decoded = decode_text_col(F.col("payload"), charset)
+    text = files.filter(~is32).withColumn("xml", decoded).withColumn("text", decoded)
+    t32 = decode_text_utf32_df(files.filter(is32), out_col="text")
+    text = text.unionByName(t32.withColumn("xml", F.col("text")))
     parts = [
         gpx_records(text.filter(F.col("fmt") == "gpx"), id_col="activity_id", xml_col="xml"),
         tcx_records(text.filter(F.col("fmt") == "tcx"), id_col="activity_id", xml_col="xml"),

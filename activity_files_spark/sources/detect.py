@@ -97,3 +97,52 @@ def detect_format_df(
 
     path_expr = F.col(path_col) if path_col and path_col in files.columns else F.lit(None).cast("string")
     return files.withColumn("fmt", _detect(F.col(payload_col), path_expr))
+
+
+def decode_text_col(payload_col, default_charset: str = "UTF-8"):
+    """BOM-priority JVM-side text decode (reference parity:
+    activity_files_facade.dart:2051-2126 `_parseBytesWithBom` — a BOM always
+    wins over the caller's declared encoding). UTF-16 LE/BE and UTF-8 BOMs
+    decode natively via a `F.decode` CASE on the payload prefix; rows with
+    no BOM use ``default_charset``. The decoded BOM code point (U+FEFF) is
+    stripped. UTF-32 is NOT handled here (Spark's `decode` charset set has
+    no UTF-32) — route those rows through :func:`decode_text_utf32_df`.
+    """
+    b = payload_col if not isinstance(payload_col, str) else F.col(payload_col)
+    p2 = F.substring(b, 1, 2)
+    p3 = F.substring(b, 1, 3)
+    decoded = (
+        F.when(p2 == F.lit(b"\xff\xfe"), F.decode(b, "UTF-16LE"))
+        .when(p2 == F.lit(b"\xfe\xff"), F.decode(b, "UTF-16BE"))
+        .when(p3 == F.lit(b"\xef\xbb\xbf"), F.decode(b, "UTF-8"))
+        .otherwise(F.decode(b, default_charset))
+    )
+    return F.regexp_replace(decoded, "^﻿", "")
+
+
+def has_utf32_bom_col(payload_col):
+    """Column predicate: payload starts with a UTF-32 LE/BE BOM. These BOMs
+    must be checked BEFORE the UTF-16 prefixes (FF FE 00 00 starts with the
+    UTF-16LE mark)."""
+    b = payload_col if not isinstance(payload_col, str) else F.col(payload_col)
+    p4 = F.substring(b, 1, 4)
+    return (p4 == F.lit(b"\xff\xfe\x00\x00")) | (p4 == F.lit(b"\x00\x00\xfe\xff"))
+
+
+def decode_text_utf32_df(
+    files: DataFrame, payload_col: str = "payload", out_col: str = "text"
+) -> DataFrame:
+    """Arrow-vectorized UTF-32 decode for the (rare) BOM'd UTF-32 rows the
+    JVM path can't handle; callers filter with :func:`has_utf32_bom_col`
+    first, so this kernel only ever sees a handful of rows."""
+
+    @F.pandas_udf(StringType())
+    def _decode32(payload: pd.Series) -> pd.Series:
+        out = []
+        for b in payload:
+            data = bytes(b) if b is not None else b""
+            enc = "utf-32-le" if data[:4] == b"\xff\xfe\x00\x00" else "utf-32-be"
+            out.append(data.decode(enc, "replace").lstrip("﻿"))
+        return pd.Series(out)
+
+    return files.withColumn(out_col, _decode32(F.col(payload_col)))
