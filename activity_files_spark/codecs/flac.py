@@ -176,16 +176,16 @@ def _unzigzag(u: int) -> int:
     return (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
 
 
-def _rice_write(w: _BitWriter, res: np.ndarray, param: int) -> None:
-    for u in _zigzag(res):
+def _rice_write_z(w: _BitWriter, z: np.ndarray, param: int) -> None:
+    """Write already-zigzagged residuals (computed once per subframe)."""
+    for u in z:
         u = int(u)
         w.write_unary(u >> param)
         if param:
             w.write(u & ((1 << param) - 1), param)
 
 
-def _best_rice_param(res: np.ndarray, max_param: int = 14) -> int:
-    z = _zigzag(res)
+def _best_rice_param_z(z: np.ndarray, max_param: int = 14) -> int:
     total = int(z.sum())
     n = max(1, len(z))
     best_p, best_bits = 0, None
@@ -266,11 +266,10 @@ def _decode_subframe(r: _BitReader, n: int, bps: int) -> np.ndarray:
         out = np.empty(n, dtype=np.int64)
         out[:order] = warm
         coefs = _FIXED_COEFS[order]
-        s = warm[:]
         for i in range(order, n):
             pred = 0
             for j, c in enumerate(coefs):
-                pred += c * s[i - 1 - j] if False else c * out[i - 1 - j]
+                pred += c * out[i - 1 - j]
             out[i] = res[i - order] + pred
     elif ftype >= 32:  # LPC, order = ftype - 31
         order = ftype - 31
@@ -406,6 +405,12 @@ def parse_flac(data: bytes) -> tuple[np.ndarray, int, int]:
             chans[c].append(subs[c])
         ns_done += n
 
+    if total and ns_done < total:
+        # raise-never-misdecode contract: a stream cut at a frame boundary
+        # must not silently return a shorter clip than STREAMINFO promises
+        raise ValueError(
+            f"truncated FLAC stream: {ns_done} of {total} samples decoded"
+        )
     out = np.stack(
         [np.concatenate(c) if c else np.zeros(0, dtype=np.int64) for c in chans],
         axis=1,
@@ -430,19 +435,21 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
         w.write(0, 1)
         w.write(int(x[0]), bps)
         return
-    # pick the fixed order whose residual zigzag-sum is smallest
-    best = None  # (bits_estimate, order, res, param)
+    # pick the fixed order whose rice-coded size estimate is smallest;
+    # zigzag each candidate residual ONCE and reuse it for param choice,
+    # size estimate, and the final write
+    best = None  # (bits_estimate, order, z, param)
     for order, coefs in _FIXED_COEFS.items():
         if n <= order:
             continue
         res = x[order:].copy()
         for j, c in enumerate(coefs):
             res = res - c * x[order - 1 - j : n - 1 - j]
-        param = _best_rice_param(res)
         z = _zigzag(res)
+        param = _best_rice_param_z(z)
         bits = order * bps + len(z) * (param + 1) + int(z.sum() >> param)
         if best is None or bits < best[0]:
-            best = (bits, order, res, param)
+            best = (bits, order, z, param)
     verbatim_bits = n * bps
     if best is None or best[0] >= verbatim_bits:
         w.write(0, 1)
@@ -451,7 +458,7 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
         for v in x:
             w.write(int(v), bps)
         return
-    _, order, res, param = best
+    _, order, z, param = best
     w.write(0, 1)
     w.write(8 + order, 6)  # fixed, order k
     w.write(0, 1)  # no wasted bits
@@ -460,7 +467,7 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
     w.write(0, 2)   # residual method: 4-bit rice
     w.write(0, 4)   # partition order 0
     w.write(param, 4)
-    _rice_write(w, res, param)
+    _rice_write_z(w, z, param)
 
 
 def _write_utf8_code(out: bytearray, val: int) -> None:

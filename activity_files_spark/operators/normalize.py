@@ -301,6 +301,7 @@ def insert_point(
     key: str = "activity_id",
     seq: str = "seq",
     ts: str = "ts",
+    keys: DataFrame | None = None,
 ) -> DataFrame:
     """Insert one point into every activity's point list, maintaining
     chronological order the way the reference does (raw_editor.dart:296-307):
@@ -314,6 +315,12 @@ def insert_point(
     contiguous 0-based list position (the repo's trackpoint convention);
     positions at/after the insertion index shift up by one and the new row
     takes the insertion index, exactly like ``List.insert``.
+
+    A DataFrame group with zero rows doesn't exist, so the reference's
+    insert-into-an-empty-activity case needs the activity universe passed
+    explicitly: with ``keys`` (a one-column ``key`` frame), activities
+    present in ``keys`` but absent from ``points`` get the new point at
+    position 0 (``RawEditor.insertPoint`` on an empty list).
     """
     if ts not in values:
         raise ValueError("insert_point values must include the ts column")
@@ -331,7 +338,13 @@ def insert_point(
         F.col(seq) + F.when(F.col(seq) >= F.col("_ins_at"), F.lit(1)).otherwise(F.lit(0)),
     )
     cols = points.columns
-    new_rows = with_idx.groupBy(key).agg(F.min("_ins_at").alias(seq)).select(
+    at_idx = with_idx.groupBy(key).agg(F.min("_ins_at").alias(seq))
+    if keys is not None:
+        empty = keys.select(key).join(points.select(key), key, "left_anti")
+        at_idx = at_idx.unionByName(
+            empty.withColumn(seq, F.lit(0).cast("long"))
+        )
+    new_rows = at_idx.select(
         *[
             F.col(c) if c in (key, seq)
             else F.lit(values.get(c)).cast(points.schema[c].dataType).alias(c)

@@ -191,25 +191,38 @@ def rect_pip_join(
     lat: str = "lat",
     lon: str = "lon",
     id_col: str = "geofence_id",
+    how: str = "inner",
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Inclusive axis-aligned rectangle containment as a cell-prefix hash
     join — the rect fast path of :func:`pip_join` with the ray-cast kernel
-    replaced by an exact pure-Column refine.
+    replaced by an exact pure-Column refine. The ONE implementation of the
+    cover-join shape: the driver PIP queries and both bench pipelines
+    (flagship points, fused image pipeline) all call here, so the cover
+    encoding, bounds schema, and predicate can't desynchronize.
 
     ``rects``: list of ``(rect_id, lon_w, lon_e, lat_s, lat_n)``. Points are
-    cell-encoded at zoom ``z`` (native expression); the broadcast
+    cell-encoded at zoom ``z`` (native expression) — or pass ``cell_col``
+    to reuse a packed ``(x << z) | y`` cell column the pipeline already
+    computes (then ``z`` must be that column's zoom). The broadcast
     ``(rect_id, cell, bounds)`` bbox cover is equi-joined on cell; the
-    inclusive containment predicate then filters candidates exactly. Same
-    rows as the naive theta-join, but the plan is a BroadcastHashJoin
-    instead of a BroadcastNestedLoopJoin: at 100 TB the work is
-    |points ∩ cover cells| candidate rows, not n_points × n_rects predicate
-    evaluations, and the join stays whole-stage-codegen'd.
+    inclusive containment predicate refines candidates exactly. Same rows
+    as the naive theta-join, but the plan is a BroadcastHashJoin instead of
+    a BroadcastNestedLoopJoin: at 100 TB the work is |points ∩ cover cells|
+    candidate rows, not n_points × n_rects predicate evaluations, and the
+    join stays whole-stage-codegen'd.
+
+    ``how``: 'inner' (containment as a post-join filter) or 'left_outer'
+    (containment folded INTO the join condition, so non-contained points
+    keep a null ``id_col`` — the labeling shape).
     """
     spark = points.sparkSession
     rings = {
         rid: [(w, s), (e, s), (e, n), (w, n)] for rid, w, e, s, n in rects
     }
     if z is None:
+        if cell_col is not None:
+            raise ValueError("cell_col requires an explicit z (its zoom)")
         z = min(auto_cover_zoom(r) for r in rings.values()) if rects else 12
     cover_rows = []
     for rid, w, e, s, n in rects:
@@ -217,15 +230,35 @@ def rect_pip_join(
             cover_rows.append((rid, (x << z) | y, w, e, s, n))
     cover = spark.createDataFrame(
         cover_rows,
-        f"{id_col} string, cell long, lon_w double, lon_e double,"
+        f"{id_col} string, _cover_cell long, lon_w double, lon_e double,"
         " lat_s double, lat_n double",
     )
-    pts = points.withColumn("_cell", cell_id_col(F.col(lat), F.col(lon), z))
-    j = pts.join(F.broadcast(cover), pts["_cell"] == cover["cell"], "inner")
-    return j.filter(
+    if cell_col is None:
+        pts = points.withColumn("_cell", cell_id_col(F.col(lat), F.col(lon), z))
+        cc = "_cell"
+    else:
+        pts = points
+        cc = cell_col
+    contained = (
         (F.col(lon) >= F.col("lon_w")) & (F.col(lon) <= F.col("lon_e"))
         & (F.col(lat) >= F.col("lat_s")) & (F.col(lat) <= F.col("lat_n"))
-    ).drop("cell", "_cell", "lon_w", "lon_e", "lat_s", "lat_n")
+    )
+    drop_cols = ["_cover_cell", "lon_w", "lon_e", "lat_s", "lat_n"]
+    if cell_col is None:
+        drop_cols.append("_cell")
+    if how == "inner":
+        j = pts.join(
+            F.broadcast(cover), pts[cc] == cover["_cover_cell"], "inner"
+        ).filter(contained)
+    elif how == "left_outer":
+        j = pts.join(
+            F.broadcast(cover),
+            (pts[cc] == cover["_cover_cell"]) & contained,
+            "left_outer",
+        )
+    else:
+        raise ValueError(f"unsupported how={how!r}")
+    return j.drop(*drop_cols)
 
 
 def knn_join(

@@ -97,24 +97,6 @@ def _noop_write(df):
     df.write.mode("overwrite").format("noop").save()
 
 
-def _geofence_cover_df(spark, z: int):
-    """Broadcast-able (geofence_id, cell_j, bounds) bbox cover of
-    E.GEOFENCES at zoom ``z`` — the small side of the cell-prefix hash join
-    both bench pipelines use instead of a rect theta-join."""
-    import __spark_entry__ as E
-    from activity_files_spark.operators.spatial import polygon_cover_tiles
-
-    rows = []
-    for g, w, e, s, n in E.GEOFENCES:
-        for x, y in polygon_cover_tiles([(w, s), (e, s), (e, n), (w, n)], z):
-            rows.append((g, (x << z) | y, w, e, s, n))
-    return spark.createDataFrame(
-        rows,
-        "geofence_id string, cell_j long, lon_w double, lon_e double,"
-        " lat_s double, lat_n double",
-    )
-
-
 def flagship(
     spark, sf_dir: str, mult: int | None, cpus: int = CPUS, n_rows: int | None = None
 ) -> tuple[float, int]:
@@ -141,18 +123,14 @@ def flagship(
         (F.lit(40.0) + (F.col("id") % 1000).cast("double") * F.lit(0.0005)).alias("lat"),
         (F.lit(-105.0) - (F.col("id") % 997).cast("double") * F.lit(0.0005)).alias("lon"),
     )
-    cover = _geofence_cover_df(spark, 12)
+    from activity_files_spark.operators.spatial import rect_pip_join
+
     t0 = time.monotonic()
     enc = pts.withColumn("cell_id", cell_id_col(F.col("lat"), F.col("lon"), 12))
     # cell-prefix broadcast hash join on the z12 cell the rollup already
     # needs, + exact inclusive refine — no BroadcastNestedLoopJoin; same
     # rows as the rect theta-join (cover is a superset, refine is exact)
-    j = enc.join(
-        F.broadcast(cover), enc["cell_id"] == cover["cell_j"], "inner"
-    ).filter(
-        (F.col("lon") >= F.col("lon_w")) & (F.col("lon") <= F.col("lon_e"))
-        & (F.col("lat") >= F.col("lat_s")) & (F.col("lat") <= F.col("lat_n"))
-    ).drop("cell_j", "lon_w", "lon_e", "lat_s", "lat_n")
+    j = rect_pip_join(enc, E.GEOFENCES, z=12, cell_col="cell_id")
     agg = j.groupBy("geofence_id", "cell_id").agg(F.count("*").alias("n_points"))
     _noop_write(
         agg.select(
@@ -460,9 +438,15 @@ def _scale_tier_events(spark, mult: int = 10) -> tuple[str, int, int]:
     driver table would have. Returns (dir, rows, n_base_rows)."""
     from pyspark.sql import functions as F
 
-    base = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    src = os.path.join(SF_DIR, "events.parquet")
+    base = spark.read.parquet(src)
     n_base = base.count()
-    out_dir = os.path.join(IMG_CACHE_DIR, f"scale_tier_events_x{mult}")
+    # cache key includes the base row count + source mtime so regenerated
+    # testdata can never pair a stale replicated tier with a fresh count
+    src_tag = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    out_dir = os.path.join(
+        IMG_CACHE_DIR, f"scale_tier_events_x{mult}_{n_base}_{src_tag}"
+    )
     pq = os.path.join(out_dir, "events.parquet")
     if not os.path.exists(pq):
         users = base.agg(F.max("user_id")).first()[0] + 1
@@ -808,9 +792,8 @@ def _fused_pipeline_df(spark, path: str, lo: int, hi: int):
     import __spark_entry__ as E
     from activity_files_spark.operators.tiling import tile_assign, validate_images
 
-    from activity_files_spark.functions.quadkey import cell_id_col
+    from activity_files_spark.operators.spatial import rect_pip_join
 
-    cover = _geofence_cover_df(spark, 12)
     imgs = spark.read.parquet(path).filter(
         (F.col("image_id") >= f"img_{lo:012d}") & (F.col("image_id") < f"img_{hi:012d}")
     )
@@ -819,14 +802,7 @@ def _fused_pipeline_df(spark, path: str, lo: int, hi: int):
     # exact inclusive containment folded INTO the join condition, so
     # unlabeled images keep their null geofence_id and the plan is a
     # BroadcastHashJoin, not a BroadcastNestedLoopJoin
-    v = v.withColumn("_cell12", cell_id_col(F.col("lat"), F.col("lon"), 12))
-    labeled = v.join(
-        F.broadcast(cover),
-        (v["_cell12"] == cover["cell_j"])
-        & (F.col("lon") >= F.col("lon_w")) & (F.col("lon") <= F.col("lon_e"))
-        & (F.col("lat") >= F.col("lat_s")) & (F.col("lat") <= F.col("lat_n")),
-        "left_outer",
-    ).drop("cell_j", "lon_w", "lon_e", "lat_s", "lat_n", "_cell12")
+    labeled = rect_pip_join(v, E.GEOFENCES, z=12, how="left_outer")
     tiles = tile_assign(
         labeled, resolutions=[8, 10, 12], with_quadkey=False, extra_cols=("geofence_id",)
     )

@@ -62,7 +62,8 @@ def test_plan_has_no_forbidden_nodes(plans, name):
     )
 
 
-def test_every_driver_query_is_linted(plans):
-    # the parametrized list is captured at import time; if queries() grows
-    # at runtime this guard keeps the gate honest
-    assert sorted(plans) == _QUERY_NAMES
+def test_query_surface_has_not_shrunk(plans):
+    # a moving floor rather than a tautology: queries() is a literal dict,
+    # so comparing two calls of it can never fail — instead pin the round-5
+    # surface size so an accidental deregistration trips the gate
+    assert len(plans) >= 52

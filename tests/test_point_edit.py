@@ -356,3 +356,18 @@ def test_point_edit_chain_integration(spark):
     assert out[1][0] == 40.001
     assert out[2][0] == 40.9       # inserted between :10 and :20 (shifted)
     assert out[3][0] == 40.002     # old last point (40.003) deleted at index 4
+
+
+def test_insert_point_into_empty_activity_via_keys(spark):
+    """RawEditor.insertPoint on an empty points list appends — the
+    DataFrame twin takes the activity universe via ``keys`` so zero-row
+    activities get the new point at position 0."""
+    df = _points(spark, [(0, 40.0, -105.0, BASE + "00")])
+    keys = spark.createDataFrame([("a",), ("b",)], "activity_id string")
+    out = insert_point(
+        df, {"ts": BASE + "10", "lat": 41.0, "lon": -106.0}, keys=keys
+    )
+    rows = {(r["activity_id"], r["seq"]): r["lat"] for r in out.collect()}
+    assert rows[("a", 1)] == 41.0  # appended after a's existing point
+    assert rows[("b", 0)] == 41.0  # empty activity: inserted at position 0
+    assert len(rows) == 3
