@@ -364,7 +364,12 @@ def parse_flac(data: bytes) -> tuple[np.ndarray, int, int]:
             r.read(8)
         elif sr_code in (13, 14):
             r.read(16)
-        frame_bps = bps if ss_code == 0 else _SAMPLE_SIZE_TABLE[ss_code]
+        if ss_code == 0:
+            frame_bps = bps
+        elif ss_code in _SAMPLE_SIZE_TABLE:
+            frame_bps = _SAMPLE_SIZE_TABLE[ss_code]
+        else:
+            raise ValueError(f"reserved sample size code {ss_code}")
         hdr_end = (r.p + 7) // 8
         stored_crc8 = data[hdr_end]
         if flac_crc8(data[pos:hdr_end]) != stored_crc8:

@@ -80,6 +80,7 @@ HEADLINE = [
     "ivf_ann_embeddings",
     "downsample_distance_events",
     "edit_pipeline_events",
+    "point_edit_events",
     "image_knn",
     "lsh_ann_embeddings",
     "validate_images_summary",
