@@ -227,6 +227,12 @@ def _decode_residual(r: _BitReader, n: int, order: int) -> list[int]:
     nparts = 1 << po
     if n % nparts:
         raise ValueError("partition count does not divide block size")
+    if (n >> po) < order:
+        # first partition holds (n >> po) - order residuals; negative is a
+        # malformed stream (zero is legal: an empty first partition)
+        raise ValueError(
+            f"partition size {n >> po} cannot hold predictor order {order}"
+        )
     out: list[int] = []
     for part in range(nparts):
         cnt = (n >> po) - (order if part == 0 else 0)
@@ -339,6 +345,31 @@ def parse_flac(data: bytes) -> tuple[np.ndarray, int, int]:
 
     chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
     ns_done = 0
+    try:
+        ns_done = _parse_frames(data, pos, channels, bps, total, chans)
+    except (IndexError, struct.error) as exc:
+        # normalize out-of-buffer reads on truncated/malformed streams to
+        # the module's documented exception type
+        raise ValueError(f"truncated or malformed FLAC stream: {exc}") from exc
+    if total and ns_done < total:
+        # raise-never-misdecode contract: a stream cut at a frame boundary
+        # must not silently return a shorter clip than STREAMINFO promises
+        raise ValueError(
+            f"truncated FLAC stream: {ns_done} of {total} samples decoded"
+        )
+    out = np.stack(
+        [np.concatenate(c) if c else np.zeros(0, dtype=np.int64) for c in chans],
+        axis=1,
+    )
+    if total:
+        out = out[:total]
+    return out.astype(np.int32), int(sr), int(bps)
+
+
+def _parse_frames(data, pos, channels, bps, total, chans) -> int:
+    """Frame-walk loop of :func:`parse_flac`; appends per-channel blocks to
+    ``chans`` and returns the decoded sample count."""
+    ns_done = 0
     while pos + 2 <= len(data) and (total == 0 or ns_done < total):
         r = _BitReader(data, pos * 8)
         sync = r.read(14)
@@ -409,20 +440,7 @@ def parse_flac(data: bytes) -> tuple[np.ndarray, int, int]:
         for c in range(channels):
             chans[c].append(subs[c])
         ns_done += n
-
-    if total and ns_done < total:
-        # raise-never-misdecode contract: a stream cut at a frame boundary
-        # must not silently return a shorter clip than STREAMINFO promises
-        raise ValueError(
-            f"truncated FLAC stream: {ns_done} of {total} samples decoded"
-        )
-    out = np.stack(
-        [np.concatenate(c) if c else np.zeros(0, dtype=np.int64) for c in chans],
-        axis=1,
-    )
-    if total:
-        out = out[:total]
-    return out.astype(np.int32), int(sr), int(bps)
+    return ns_done
 
 
 # ---------------------------------------------------------------------------

@@ -89,8 +89,9 @@ def parse_wav(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_audio(data: bytes, fmt: str, n_samples: int, channels: int) -> np.ndarray:
-    """-> int16 array (n_samples, channels). WAV/PCM16 decodes for real;
-    compressed codecs (mp3/flac/ogg) are honestly stubbed."""
+    """-> int16 array (n_samples, channels). WAV/PCM16 and FLAC
+    (codecs/flac.py, real bitstream decode) decode for real; the remaining
+    compressed codecs (mp3/ogg) are honestly stubbed."""
     if fmt == "wav":
         samples, _ = parse_wav(bytes(data))
         return samples

@@ -357,7 +357,12 @@ def insert_point(
 def _check_index_in_range(points: DataFrame, index: int, key: str) -> None:
     """Eager RangeError twin: raise IndexError unless every activity has a
     point at ``index`` (reference RangeError.checkValidIndex). Costs one tiny
-    agg job — the distributed query path passes strict=False instead."""
+    agg job — the distributed query path passes strict=False instead.
+
+    A frame with ZERO rows also raises: it is the DataFrame image of the
+    reference's empty points list, whose ``deletePointAt(0)`` throws
+    RangeError (raw_editor_edit_test.dart 'throws RangeError on empty
+    activity'). Pipelines that may legitimately be empty use strict=False."""
     if index < 0:
         raise IndexError(f"point index {index} is negative")
     row = points.groupBy(key).count().agg(F.min("count").alias("n")).first()

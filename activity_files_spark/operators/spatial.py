@@ -217,16 +217,19 @@ def rect_pip_join(
     keep a null ``id_col`` — the labeling shape).
     """
     spark = points.sparkSession
-    rings = {
-        rid: [(w, s), (e, s), (e, n), (w, n)] for rid, w, e, s, n in rects
-    }
+    # build per-TUPLE, not per-id: a multi-part geofence may repeat its id
+    # across several rects and every part must contribute its own cover
+    rect_rings = [
+        (rid, [(w, s), (e, s), (e, n), (w, n)], w, e, s, n)
+        for rid, w, e, s, n in rects
+    ]
     if z is None:
         if cell_col is not None:
             raise ValueError("cell_col requires an explicit z (its zoom)")
-        z = min(auto_cover_zoom(r) for r in rings.values()) if rects else 12
+        z = min(auto_cover_zoom(r) for _, r, *_ in rect_rings) if rects else 12
     cover_rows = []
-    for rid, w, e, s, n in rects:
-        for x, y in polygon_cover_tiles(rings[rid], z):
+    for rid, ring, w, e, s, n in rect_rings:
+        for x, y in polygon_cover_tiles(ring, z):
             cover_rows.append((rid, (x << z) | y, w, e, s, n))
     cover = spark.createDataFrame(
         cover_rows,
@@ -390,6 +393,7 @@ __all__ = [
     "auto_cover_zoom",
     "ray_cast_py",
     "pip_join",
+    "rect_pip_join",
     "knn_join",
     "knn_join_brute",
     "quadkey_py",

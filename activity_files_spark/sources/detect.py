@@ -142,7 +142,10 @@ def decode_text_utf32_df(
         for b in payload:
             data = bytes(b) if b is not None else b""
             enc = "utf-32-le" if data[:4] == b"\xff\xfe\x00\x00" else "utf-32-be"
-            out.append(data.decode(enc, "replace").lstrip("﻿"))
+            s = data.decode(enc, "replace")
+            # strip exactly ONE decoded BOM, matching the JVM branch's
+            # regexp '^﻿' (a second U+FEFF is document content)
+            out.append(s[1:] if s.startswith("﻿") else s)
         return pd.Series(out)
 
     return files.withColumn(out_col, _decode32(F.col(payload_col)))

@@ -449,7 +449,8 @@ def _scale_tier_events(spark, mult: int = 10) -> tuple[str, int, int]:
         IMG_CACHE_DIR, f"scale_tier_events_x{mult}_{n_base}_{src_tag}"
     )
     pq = os.path.join(out_dir, "events.parquet")
-    if not os.path.exists(pq):
+    # _SUCCESS guards against reading a crashed/partial previous write
+    if not os.path.exists(os.path.join(pq, "_SUCCESS")):
         users = base.agg(F.max("user_id")).first()[0] + 1
         evmax = base.agg(F.max("event_id")).first()[0] + 1
         rep = base.select(
@@ -493,7 +494,7 @@ def run_scale_tier() -> dict:
 
     # flagship: same derived-points job at n and 10n rows
     fl = {}
-    n_events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
+    n_events = base_rows  # _scale_tier_events already counted the base table
     for tier, n_rows in (("sf0.1", n_events * MULT), ("sf1", n_events * MULT * 10)):
         flagship(spark, SF_DIR, None, cpus=CPUS, n_rows=n_rows)  # warm
         s, n = flagship(spark, SF_DIR, None, cpus=CPUS, n_rows=n_rows)

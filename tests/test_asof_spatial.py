@@ -229,3 +229,21 @@ def test_asof_channels_wide_per_channel_tolerance(spark):
         )
         got = {r["seq"]: r[cname] for r in single.collect()}
         assert got == {i: rows[i][cname] for i in range(5)}, cname
+
+
+def test_rect_pip_join_multi_part_geofence_id(spark):
+    """A geofence id repeated across DISJOINT rects (multi-part fence):
+    every part must contribute its own cover, so points in EITHER part
+    match (regression: per-id dict collapsed parts to the last rect)."""
+    from activity_files_spark.operators.spatial import rect_pip_join
+
+    pts = spark.createDataFrame(
+        [(1, 40.05, -105.45), (2, 41.05, -103.95), (3, 39.0, -100.0)],
+        "pid int, lat double, lon double",
+    )
+    rects = [
+        ("gf", -105.5, -105.4, 40.0, 40.1),
+        ("gf", -104.0, -103.9, 41.0, 41.1),
+    ]
+    got = {(r["pid"], r["geofence_id"]) for r in rect_pip_join(pts, rects).collect()}
+    assert got == {(1, "gf"), (2, "gf")}

@@ -258,3 +258,26 @@ def test_decode_audio_flac_path():
     got = decode_audio(encode_flac(x, 8000), "flac", 200, 2)
     assert got.dtype == np.int16
     assert np.array_equal(got, x)
+
+
+def test_truncated_mid_frame_raises_value_error():
+    """The exception contract is ValueError for ANY malformed/truncated
+    stream — out-of-buffer bit reads must not escape as IndexError."""
+    x = (np.arange(6000) % 2000 - 1000).astype(np.int16).reshape(-1, 2)
+    blob = encode_flac(x, 8000, block_size=1024)
+    for frac in (0.55, 0.7, 0.9):
+        with pytest.raises(ValueError):
+            parse_flac(blob[: int(len(blob) * frac)])
+
+
+def test_frame_boundary_truncation_raises():
+    """A stream cut exactly at a frame boundary decodes fewer samples than
+    STREAMINFO promises -> ValueError, not a silently short clip."""
+    x = np.arange(4096, dtype=np.int16).reshape(-1, 1)
+    blob = encode_flac(x, 8000, block_size=2048)
+    # find the second frame's sync (0xFF 0xF8) after the first frame
+    first_sync = blob.find(b"\xff\xf8")
+    second_sync = blob.find(b"\xff\xf8", first_sync + 2)
+    assert second_sync > 0
+    with pytest.raises(ValueError, match="truncated"):
+        parse_flac(blob[:second_sync])
