@@ -448,8 +448,68 @@ def _parse_frames(data, pos, channels, bps, total, chans) -> int:
 # ---------------------------------------------------------------------------
 
 
+_LPC_PRECISION = 12  # quantized coefficient width (precision-1 stored)
+
+
+def _lpc_candidates(x: np.ndarray, bps: int, orders=(2, 4, 8)):
+    """LPC analysis for one block: autocorrelation -> Levinson-Durbin ->
+    quantized integer coefficients at each candidate order, with the exact
+    integer residuals the decoder will reconstruct from. Yields
+    (bits_estimate, order, z, param, qcoefs, shift) tuples."""
+    n = len(x)
+    max_order = max(orders)
+    if n <= 2 * max_order:
+        return
+    xf = x.astype(np.float64)
+    r = np.array([float(np.dot(xf[: n - k], xf[k:])) for k in range(max_order + 1)])
+    if r[0] <= 0.0:
+        return
+    err = r[0]
+    a = np.zeros(max_order)
+    per_order: dict[int, np.ndarray] = {}
+    for m in range(1, max_order + 1):
+        acc = r[m] - (np.dot(a[: m - 1], r[m - 1:0:-1]) if m > 1 else 0.0)
+        if err <= 0.0:
+            break
+        k = acc / err
+        a_new = a.copy()
+        a_new[m - 1] = k
+        if m > 1:
+            a_new[: m - 1] = a[: m - 1] - k * a[m - 2::-1]
+        a = a_new
+        err *= max(0.0, 1.0 - k * k)
+        if m in orders:
+            per_order[m] = a[:m].copy()
+    half = 1 << (_LPC_PRECISION - 1)
+    for order, coefs in per_order.items():
+        cmax = float(np.max(np.abs(coefs)))
+        if not np.isfinite(cmax) or cmax == 0.0:
+            continue
+        shift = 14
+        while shift > 0 and cmax * (1 << shift) >= half:
+            shift -= 1
+        q = np.clip(
+            np.round(coefs * (1 << shift)).astype(np.int64), -half, half - 1
+        )
+        if not q.any():
+            continue
+        pred = np.zeros(n - order, dtype=np.int64)
+        for j in range(order):
+            pred += q[j] * x[order - 1 - j : n - 1 - j]
+        res = x[order:] - (pred >> shift)
+        z = _zigzag(res)
+        param = _best_rice_param_z(z)
+        bits = (
+            order * bps + 4 + 5 + order * _LPC_PRECISION
+            + len(z) * (param + 1) + int(z.sum() >> param)
+        )
+        yield (bits, order, z, param, q, shift)
+
+
 def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
-    """Best-of constant / fixed(0-4)+rice / verbatim for one channel block."""
+    """Best-of constant / fixed(0-4)+rice / LPC(2,4,8)+rice / verbatim for
+    one channel block — the emission set now covers every decoder subframe
+    family except wasted-bits packing."""
     n = len(x)
     x = x.astype(np.int64)
     if n and np.all(x == x[0]):
@@ -458,10 +518,10 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
         w.write(0, 1)
         w.write(int(x[0]), bps)
         return
-    # pick the fixed order whose rice-coded size estimate is smallest;
+    # pick the predictor whose rice-coded size estimate is smallest;
     # zigzag each candidate residual ONCE and reuse it for param choice,
     # size estimate, and the final write
-    best = None  # (bits_estimate, order, z, param)
+    best = None  # (bits_estimate, kind, order, z, param[, qcoefs, shift])
     for order, coefs in _FIXED_COEFS.items():
         if n <= order:
             continue
@@ -472,7 +532,10 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
         param = _best_rice_param_z(z)
         bits = order * bps + len(z) * (param + 1) + int(z.sum() >> param)
         if best is None or bits < best[0]:
-            best = (bits, order, z, param)
+            best = (bits, "fixed", order, z, param)
+    for bits, order, z, param, q, shift in _lpc_candidates(x, bps):
+        if best is None or bits < best[0]:
+            best = (bits, "lpc", order, z, param, q, shift)
     verbatim_bits = n * bps
     if best is None or best[0] >= verbatim_bits:
         w.write(0, 1)
@@ -481,15 +544,24 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int) -> None:
         for v in x:
             w.write(int(v), bps)
         return
-    _, order, z, param = best
+    kind, order, z, param = best[1], best[2], best[3], best[4]
     w.write(0, 1)
-    w.write(8 + order, 6)  # fixed, order k
+    if kind == "fixed":
+        w.write(8 + order, 6)
+    else:
+        w.write(32 + order - 1, 6)  # LPC, order
     w.write(0, 1)  # no wasted bits
     for v in x[:order]:
         w.write(int(v), bps)
+    if kind == "lpc":
+        q, shift = best[5], best[6]
+        w.write(_LPC_PRECISION - 1, 4)
+        w.write(shift, 5)
+        for c in q:
+            w.write(int(c), _LPC_PRECISION)
     w.write(0, 2)   # residual method: 4-bit rice
     w.write(0, 4)   # partition order 0
-    w.write(param, 4)
+    w.write(param, 4)  # _best_rice_param_z caps at 14 (15 is the escape)
     _rice_write_z(w, z, param)
 
 
