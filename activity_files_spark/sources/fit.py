@@ -274,9 +274,9 @@ def _emit_g20_run(
         for _ in range(count):
             out.append({
                 "activity_id": activity_id, "kind": "diag",
-                "attrs": {"code": "fit.record.missing_timestamp",
-                          "severity": "warning",
-                          "message": "Record without timestamp skipped."},
+                "attrs": _diag_attrs("fit.record.missing_timestamp",
+                                     "warning",
+                                     "Record without timestamp skipped."),
             })
 
     def recover_diags(count: int):
@@ -287,11 +287,11 @@ def _emit_g20_run(
         for _ in range(min(count, budget)):
             out.append({
                 "activity_id": activity_id, "kind": "diag",
-                "attrs": {"code": "fit.record.recovered_timestamp",
-                          "severity": "warning",
-                          "message": "Record timestamp missing; reused recent "
+                "attrs": _diag_attrs("fit.record.recovered_timestamp",
+                                     "warning",
+                                     "Record timestamp missing; reused recent "
                                      "timestamp context for best-effort "
-                                     "extraction."},
+                                     "extraction."),
             })
 
     # timestamp semantics mirror the scalar path exactly: any NUMERIC 253
@@ -566,6 +566,42 @@ _LAP_SUMMARY_FIELDS = (
 )
 
 
+
+# Diagnostic metadata twin of the reference's ParseDiagnostic surface
+# (fit_parser.dart: node path, suggestedFix, priority). Priorities mirror
+# the reference exactly where the code exists there (0 = file-fatal,
+# 1 = CRC verification, 2 = stream recovery, 3 = per-record recovery);
+# fix text is paraphrased guidance, not copied.
+_DIAG_META: dict[str, tuple[int, str]] = {
+    "fit.header.too_short": (0, "The file is incomplete; re-export it from the source device."),
+    "fit.header.bad_magic": (0, "Not a FIT payload; check the file or pass the correct format."),
+    "fit.header.crc_mismatch": (1, "Re-export the file; if otherwise valid, parse with integrity='silent' to recover data."),
+    "fit.trailer.truncated": (0, "The file is likely cut short; re-download and verify the full transfer."),
+    "fit.trailer.crc_mismatch": (1, "Data may be corrupted; re-download, or parse with integrity='silent' for best-effort recovery."),
+    "fit.def.truncated": (0, "Definition record cut mid-table; the file is truncated at this offset."),
+    "fit.data.truncated": (0, "Data record extends past the payload; the file is truncated at this offset."),
+    "fit.data.unknown_definition": (2, "Stream resynchronization was attempted; decoded data before and after the damage is kept."),
+    "fit.data.unknown_definition.summary": (2, "Multiple unknown-definition messages were skipped during resynchronization."),
+    "fit.data.resync_failed": (2, "No parseable definition found nearby; bytes are skipped one at a time."),
+    "fit.record.missing_timestamp": (2, "The record has no timestamp and no usable context; it was skipped."),
+    "fit.record.recovered_timestamp": (3, "A recent timestamp context was reused; verify ordering if precision matters."),
+}
+
+
+def _diag_attrs(code: str, severity: str, message: str) -> dict:
+    """attrs map for one FIT parse diagnostic; adds the reference's
+    priority + suggested-fix fields when the code is known, and the
+    node path derived from the code prefix (fit.header / fit.trailer /
+    fit.data / fit.record)."""
+    attrs = {"code": code, "severity": severity, "message": message,
+             "node": ".".join(code.split(".")[:2])}
+    meta = _DIAG_META.get(code)
+    if meta is not None:
+        attrs["priority"] = str(meta[0])
+        attrs["fix"] = meta[1]
+    return attrs
+
+
 def parse_fit(
     activity_id: str,
     payload: bytes,
@@ -596,7 +632,7 @@ def parse_fit(
         if integrity == "silent":
             return
         out.append({"activity_id": activity_id, "kind": "diag",
-                    "attrs": {"code": code, "severity": severity, "message": msg}})
+                    "attrs": _diag_attrs(code, severity, msg)})
 
     if len(payload) < 12:
         diag("fit.header.too_short", "error", f"{len(payload)} bytes")
@@ -651,8 +687,7 @@ def parse_fit(
         if integrity == "silent":
             return
         out.append({"activity_id": activity_id, "kind": "diag",
-                    "attrs": {"code": code, "severity": "warning",
-                              "message": message}})
+                    "attrs": _diag_attrs(code, "warning", message)})
 
     while pos < end:
         hdr = payload[pos]

@@ -232,3 +232,24 @@ def test_roundtrip_of_real_encoder_after_bit_damage():
         damaged[off] ^= 0xA5
         recs = parse_fit("dmg", bytes(damaged))
         assert isinstance(recs, list)
+
+
+def test_diags_carry_priority_fix_and_node():
+    """ParseDiagnostic parity (fit_parser.dart): every structural FIT diag
+    carries the reference's priority tier, a suggested fix, and the node
+    path derived from its code."""
+    body = _def_record(0, 20, REC_DEF3) + _rec(0, T0) + _rec(0, T0 + 1)[:6]
+    recs = parse_fit("a", _payload(bytes(body)))
+    d = [r for r in recs if r["kind"] == "diag"
+         and r["attrs"]["code"] == "fit.data.truncated"][0]["attrs"]
+    assert d["priority"] == "0" and d["node"] == "fit.data" and d["fix"]
+    # recovery diags are the lowest-priority tier (3), matching the reference
+    body2 = bytearray()
+    body2 += _def_record(0, 20, REC_DEF3)
+    body2 += _rec(0, T0)
+    inv = 0xFFFFFFFF
+    body2 += bytes([0x00]) + struct.pack("<Iii", inv, _semi(1.0), _semi(1.0))
+    recs2 = parse_fit("a", _payload(bytes(body2)))
+    rec_d = [r for r in recs2 if r["kind"] == "diag"
+             and r["attrs"]["code"] == "fit.record.recovered_timestamp"]
+    assert rec_d and rec_d[0]["attrs"]["priority"] == "3"
