@@ -84,11 +84,13 @@ def flac_crc16(data: bytes) -> int:
 
 
 class _BitReader:
-    __slots__ = ("d", "p")
+    __slots__ = ("d", "p", "_bits", "_ones")
 
     def __init__(self, data: bytes, pos_bits: int = 0):
         self.d = data
         self.p = pos_bits
+        self._bits = None  # lazily unpacked bit array (rice fast path)
+        self._ones = None  # positions of 1-bits, sorted
 
     def read(self, n: int) -> int:
         v = 0
@@ -128,6 +130,53 @@ class _BitReader:
 
     def align(self) -> None:
         self.p = (self.p + 7) & ~7
+
+    def rice_run(self, count: int, param: int) -> np.ndarray:
+        """Decode ``count`` rice codes with constant ``param`` as one
+        vectorized pass: the unary terminators form a chain over the
+        precomputed sorted 1-bit positions (t_{k+1} = first 1-bit at or
+        after t_k + 1 + param), after which quotients and all remainder
+        bits gather with numpy. Returns unzigzagged int64 residuals and
+        advances the cursor. Raises IndexError past the buffer (the caller
+        normalizes to ValueError)."""
+        if count == 0:
+            return np.zeros(0, dtype=np.int64)
+        if self._ones is None:
+            bits = np.unpackbits(np.frombuffer(self.d, np.uint8))
+            self._bits = bits
+            # a plain python list makes the sequential chain walk ~30x
+            # cheaper than per-sample numpy indexing/searchsorted
+            self._ones = bits.nonzero()[0].tolist()
+        ones, bits = self._ones, self._bits
+        from bisect import bisect_left
+
+        p = self.p
+        ts = [0] * count
+        prev_ends = [0] * count
+        idx = bisect_left(ones, p)
+        prev_end = p
+        step = 1 + param
+        n_ones = len(ones)
+        for k in range(count):
+            if idx >= n_ones:
+                raise IndexError("rice run past end of buffer")
+            t = ones[idx]  # terminator: first 1-bit at/after prev_end
+            ts[k] = t
+            prev_ends[k] = prev_end
+            prev_end = t + step
+            idx += 1
+            while idx < n_ones and ones[idx] < prev_end:
+                idx += 1  # skip 1-bits consumed by the remainder window
+        if prev_end > len(bits):
+            raise IndexError("rice run past end of buffer")
+        self.p = prev_end
+        t_arr = np.asarray(ts, dtype=np.int64)
+        u = (t_arr - np.asarray(prev_ends, dtype=np.int64)) << param
+        if param:
+            cols = t_arr[:, None] + 1 + np.arange(param, dtype=np.int64)[None, :]
+            weights = 1 << np.arange(param - 1, -1, -1, dtype=np.int64)
+            u = u | (bits[cols].astype(np.int64) @ weights)
+        return np.where(u & 1 == 0, u >> 1, -((u + 1) >> 1))
 
 
 class _BitWriter:
@@ -244,10 +293,9 @@ def _decode_residual(r: _BitReader, n: int, order: int) -> list[int]:
             else:
                 out.extend(r.read_signed(raw) for _ in range(cnt))
         else:
-            for _ in range(cnt):
-                q = r.unary()
-                u = (q << param) | (r.read(param) if param else 0)
-                out.append(_unzigzag(u))
+            # .tolist() -> plain python ints, so downstream sequential
+            # loops (LPC) don't pay numpy-scalar conversion per sample
+            out.extend(r.rice_run(cnt, param).tolist())
     return out
 
 
@@ -269,14 +317,18 @@ def _decode_subframe(r: _BitReader, n: int, bps: int) -> np.ndarray:
         order = ftype - 8
         warm = [r.read_signed(bps) for _ in range(order)]
         res = _decode_residual(r, n, order)
+        # the order-k fixed predictor's residual is the k-th finite
+        # difference, so reconstruction is k seeded cumulative sums —
+        # fully vectorized instead of a per-sample loop
         out = np.empty(n, dtype=np.int64)
         out[:order] = warm
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, n):
-            pred = 0
-            for j, c in enumerate(coefs):
-                pred += c * out[i - 1 - j]
-            out[i] = res[i - order] + pred
+        seq = np.asarray(res, dtype=np.int64)
+        seeds = np.asarray(warm, dtype=np.int64)
+        for k in range(order, 0, -1):
+            # k-1-th difference of the warmup tail seeds this integration
+            d = np.diff(seeds, k - 1)
+            seq = np.concatenate(([d[-1]], seq)).cumsum()[1:]
+        out[order:] = seq
     elif ftype >= 32:  # LPC, order = ftype - 31
         order = ftype - 31
         warm = [r.read_signed(bps) for _ in range(order)]
@@ -288,13 +340,18 @@ def _decode_subframe(r: _BitReader, n: int, bps: int) -> np.ndarray:
             raise ValueError("negative LPC shift")
         coefs = [r.read_signed(prec) for _ in range(order)]
         res = _decode_residual(r, n, order)
-        out = np.empty(n, dtype=np.int64)
-        out[:order] = warm
+        # integer IIR is inherently sequential; plain python lists beat
+        # numpy scalar indexing ~3x in this loop
+        o = [0] * n
+        o[:order] = [int(v) for v in warm]
+        co = [int(c) for c in coefs]
+        rng = range(order)
         for i in range(order, n):
             acc = 0
-            for j in range(order):
-                acc += coefs[j] * int(out[i - 1 - j])
-            out[i] = res[i - order] + (acc >> shift)
+            for j in rng:
+                acc += co[j] * o[i - 1 - j]
+            o[i] = res[i - order] + (acc >> shift)
+        out = np.asarray(o, dtype=np.int64)
     else:
         raise ValueError(f"reserved subframe type {ftype}")
     if wasted:
@@ -370,8 +427,11 @@ def _parse_frames(data, pos, channels, bps, total, chans) -> int:
     """Frame-walk loop of :func:`parse_flac`; appends per-channel blocks to
     ``chans`` and returns the decoded sample count."""
     ns_done = 0
+    bit_cache = [None, None]  # (bits, ones) shared across frames: the rice
+    # fast path unpacks the payload once, not O(frames) times
     while pos + 2 <= len(data) and (total == 0 or ns_done < total):
         r = _BitReader(data, pos * 8)
+        r._bits, r._ones = bit_cache
         sync = r.read(14)
         if sync != 0b11111111111110:
             raise ValueError(f"bad frame sync at byte {pos}")
@@ -437,6 +497,7 @@ def _parse_frames(data, pos, channels, bps, total, chans) -> int:
         if flac_crc16(data[pos:frame_end]) != stored16:
             raise ValueError(f"frame CRC-16 mismatch at byte {pos}")
         pos = frame_end + 2
+        bit_cache[0], bit_cache[1] = r._bits, r._ones
         for c in range(channels):
             chans[c].append(subs[c])
         ns_done += n
