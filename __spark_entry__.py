@@ -2302,6 +2302,98 @@ def _audio_flac_sql() -> str:
     """
 
 
+def audio_ogg_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal AUDIO through the REAL Ogg container (codecs/ogg.py:
+    RFC 3533 page framing + the xiph FLAC-to-Ogg mapping over the RFC 9639
+    bitstream codec): one deterministic STEREO clip per user —
+    left[t] = |((t * freq) % 8192) - 4096| - 2048 (a triangle wave,
+    freq = 137 + user_id * 11), right[t] = ((t % 5) - 2) * 64 - left[t]
+    (anti-correlated, so the encoder's auto stereo-mode exercises the
+    side-channel layouts) — encoded at block_size 500 so each clip spans
+    multiple FLAC frames = multiple Ogg packets with real granule-position
+    math, then decoded back inside the distributed feature kernel
+    (audio_features) via the page demuxer. Lossless end-to-end, so the
+    all-integer synthesis lets the oracle replay every sample exactly: a
+    hash match proves Ogg framing (CRC-32, lacing, continuation) AND the
+    FLAC bitstream round-trip bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from activity_files_spark.codecs.ogg import encode_ogg_flac
+    from activity_files_spark.operators.multimodal import (
+        AUDIO_SCHEMA,
+        audio_features,
+    )
+
+    users = _read(spark, sf_dir, "events").select("user_id").distinct()
+
+    def gen(batches):
+        t = np.arange(2000, dtype=np.int64)
+        wob = ((t % 5) - 2) * 64
+        for pdf in batches:
+            rows = []
+            for uid in pdf["user_id"]:
+                freq = 137 + int(uid) * 11
+                left = np.abs((t * freq) % 8192 - 4096) - 2048
+                x = np.stack([left, wob - left], axis=1).astype(np.int16)
+                rows.append({
+                    "clip_id": f"u{int(uid)}",
+                    "bytes": encode_ogg_flac(x, 8000, block_size=500),
+                    "sample_rate": 8000, "n_samples": 2000, "channels": 2,
+                    "fmt": "ogg",
+                })
+            yield pd.DataFrame(rows)
+
+    clips = users.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, AUDIO_SCHEMA
+    )
+    feats = audio_features(clips)
+    return feats.select(
+        F.substring("clip_id", 2, 20).cast("long").alias("user_id"),
+        "rms", "peak", "zcr",
+    )
+
+
+def _audio_ogg_flac_sql() -> str:
+    return """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    samp AS (
+      SELECT user_id, t.t AS t,
+             ABS(CAST((t.t * (137 + user_id * 11)) % 8192 - 4096 AS BIGINT))
+               - 2048 AS x0
+      FROM users, (SELECT unnest(range(2000)) AS t) t
+    ),
+    chans AS (
+      SELECT user_id, t, x0,
+             ((t % 5) - 2) * 64 - x0 AS x1
+      FROM samp
+    ),
+    signs AS (
+      SELECT user_id, t,
+             CASE WHEN x0 < 0 THEN 1 ELSE 0 END AS s
+      FROM chans
+    ),
+    flips AS (
+      SELECT user_id,
+             ABS(s - LAG(s) OVER (PARTITION BY user_id ORDER BY t)) AS c
+      FROM signs
+    ),
+    a1 AS (
+      SELECT user_id,
+             sqrt(CAST(SUM(x0 * x0 + x1 * x1) AS DOUBLE)
+                  / CAST(4000.0 AS DOUBLE)) AS rms,
+             CAST(GREATEST(MAX(ABS(x0)), MAX(ABS(x1))) AS BIGINT) AS peak
+      FROM chans GROUP BY user_id
+    ),
+    a2 AS (
+      SELECT user_id, CAST(SUM(c) AS DOUBLE) / 1999.0 AS zcr
+      FROM flips WHERE c IS NOT NULL GROUP BY user_id
+    )
+    SELECT a1.user_id, rms, peak, zcr
+    FROM a1 JOIN a2 ON a1.user_id = a2.user_id
+    """
+
+
 def _audio_wav_sql() -> str:
     return """
     WITH users AS (SELECT DISTINCT user_id FROM events),
@@ -2811,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_downsample_events": stream_downsample_events,
         "audio_wav_features": audio_wav_features,
         "audio_flac_features": audio_flac_features,
+        "audio_ogg_flac_features": audio_ogg_flac_features,
         "downsample_distance_events": downsample_distance_events,
         "edit_pipeline_events": edit_pipeline_events,
         "point_edit_events": point_edit_events,
@@ -2867,6 +2960,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_downsample_events": _stream_downsample_sql(),
         "audio_wav_features": _audio_wav_sql(),
         "audio_flac_features": _audio_flac_sql(),
+        "audio_ogg_flac_features": _audio_ogg_flac_sql(),
         "downsample_distance_events": _downsample_distance_sql(),
         "edit_pipeline_events": _edit_pipeline_sql(),
         "point_edit_events": _point_edit_sql(),

@@ -652,14 +652,21 @@ def encode_flac(
     """
     if samples.dtype != np.int16:
         raise ValueError("encode_flac wants int16 samples")
-    if samples.ndim != 2:
-        raise ValueError("encode_flac wants (n_samples, channels)")
-    n, ch = samples.shape
-    if ch not in (1, 2):
-        raise ValueError("encode_flac supports 1-2 channels")
-    bps = 16
-
     out = bytearray(b"fLaC")
+    out += streaminfo_block(samples, sample_rate, block_size, last=True)
+    for frame, _ns in encode_frames(samples, block_size, stereo_mode):
+        out += frame
+    return bytes(out)
+
+
+def streaminfo_block(
+    samples: np.ndarray, sample_rate: int, block_size: int, last: bool
+) -> bytes:
+    """Complete STREAMINFO metadata block (1-byte header + 3-byte length +
+    body) for int16 PCM ``(n, channels)``. ``last`` sets the
+    last-metadata-block flag — cleared when more blocks follow (the Ogg
+    mapping appends a VORBIS_COMMENT header packet)."""
+    n, ch = samples.shape
     # STREAMINFO (md5 of the little-endian PCM byte stream, per spec)
     import hashlib
 
@@ -671,13 +678,28 @@ def encode_flac(
     si.write(0, 24)
     si.write(sample_rate, 20)
     si.write(ch - 1, 3)
-    si.write(bps - 1, 5)
+    si.write(16 - 1, 5)
     si.write(n, 36)
     si.align()
     body = si.bytes() + md5
-    out.append(0x80 | 0x00)  # last-metadata + STREAMINFO
+    out = bytearray()
+    out.append((0x80 if last else 0x00) | 0x00)  # STREAMINFO
     out += len(body).to_bytes(3, "big")
     out += body
+    return bytes(out)
+
+
+def encode_frames(samples: np.ndarray, block_size: int, stereo_mode: str):
+    """Yield ``(frame_bytes, n_samples)`` — each a complete FLAC frame
+    (header + subframes + CRC-16) for one block of int16 PCM. Shared by the
+    native encoder above and the Ogg-FLAC mapping (codecs/ogg.py), where
+    each frame becomes exactly one Ogg packet."""
+    if samples.ndim != 2:
+        raise ValueError("encode_flac wants (n_samples, channels)")
+    n, ch = samples.shape
+    if ch not in (1, 2):
+        raise ValueError("encode_flac supports 1-2 channels")
+    bps = 16
 
     frame_no = 0
     for off in range(0, max(n, 1), block_size):
@@ -740,7 +762,5 @@ def encode_flac(
             _encode_subframe(w, side, bps + 1)
         w.align()
         frame = bytes(hb) + w.bytes()
-        out += frame
-        out += struct.pack(">H", flac_crc16(frame))
+        yield frame + struct.pack(">H", flac_crc16(frame)), bn
         frame_no += 1
-    return bytes(out)

@@ -1,11 +1,13 @@
 """Multimodal columns: audio/video as opaque binary + typed metadata.
 
-Three REAL codecs are implemented pure-python (the container has no media
-libraries): RIFF/WAVE PCM16 and FLAC (codecs/flac.py — a real RFC 9639
-bitstream codec with rice coding and stereo decorrelation) for audio, and
-YUV4MPEG2 (Y4M) for video (the format ffmpeg/x264/mplayer exchange
-uncompressed video in). Remaining compressed codecs (mp3/ogg, mp4/webm/
-mkv) are honestly stubbed with NotImplementedError — they need bindings
+Four REAL codecs are implemented pure-python (the container has no media
+libraries): RIFF/WAVE PCM16, FLAC (codecs/flac.py — a real RFC 9639
+bitstream codec with rice coding and stereo decorrelation), and Ogg-FLAC
+(codecs/ogg.py — RFC 3533 page framing + the xiph FLAC-to-Ogg mapping
+over the same bitstream codec) for audio, and YUV4MPEG2 (Y4M) for video
+(the format ffmpeg/x264/mplayer exchange uncompressed video in).
+Remaining compressed codecs (mp3, mp4/webm/mkv, ogg-vorbis payloads) are
+honestly stubbed with NotImplementedError — they need bindings
 absent from this container — but the Spark-side plumbing (schemas, Arrow
 batch shapes, frame/sample offset math, partitioning) is identical for a
 real libav binding dropped in.
@@ -36,10 +38,13 @@ VIDEO_SCHEMA = (
     "clip_id string, bytes binary, w int, h int, fps double, n_frames long, fmt string"
 )
 
-REAL_AUDIO_FMTS = {"mp3", "ogg"}  # still-stubbed compressed codecs
+REAL_AUDIO_FMTS = {"mp3"}  # still-stubbed compressed codecs
 REAL_VIDEO_FMTS = {"mp4", "webm", "mkv"}
 # flac moved OUT of the stub set in round 5: codecs/flac.py is a real
-# pure-python RFC 9639 decoder/encoder (the format is fully public)
+# pure-python RFC 9639 decoder/encoder (the format is fully public).
+# ogg followed within the round: codecs/ogg.py demuxes RFC 3533 pages and
+# decodes the FLAC-in-Ogg mapping through the same bitstream codec
+# (ogg-vorbis payloads still raise — vorbis needs an MDCT binding).
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -95,17 +100,21 @@ def decode_audio(data: bytes, fmt: str, n_samples: int, channels: int) -> np.nda
     if fmt == "wav":
         samples, _ = parse_wav(bytes(data))
         return samples
-    if fmt == "flac":
-        from activity_files_spark.codecs.flac import parse_flac
+    if fmt in ("flac", "ogg"):
+        if fmt == "flac":
+            from activity_files_spark.codecs.flac import parse_flac as _parse
+        else:
+            from activity_files_spark.codecs.ogg import parse_ogg_flac as _parse
 
-        samples, _sr, bps = parse_flac(bytes(data))
+        samples, _sr, bps = _parse(bytes(data))
         if bps != 16:
-            raise NotImplementedError(f"flac bit depth {bps}: pipeline is int16")
+            raise NotImplementedError(f"{fmt} bit depth {bps}: pipeline is int16")
         return samples.astype(np.int16)
     if fmt in REAL_AUDIO_FMTS:
         raise NotImplementedError(
             f"audio codec {fmt!r} needs a soundfile/ffmpeg binding (not in "
-            "this container); 'wav', 'flac', and 'rawpcm16' decode here"
+            "this container); 'wav', 'flac', 'ogg' (ogg-flac), and "
+            "'rawpcm16' decode here"
         )
     if fmt != "rawpcm16":
         raise ValueError(f"unknown audio fmt {fmt!r}")

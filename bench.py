@@ -72,6 +72,7 @@ HEADLINE = [
     "stream_downsample_events",
     "audio_wav_features",
     "audio_flac_features",
+    "audio_ogg_flac_features",
     "video_frame_stats",
     "video_y4m_stats",
     "image_invariants_summary",
