@@ -2576,6 +2576,82 @@ def _video_y4m_sql() -> str:
     """
 
 
+def video_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal VIDEO through the REAL ISO BMFF (MP4) container codec
+    (codecs/mp4.py), driver-gated end-to-end: one deterministic clip per
+    user (8x6 RGB, 7 frames; pixel (x,y,f) = ((2x+3f+uid)%256, (y+5f)%256,
+    (xy+f+2uid)%256)) encoded as a real MP4 — ftyp + mdat + moov with a
+    'raw ' (QuickTime uncompressed RGB) VisualSampleEntry and real
+    stts/stsc/stsz/stco sample tables — then frame-sampled every 2nd frame
+    through the container-aware walker (sample_frames resolves the sample
+    tables to absolute mdat byte ranges and slices exactly the sampled
+    frames), and per-frame channel sums reduced in the Arrow kernel
+    (frame_stats). Integer pixel formulas mean the oracle replays every
+    sampled frame's sums exactly — a hash match proves the box walk and
+    the sample-index -> byte-range demux math bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from activity_files_spark.codecs.mp4 import encode_mp4_raw
+    from activity_files_spark.operators.multimodal import (
+        VIDEO_SCHEMA,
+        frame_stats,
+        sample_frames,
+    )
+
+    users = _read(spark, sf_dir, "events").select("user_id").distinct()
+    w, h, n_frames = 8, 6, 7
+
+    def gen(batches):
+        yy, xx = np.mgrid[0:h, 0:w]
+        for pdf in batches:
+            rows = []
+            for uid in pdf["user_id"]:
+                i = int(uid)
+                frames = np.stack([
+                    np.stack(
+                        [(2 * xx + 3 * f + i) % 256, (yy + 5 * f) % 256,
+                         (xx * yy + f + 2 * i) % 256],
+                        axis=-1,
+                    )
+                    for f in range(n_frames)
+                ]).astype(np.uint8)
+                rows.append({
+                    "clip_id": f"u{i}",
+                    "bytes": encode_mp4_raw(frames, fps=(10, 1)),
+                    "w": w, "h": h, "fps": 10.0, "n_frames": n_frames,
+                    "fmt": "mp4",
+                })
+            yield pd.DataFrame(rows)
+
+    clips = users.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, VIDEO_SCHEMA
+    )
+    stats = frame_stats(sample_frames(clips, every=2))
+    return stats.select(
+        F.substring("clip_id", 2, 20).cast("long").alias("user_id"),
+        "frame_idx", "sum_r", "sum_g", "sum_b",
+    )
+
+
+def _video_mp4_sql() -> str:
+    return """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+      SELECT u.user_id, f.f AS frame_idx, x.x AS x, y.y AS y
+      FROM users u,
+           (SELECT unnest([0, 2, 4, 6]) AS f) f,
+           (SELECT unnest(range(8)) AS x) x,
+           (SELECT unnest(range(6)) AS y) y
+    )
+    SELECT user_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(SUM((2 * x + 3 * frame_idx + user_id) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((y + 5 * frame_idx) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((x * y + frame_idx + 2 * user_id) % 256) AS BIGINT) AS sum_b
+    FROM grid GROUP BY user_id, frame_idx
+    """
+
+
 def stream_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 CUSTOM STATEFUL streaming operator, driver-gated: events stream
     through applyInPandasWithState keeping one row per user per 10 minutes
@@ -2909,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_edit_events": point_edit_events,
         "video_frame_stats": video_frame_stats,
         "video_y4m_stats": video_y4m_stats,
+        "video_mp4_stats": video_mp4_stats,
         "image_invariants_summary": image_invariants_summary,
         "stream_tile_rollup_cells": stream_tile_rollup_cells,
         "hamming_near_dups_docs": hamming_near_dups_docs,
@@ -2966,6 +3043,7 @@ def oracle_sql() -> dict[str, str]:
         "point_edit_events": _point_edit_sql(),
         "video_frame_stats": _video_frame_sql(),
         "video_y4m_stats": _video_y4m_sql(),
+        "video_mp4_stats": _video_mp4_sql(),
         "image_invariants_summary": _image_invariants_sql(),
         "stream_tile_rollup_cells": _stream_tile_rollup_sql(),
         "hamming_near_dups_docs": _hamming_near_dups_sql(),

@@ -1,13 +1,15 @@
 """Multimodal columns: audio/video as opaque binary + typed metadata.
 
-Four REAL codecs are implemented pure-python (the container has no media
+Five REAL codecs are implemented pure-python (the container has no media
 libraries): RIFF/WAVE PCM16, FLAC (codecs/flac.py — a real RFC 9639
 bitstream codec with rice coding and stereo decorrelation), and Ogg-FLAC
 (codecs/ogg.py — RFC 3533 page framing + the xiph FLAC-to-Ogg mapping
-over the same bitstream codec) for audio, and YUV4MPEG2 (Y4M) for video
-(the format ffmpeg/x264/mplayer exchange uncompressed video in).
-Remaining compressed codecs (mp3, mp4/webm/mkv, ogg-vorbis payloads) are
-honestly stubbed with NotImplementedError — they need bindings
+over the same bitstream codec) for audio; YUV4MPEG2 (Y4M, the format
+ffmpeg/x264/mplayer exchange uncompressed video in) and ISO BMFF MP4
+with QuickTime 'raw ' uncompressed RGB payloads (codecs/mp4.py — real
+box walk + stts/stsc/stsz/stco sample-table demux) for video.
+Remaining compressed codecs (mp3, webm/mkv, ogg-vorbis and avc1/hev1
+payloads) are honestly stubbed with NotImplementedError — they need bindings
 absent from this container — but the Spark-side plumbing (schemas, Arrow
 batch shapes, frame/sample offset math, partitioning) is identical for a
 real libav binding dropped in.
@@ -39,12 +41,16 @@ VIDEO_SCHEMA = (
 )
 
 REAL_AUDIO_FMTS = {"mp3"}  # still-stubbed compressed codecs
-REAL_VIDEO_FMTS = {"mp4", "webm", "mkv"}
+REAL_VIDEO_FMTS = {"webm", "mkv"}
 # flac moved OUT of the stub set in round 5: codecs/flac.py is a real
 # pure-python RFC 9639 decoder/encoder (the format is fully public).
 # ogg followed within the round: codecs/ogg.py demuxes RFC 3533 pages and
 # decodes the FLAC-in-Ogg mapping through the same bitstream codec
 # (ogg-vorbis payloads still raise — vorbis needs an MDCT binding).
+# mp4 followed too: codecs/mp4.py walks ISO BMFF boxes + sample tables for
+# real and decodes 'raw ' (QuickTime uncompressed RGB) payloads; avc1/hev1
+# and other compressed sample entries raise inside parse_mp4_raw with the
+# container metadata still parsed.
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -255,10 +261,16 @@ def decode_video_frame(data: bytes, fmt: str, w: int, h: int, frame: int) -> np.
     if fmt == "y4m":
         frames, _meta = parse_y4m(bytes(data))
         return frames[frame]
+    if fmt == "mp4":
+        from activity_files_spark.codecs.mp4 import parse_mp4_raw
+
+        frames, _meta = parse_mp4_raw(bytes(data))
+        return frames[frame]
     if fmt in REAL_VIDEO_FMTS:
         raise NotImplementedError(
             f"video codec {fmt!r} needs an ffmpeg binding (not in this "
-            "container); 'y4m' and 'rawrgb' are decodable here"
+            "container); 'y4m', 'mp4' ('raw ' RGB payloads), and 'rawrgb' "
+            "are decodable here"
         )
     if fmt != "rawrgb":
         raise ValueError(f"unknown video fmt {fmt!r}")
@@ -375,6 +387,26 @@ def sample_frames(video: DataFrame, every: int = 2) -> DataFrame:
                         rows.append({
                             "clip_id": r.clip_id, "frame_idx": f,
                             "frame_bytes": frames[f].tobytes(),
+                            "w": meta["w"], "h": meta["h"],
+                        })
+                    continue
+                if r.fmt == "mp4":
+                    # container-aware: resolve the stts/stsc/stsz/stco
+                    # sample tables to byte ranges and slice mdat directly
+                    # — no full-file decode for skipped frames
+                    from activity_files_spark.codecs.mp4 import parse_mp4_meta
+
+                    meta = parse_mp4_meta(data)
+                    if meta["codec"] != "raw ":
+                        raise NotImplementedError(
+                            f"mp4 sample entry {meta['codec']!r} needs an "
+                            "ffmpeg binding"
+                        )
+                    for f in range(0, meta["n_samples"], every):
+                        off, size = meta["sample_ranges"][f]
+                        rows.append({
+                            "clip_id": r.clip_id, "frame_idx": f,
+                            "frame_bytes": data[off : off + size],
                             "w": meta["w"], "h": meta["h"],
                         })
                     continue

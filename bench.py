@@ -75,6 +75,7 @@ HEADLINE = [
     "audio_ogg_flac_features",
     "video_frame_stats",
     "video_y4m_stats",
+    "video_mp4_stats",
     "image_invariants_summary",
     "stream_tile_rollup_cells",
     "hamming_near_dups_docs",
