@@ -2652,6 +2652,127 @@ def _video_mp4_sql() -> str:
     """
 
 
+def rasterize_heatmap_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster (the north rule's raster↔vector axis, forward
+    direction): burn every event's derived (lat, lon) into 256px heatmap
+    tiles at zoom 12 — the distributed tile-rendering job. The hot stage
+    is pure Column math (global pixel coords at zoom 20 = tile coords via
+    the proven quadkey ladder, so the SQL twins carry over bit-for-bit)
+    followed by ONE map-side-combined groupBy(tile, pixel); tile assembly
+    densifies each tile's sparse counts into real uint32 raster bytes in
+    an Arrow kernel. The gate returns per-tile (quadkey, n_points,
+    nonzero_px, max_count, checksum) where checksum = sum(n * (py * 256 +
+    px + 1)) pins every pixel placement; the oracle replays the identical
+    mercator pixel math in SQL."""
+    from activity_files_spark.operators.raster import (
+        assemble_tiles,
+        rasterize_points,
+    )
+
+    pts = _read(spark, sf_dir, "events").select(
+        _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    sparse = rasterize_points(pts, z=12, p=8)
+    tiles = assemble_tiles(sparse, z=12, p=8)
+    return tiles.select("quadkey", "n_points", "nonzero_px", "max_count", "checksum")
+
+
+def _rasterize_heatmap_sql() -> str:
+    gx, gy = tile_xy_sql("lat", "lon", 20)
+    qk = quadkey_digits_sql("tx", "ty", 12)
+    return f"""
+    WITH pts AS (
+      SELECT 40.0 + CAST(event_id % 1000 AS DOUBLE) * 0.0005 AS lat,
+             -105.0 - CAST(event_id % 997 AS DOUBLE) * 0.0005 AS lon
+      FROM events
+    ),
+    gpix AS (
+      SELECT {gx} AS gx, {gy} AS gy FROM pts
+    ),
+    pix AS (
+      SELECT gx >> 8 AS tx, gy >> 8 AS ty,
+             gx & 255 AS px, gy & 255 AS py,
+             COUNT(*) AS n
+      FROM gpix GROUP BY 1, 2, 3, 4
+    )
+    SELECT {qk} AS quadkey,
+           CAST(SUM(n) AS BIGINT) AS n_points,
+           CAST(COUNT(*) AS BIGINT) AS nonzero_px,
+           CAST(MAX(n) AS BIGINT) AS max_count,
+           CAST(SUM(n * (py * 256 + px + 1)) AS BIGINT) AS checksum
+    FROM pix GROUP BY tx, ty
+    """
+
+
+def raster_components_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector (the north rule's raster↔vector axis, reverse
+    direction): one deterministic 32x24 RGB raster per user containing
+    k = 1 + uid % 3 disjoint bright rectangles on a dark background
+    (rect j: x0 = 2 + 10j, y0 = 3 + 5j + uid % 4, w = 5 + (uid + j) % 4,
+    h = 4 + j % 3; fill luma 200 vs background 30, threshold 128), run
+    through the REAL 4-connected component labeler (operators/raster.py:
+    two-pass run-based union-find over the thresholded mask) and emitted
+    as vector features (area, bbox, exact centroid). The oracle replays
+    the rectangle layout analytically — a hash match proves the CCL
+    found exactly the planted components with pixel-exact extents."""
+    import numpy as np
+    import pandas as pd
+
+    from activity_files_spark.operators.raster import raster_components
+
+    users = _read(spark, sf_dir, "events").select("user_id").distinct()
+    w, h = 32, 24
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for uid in pdf["user_id"]:
+                i = int(uid)
+                img = np.full((h, w, 3), 30, dtype=np.uint8)
+                for j in range(1 + i % 3):
+                    x0 = 2 + 10 * j
+                    y0 = 3 + 5 * j + i % 4
+                    rw = 5 + (i + j) % 4
+                    rh = 4 + j % 3
+                    img[y0 : y0 + rh, x0 : x0 + rw] = 200
+                rows.append({
+                    "image_id": f"u{i}", "bytes": img.tobytes(), "w": w, "h": h,
+                })
+            yield pd.DataFrame(rows)
+
+    imgs = users.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, "image_id string, bytes binary, w int, h int"
+    )
+    comps = raster_components(imgs, threshold=128)
+    return comps.select(
+        F.substring("image_id", 2, 20).cast("long").alias("user_id"),
+        "comp", "area", "min_x", "min_y", "max_x", "max_y", "cx", "cy",
+    )
+
+
+def _raster_components_sql() -> str:
+    return """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    rects AS (
+      SELECT user_id, j.j AS comp,
+             2 + 10 * j.j AS min_x,
+             3 + 5 * j.j + user_id % 4 AS min_y,
+             5 + (user_id + j.j) % 4 AS rw,
+             4 + j.j % 3 AS rh
+      FROM users, (SELECT unnest(range(3)) AS j) j
+      WHERE j.j < 1 + user_id % 3
+    )
+    SELECT user_id, CAST(comp AS INT) AS comp,
+           CAST(rw * rh AS BIGINT) AS area,
+           CAST(min_x AS INT) AS min_x, CAST(min_y AS INT) AS min_y,
+           CAST(min_x + rw - 1 AS INT) AS max_x,
+           CAST(min_y + rh - 1 AS INT) AS max_y,
+           CAST(2 * min_x + rw - 1 AS DOUBLE) / 2.0 AS cx,
+           CAST(2 * min_y + rh - 1 AS DOUBLE) / 2.0 AS cy
+    FROM rects
+    """
+
+
 def stream_downsample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 CUSTOM STATEFUL streaming operator, driver-gated: events stream
     through applyInPandasWithState keeping one row per user per 10 minutes
@@ -2990,6 +3111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tile_rollup_cells": stream_tile_rollup_cells,
         "hamming_near_dups_docs": hamming_near_dups_docs,
         "simhash_near_dups_docs": simhash_near_dups_docs,
+        "rasterize_heatmap_tiles": rasterize_heatmap_tiles,
+        "raster_components_vectorize": raster_components_vectorize,
     }
 
 
@@ -3048,6 +3171,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_tile_rollup_cells": _stream_tile_rollup_sql(),
         "hamming_near_dups_docs": _hamming_near_dups_sql(),
         "simhash_near_dups_docs": _simhash_near_dups_sql(),
+        "rasterize_heatmap_tiles": _rasterize_heatmap_sql(),
+        "raster_components_vectorize": _raster_components_sql(),
         # validate_images_summary: intentionally no oracle (pixel/codec
         # decode is not SQL-expressible) -> driver rows-only check; pytest
         # pins it. Its SQL-replayable half (caption/dims/phash presence) IS

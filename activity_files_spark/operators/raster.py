@@ -1,0 +1,230 @@
+"""Raster↔vector operators (the north rule names this axis explicitly:
+"spatial-join + tiling engine (H3/S2 index, point-in-polygon, kNN,
+raster↔vector)").
+
+Vector→raster: :func:`rasterize_points` burns a point table into sparse
+per-tile pixel-count rasters (the distributed heatmap-tile job), and
+:func:`assemble_tiles` densifies each tile into real raster bytes plus
+summary stats. The pixel math reuses the quadkey Web-Mercator ladder
+(functions/quadkey.py): global pixel coordinates at zoom ``z`` with
+``2**p``-pixel tiles ARE the tile coordinates at zoom ``z + p``, so the
+bit-identical py/np/Column/SQL twins carry over unchanged —
+    gx, gy = tile_xy(lat, lon, z + p)
+    tile = (gx >> p, gy >> p);  pixel = (gx & (2**p - 1), gy & (2**p - 1))
+
+Scale shape: the hot stage is pure Column math (whole-stage codegen, zero
+Python) followed by ONE shuffle — groupBy(tile, pixel) count with map-side
+partial aggregation, so the shuffle carries at most one row per distinct
+lit pixel, not one per input point (a 10^12-point job with dense traffic
+shuffles ~tile_count * 2^{2p} rows max). Dense-city skew lands on
+different (tile, pixel) keys, not one hot key; tile assembly groups at
+most 2^{2p} rows per tile through an Arrow kernel.
+
+Raster→vector: :func:`raster_components` extracts 4-connected components
+from a thresholded image mask (two-pass run-based union-find, the classic
+CCL algorithm, vectorized per row) and emits vector features (bbox, area,
+centroid) per component — the building block for "find labeled regions in
+rasters, join them back to geometry" pipelines. Components come out in
+deterministic (min_y, min_x) order so downstream keys are stable.
+
+The reference engine has neither direction (it is a per-file track
+parser); both exist for the north-rule tiling axis, like
+operators/tiling.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from activity_files_spark.functions.quadkey import (
+    quadkey_from_cell_id_col,
+    tile_xy_col,
+)
+
+
+def rasterize_points(
+    points: DataFrame,
+    z: int,
+    p: int = 8,
+    lat: str = "lat",
+    lon: str = "lon",
+    weight: str | Column | None = None,
+) -> DataFrame:
+    """Vector→raster, sparse stage: -> (tile_id long, px int, py int,
+    n long) — one row per lit pixel per tile at zoom ``z`` with
+    ``2**p``-pixel tiles. ``weight`` sums that column instead of counting
+    rows. Pure Column math + a single map-side-combined groupBy."""
+    gx, gy = tile_xy_col(F.col(lat), F.col(lon), z + p)
+    mask = (1 << p) - 1
+    sparse = points.select(
+        F.shiftright(gx, p).alias("tx"),
+        F.shiftright(gy, p).alias("ty"),
+        gx.bitwiseAND(F.lit(mask)).cast("int").alias("px"),
+        gy.bitwiseAND(F.lit(mask)).cast("int").alias("py"),
+        *([F.col(weight).alias("_w")] if isinstance(weight, str) else []),
+    )
+    agg = (
+        F.sum("_w").alias("n")
+        if weight is not None
+        else F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        sparse.groupBy("tx", "ty", "px", "py")
+        .agg(agg)
+        .select(
+            F.shiftleft(F.col("tx"), z).bitwiseOR(F.col("ty")).alias("tile_id"),
+            "px", "py", "n",
+        )
+    )
+
+
+def assemble_tiles(sparse: DataFrame, z: int, p: int = 8) -> DataFrame:
+    """Vector→raster, dense stage: -> (quadkey string, n_points long,
+    nonzero_px long, max_count long, checksum long, raster binary) — one
+    row per tile; ``raster`` is the dense row-major uint32 count grid
+    (2**p x 2**p), the actual tile artifact a heatmap service would store.
+    ``checksum`` = sum(n * (py * 2**p + px + 1)) pins pixel placement in
+    engines that can't compare binary (the SQL oracle twin)."""
+    side = 1 << p
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        grid = np.zeros(side * side, dtype=np.uint32)
+        idx = pdf["py"].to_numpy(np.int64) * side + pdf["px"].to_numpy(np.int64)
+        n = pdf["n"].to_numpy(np.int64)
+        grid[idx] = n
+        return pd.DataFrame([{
+            "tile_id": int(pdf["tile_id"].iloc[0]),
+            "n_points": int(n.sum()),
+            "nonzero_px": int(len(pdf)),
+            "max_count": int(n.max()),
+            "checksum": int((n * (idx + 1)).sum()),
+            "raster": grid.tobytes(),
+        }])
+
+    dense = sparse.groupBy("tile_id").applyInPandas(
+        pack,
+        "tile_id long, n_points long, nonzero_px long, max_count long, "
+        "checksum long, raster binary",
+    )
+    return dense.select(
+        quadkey_from_cell_id_col(F.col("tile_id"), z).alias("quadkey"),
+        "n_points", "nonzero_px", "max_count", "checksum", "raster",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Raster -> vector
+# ---------------------------------------------------------------------------
+
+
+def _label_components(mask: np.ndarray) -> list[dict]:
+    """4-connected component labeling over a boolean (h, w) mask: classic
+    two-pass run-based union-find. Row runs are found vectorized
+    (np.diff over the padded mask); unions walk the previous row's runs
+    with two pointers, so the python-level work is O(runs), not O(pixels).
+    Returns per-component dicts sorted by (min_y, min_x)."""
+    h, w = mask.shape
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    runs_by_row: list[list[tuple[int, int, int]]] = []  # (x0, x1, run_id)
+    prev: list[tuple[int, int, int]] = []
+    for y in range(h):
+        row = mask[y]
+        d = np.diff(np.concatenate(([0], row.view(np.int8), [0])))
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        cur: list[tuple[int, int, int]] = []
+        pi = 0
+        for x0, x1 in zip(starts.tolist(), ends.tolist()):
+            rid = len(parent)
+            parent.append(rid)
+            # union with previous-row runs overlapping [x0, x1)
+            while pi < len(prev) and prev[pi][1] <= x0:
+                pi += 1
+            pj = pi
+            while pj < len(prev) and prev[pj][0] < x1:
+                union(rid, prev[pj][2])
+                pj += 1
+            # the last overlapping prev run may also overlap the NEXT cur
+            # run, so only advance past runs that end before x1
+            cur.append((x0, x1, rid))
+        runs_by_row.append(cur)
+        prev = cur
+
+    comps: dict[int, dict] = {}
+    for y, runs in enumerate(runs_by_row):
+        for x0, x1, rid in runs:
+            root = find(rid)
+            c = comps.get(root)
+            if c is None:
+                comps[root] = c = {
+                    "min_x": x0, "max_x": x1 - 1, "min_y": y, "max_y": y,
+                    "area": 0, "sum_x": 0, "sum_y": 0,
+                }
+            npx = x1 - x0
+            c["min_x"] = min(c["min_x"], x0)
+            c["max_x"] = max(c["max_x"], x1 - 1)
+            c["max_y"] = y
+            c["area"] += npx
+            # sum of x over the run: x0 + ... + (x1-1)
+            c["sum_x"] += (x0 + x1 - 1) * npx // 2
+            c["sum_y"] += y * npx
+    out = sorted(comps.values(), key=lambda c: (c["min_y"], c["min_x"]))
+    for c in out:
+        c["cx"] = c.pop("sum_x") / c["area"]
+        c["cy"] = c.pop("sum_y") / c["area"]
+    return out
+
+
+def raster_components(
+    images: DataFrame,
+    threshold: int = 128,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Raster→vector: threshold each image's luma plane (mean of RGB,
+    integer floor) at ``threshold`` and extract 4-connected components as
+    vector features -> (id, comp int, area long, min_x int, min_y int,
+    max_x int, max_y int, cx double, cy double). ``comp`` numbers
+    components in (min_y, min_x) order. Expects (id_col, bytes binary,
+    w int, h int) rows of raw interleaved RGB."""
+    schema = (
+        f"{id_col} string, comp int, area long, min_x int, min_y int, "
+        "max_x int, max_y int, cx double, cy double"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = np.frombuffer(bytes(r.bytes), np.uint8).reshape(
+                    r.h, r.w, 3
+                ).astype(np.int64)
+                luma = px.sum(axis=2) // 3
+                for ci, c in enumerate(_label_components(luma >= threshold)):
+                    rows.append({
+                        id_col: getattr(r, id_col), "comp": ci,
+                        "area": c["area"], "min_x": c["min_x"],
+                        "min_y": c["min_y"], "max_x": c["max_x"],
+                        "max_y": c["max_y"], "cx": c["cx"], "cy": c["cy"],
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "comp", "area", "min_x", "min_y",
+                         "max_x", "max_y", "cx", "cy"],
+            )
+
+    return images.mapInPandas(kernel, schema)

@@ -87,6 +87,8 @@ HEADLINE = [
     "lsh_ann_embeddings",
     "validate_images_summary",
     "simhash_near_dups_docs",
+    "rasterize_heatmap_tiles",
+    "raster_components_vectorize",
 ]
 
 

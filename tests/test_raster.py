@@ -1,0 +1,190 @@
+"""Raster↔vector operator tests (operators/raster.py).
+
+The forward direction (rasterize_points/assemble_tiles) is pinned against
+pure-python tile math and dense-numpy replay; the reverse direction
+(raster_components) against a brute-force BFS connected-components
+oracle, including the classic union-find traps (U-shapes, snakes,
+checkerboards).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from activity_files_spark.functions.quadkey import quadkey_py, tile_xy_py
+from activity_files_spark.operators.raster import (
+    _label_components,
+    assemble_tiles,
+    raster_components,
+    rasterize_points,
+)
+
+
+def _bfs_components(mask: np.ndarray) -> list[dict]:
+    h, w = mask.shape
+    seen = np.zeros_like(mask, dtype=bool)
+    comps = []
+    for y in range(h):
+        for x in range(w):
+            if mask[y, x] and not seen[y, x]:
+                stack, pix = [(y, x)], []
+                seen[y, x] = True
+                while stack:
+                    cy, cx = stack.pop()
+                    pix.append((cy, cx))
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        ny, nx = cy + dy, cx + dx
+                        if 0 <= ny < h and 0 <= nx < w and mask[ny, nx] and not seen[ny, nx]:
+                            seen[ny, nx] = True
+                            stack.append((ny, nx))
+                ys = [p[0] for p in pix]
+                xs = [p[1] for p in pix]
+                comps.append({
+                    "min_x": min(xs), "max_x": max(xs),
+                    "min_y": min(ys), "max_y": max(ys),
+                    "area": len(pix),
+                    "cx": sum(xs) / len(pix), "cy": sum(ys) / len(pix),
+                })
+    comps.sort(key=lambda c: (c["min_y"], c["min_x"]))
+    return comps
+
+
+def _key(c):
+    return (c["min_y"], c["min_x"], c["max_y"], c["max_x"], c["area"],
+            round(c["cx"], 12), round(c["cy"], 12))
+
+
+def test_ccl_fuzz_vs_bfs_oracle():
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        h, w = rng.integers(1, 24, 2)
+        mask = rng.random((h, w)) < rng.uniform(0.2, 0.8)
+        assert sorted(map(_key, _label_components(mask))) == sorted(
+            map(_key, _bfs_components(mask))
+        )
+
+
+@pytest.mark.parametrize("pattern,n_comps,area0", [
+    # U-shape: the two arms must merge through the bottom row
+    (np.array([[1, 0, 1], [1, 0, 1], [1, 1, 1]], bool), 1, 7),
+    # checkerboard: diagonal contact does NOT connect under 4-connectivity
+    (np.indices((4, 4)).sum(axis=0) % 2 == 0, 8, 1),
+    # full mask / empty mask
+    (np.ones((3, 5), bool), 1, 15),
+    (np.zeros((3, 5), bool), 0, None),
+    # single pixel
+    (np.array([[0, 0], [0, 1]], bool), 1, 1),
+])
+def test_ccl_shapes(pattern, n_comps, area0):
+    comps = _label_components(pattern)
+    assert len(comps) == n_comps
+    if n_comps:
+        assert comps[0]["area"] == area0
+
+
+def test_ccl_spiral_snake():
+    # a spiral exercises long union chains across many rows
+    m = np.zeros((9, 9), bool)
+    m[0, :] = m[:, 8] = m[8, :] = True
+    m[2:8, 0] = True
+    m[2, 0:6] = True
+    m[4:7, 4] = True  # inner tail, separate component? -> touches m[2]? no
+    comps = _label_components(m)
+    bfs = _bfs_components(m)
+    assert sorted(map(_key, comps)) == sorted(map(_key, bfs))
+
+
+def test_ccl_component_order_is_min_y_min_x():
+    m = np.zeros((6, 10), bool)
+    m[4:6, 0:2] = True   # lower-left
+    m[0:2, 6:9] = True   # upper-right (first by min_y)
+    m[2:4, 3:5] = True   # middle
+    comps = _label_components(m)
+    assert [(c["min_y"], c["min_x"]) for c in comps] == [(0, 6), (2, 3), (4, 0)]
+
+
+def test_raster_components_distributed(spark):
+    img = np.full((8, 12, 3), 10, dtype=np.uint8)
+    img[1:4, 2:6] = 250
+    img[5:7, 8:11] = 250
+    df = spark.createDataFrame(
+        [("a", bytearray(img.tobytes()), 12, 8)],
+        "image_id string, bytes binary, w int, h int",
+    )
+    out = raster_components(df, threshold=128).collect()
+    assert [(r.comp, r.area, r.min_x, r.min_y, r.max_x, r.max_y) for r in out] == [
+        (0, 12, 2, 1, 5, 3),
+        (1, 6, 8, 5, 10, 6),
+    ]
+    assert out[0].cx == 3.5 and out[0].cy == 2.0
+
+
+def test_rasterize_points_matches_pure_python(spark):
+    rng = np.random.default_rng(7)
+    lats = rng.uniform(40.0, 40.5, 500)
+    lons = rng.uniform(-105.5, -105.0, 500)
+    df = spark.createDataFrame(
+        pd.DataFrame({"lat": lats, "lon": lons}), "lat double, lon double"
+    )
+    z, p = 12, 8
+    got = {
+        ((r.tile_id >> z), (r.tile_id & ((1 << z) - 1)), r.px, r.py): r.n
+        for r in rasterize_points(df, z=z, p=p).collect()
+    }
+    want: dict = {}
+    for la, lo in zip(lats, lons):
+        gx, gy = tile_xy_py(la, lo, z + p)
+        k = (gx >> p, gy >> p, gx & 255, gy & 255)
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+def test_rasterize_points_weighted(spark):
+    df = spark.createDataFrame(
+        [(40.1, -105.1, 2.0), (40.1, -105.1, 3.0), (40.3, -105.3, 5.0)],
+        "lat double, lon double, wgt double",
+    )
+    rows = rasterize_points(df, z=12, p=8, weight="wgt").collect()
+    assert sorted(r.n for r in rows) == [5.0, 5.0]
+
+
+def test_assemble_tiles_dense_raster_bytes(spark):
+    # two points in one tile, one in another; raster bytes must place the
+    # counts at exactly (py * 256 + px)
+    lats = [40.1, 40.1, 40.3]
+    lons = [-105.1, -105.1, -105.3]
+    df = spark.createDataFrame(
+        pd.DataFrame({"lat": lats, "lon": lons}), "lat double, lon double"
+    )
+    z, p = 12, 8
+    tiles = {r.quadkey: r for r in assemble_tiles(rasterize_points(df, z, p), z, p).collect()}
+    for la, lo, n in ((40.1, -105.1, 2), (40.3, -105.3, 1)):
+        qk = quadkey_py(la, lo, z)
+        gx, gy = tile_xy_py(la, lo, z + p)
+        t = tiles[qk]
+        grid = np.frombuffer(bytes(t.raster), np.uint32).reshape(256, 256)
+        assert grid[gy & 255, gx & 255] == n
+        assert int(grid.sum()) == t.n_points == n
+        assert t.nonzero_px == 1 and t.max_count == n
+        assert t.checksum == n * ((gy & 255) * 256 + (gx & 255) + 1)
+
+
+def test_rasterize_single_shuffle_plan(spark):
+    df = spark.range(100).select(
+        (F.lit(40.0) + F.col("id") * 0.001).alias("lat"),
+        F.lit(-105.0).alias("lon"),
+    )
+    plan = (
+        rasterize_points(df, z=12, p=8)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    # one shuffle (the pixel groupBy); formatted plans name each node in
+    # the tree AND a detail section, so count tree entries only
+    assert plan.count("+- Exchange") == 1
+    assert "partial_count" in plan  # map-side partial aggregation
