@@ -171,7 +171,17 @@ def parse_mp4_meta(data: bytes) -> dict:
     {w, h, codec, n_samples, media_timescale, duration_ticks,
     sample_ranges: [(offset, size), ...]} for the first video track,
     resolving the stts/stsc/stsz/stco sample tables to absolute byte
-    ranges — the core demux math every ISO BMFF reader performs."""
+    ranges — the core demux math every ISO BMFF reader performs.
+    Malformed tables raise ValueError — never mis-decode."""
+    try:
+        return _parse_meta_inner(data)
+    except (struct.error, IndexError) as exc:
+        # normalize out-of-buffer reads on malformed tables to the
+        # module's documented exception type (same contract as parse_flac)
+        raise ValueError(f"malformed ISO BMFF stream: {exc}") from exc
+
+
+def _parse_meta_inner(data: bytes) -> dict:
     end = len(data)
     moov = _find(data, 0, end, b"moov")
     if moov is None:
@@ -218,6 +228,12 @@ def _parse_stbl(data: bytes, stbl, timescale: int, duration: int) -> dict:
     # stsz: uniform or per-sample sizes
     _, b, _ = _full_body(data, spans[b"stsz"])
     uniform, count = struct.unpack_from(">II", data, b)
+    if count > len(data):
+        # more samples than file bytes: a lying count field must not
+        # drive a giant allocation before the range checks below
+        raise ValueError(
+            f"malformed ISO BMFF stream: stsz count {count} exceeds file size"
+        )
     if uniform:
         sizes = [uniform] * count
     else:

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from activity_files_spark.functions.quadkey import (
@@ -51,12 +51,13 @@ def rasterize_points(
     p: int = 8,
     lat: str = "lat",
     lon: str = "lon",
-    weight: str | Column | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Vector→raster, sparse stage: -> (tile_id long, px int, py int,
-    n long) — one row per lit pixel per tile at zoom ``z`` with
-    ``2**p``-pixel tiles. ``weight`` sums that column instead of counting
-    rows. Pure Column math + a single map-side-combined groupBy."""
+    n) — one row per lit pixel per tile at zoom ``z`` with ``2**p``-pixel
+    tiles. ``n`` counts rows (long) or, when ``weight`` names a column,
+    sums it (that column's type). Pure Column math + a single
+    map-side-combined groupBy."""
     gx, gy = tile_xy_col(F.col(lat), F.col(lon), z + p)
     mask = (1 << p) - 1
     sparse = points.select(
@@ -64,7 +65,7 @@ def rasterize_points(
         F.shiftright(gy, p).alias("ty"),
         gx.bitwiseAND(F.lit(mask)).cast("int").alias("px"),
         gy.bitwiseAND(F.lit(mask)).cast("int").alias("py"),
-        *([F.col(weight).alias("_w")] if isinstance(weight, str) else []),
+        *([F.col(weight).alias("_w")] if weight is not None else []),
     )
     agg = (
         F.sum("_w").alias("n")

@@ -433,6 +433,10 @@ def _refine_kernel(spark, n_rows: int, cpus: int) -> float:
 SCALE_TIER_QUERIES = (
     "fit_roundtrip_stats", "gpx_roundtrip_stats", "tcx_roundtrip_stats",
     "csv_roundtrip_stats", "geojson_roundtrip_stats",
+    # vector->raster: per-row cost should IMPROVE at 10x (the pixel
+    # groupBy shuffles one row per lit pixel, and the lit-pixel set
+    # saturates while points keep growing)
+    "rasterize_heatmap_tiles",
 )
 
 

@@ -168,6 +168,16 @@ def test_malformed_tables_raise_not_misdecode():
         parse_mp4_meta(short)
 
 
+def test_struct_level_garbage_normalized_to_valueerror():
+    # a count field promising more table entries than the buffer holds
+    # must surface as ValueError (raise-never-misdecode), not struct.error
+    data = bytearray(encode_mp4_raw(_frames(seed=10, n=2)))
+    idx = bytes(data).find(b"stsz") + 4 + 4 + 4  # into the count field
+    data[idx : idx + 4] = struct.pack(">I", 1 << 30)
+    with pytest.raises(ValueError, match="malformed ISO BMFF"):
+        parse_mp4_meta(bytes(data))
+
+
 def test_video_surface_wiring():
     from activity_files_spark.operators.multimodal import decode_video_frame
 

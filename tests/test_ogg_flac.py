@@ -110,6 +110,16 @@ def test_page_structure_bos_headers_eos_granules():
     assert [p["seq"] for p in pages] == list(range(len(pages)))
 
 
+def test_eos_rewrite_when_last_packet_flushes_its_own_page():
+    # forcing a break after the FINAL packet exercises the in-place
+    # EOS re-stamp (header_type + CRC rewrite) on the already-emitted page
+    raw = mux_ogg([b"a", b"b"], [1, 2], serial=8, break_after=frozenset({0, 1}))
+    pages = _pages(raw)
+    assert len(pages) == 2
+    assert pages[-1]["htype"] & 0x04
+    assert demux_ogg(raw) == [b"a", b"b"]  # CRC re-stamp is valid
+
+
 def test_first_packet_is_mapping_header():
     raw = encode_ogg_flac(_clip(seed=4, n=600), 44100)
     first = demux_ogg(raw)[0]
