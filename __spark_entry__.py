@@ -2704,6 +2704,57 @@ def _rasterize_heatmap_sql() -> str:
     """
 
 
+def raster_pyramid_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster pyramid rollup (the tile-service z-ladder build): events are
+    rasterized at zoom 14, then pyramid_rollup aggregates the sparse
+    raster THREE levels down to zoom 11 in ONE groupBy (a zoom-(z-k)
+    pixel is the global pixel shifted right k, so the whole ladder is a
+    shift + re-key — not k sequential shuffles), and assemble_tiles
+    densifies the coarse tiles. Counts are additive, so the oracle can
+    group the points directly by coarse pixel — a hash match proves the
+    fine→coarse pixel re-keying sums every 2x2x2 block exactly."""
+    from activity_files_spark.operators.raster import (
+        assemble_tiles,
+        pyramid_rollup,
+        rasterize_points,
+    )
+
+    pts = _read(spark, sf_dir, "events").select(
+        _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    fine = rasterize_points(pts, z=14, p=8)
+    coarse = pyramid_rollup(fine, z_from=14, z_to=11, p=8)
+    tiles = assemble_tiles(coarse, z=11, p=8)
+    return tiles.select("quadkey", "n_points", "nonzero_px", "max_count", "checksum")
+
+
+def _raster_pyramid_sql() -> str:
+    gx, gy = tile_xy_sql("lat", "lon", 22)  # zoom 14 + 8-bit pixels
+    qk = quadkey_digits_sql("tx", "ty", 11)
+    return f"""
+    WITH pts AS (
+      SELECT 40.0 + CAST(event_id % 1000 AS DOUBLE) * 0.0005 AS lat,
+             -105.0 - CAST(event_id % 997 AS DOUBLE) * 0.0005 AS lon
+      FROM events
+    ),
+    gpix AS (
+      SELECT ({gx}) >> 3 AS cgx, ({gy}) >> 3 AS cgy FROM pts
+    ),
+    pix AS (
+      SELECT cgx >> 8 AS tx, cgy >> 8 AS ty,
+             cgx & 255 AS px, cgy & 255 AS py,
+             COUNT(*) AS n
+      FROM gpix GROUP BY 1, 2, 3, 4
+    )
+    SELECT {qk} AS quadkey,
+           CAST(SUM(n) AS BIGINT) AS n_points,
+           CAST(COUNT(*) AS BIGINT) AS nonzero_px,
+           CAST(MAX(n) AS BIGINT) AS max_count,
+           CAST(SUM(n * (py * 256 + px + 1)) AS BIGINT) AS checksum
+    FROM pix GROUP BY tx, ty
+    """
+
+
 def raster_components_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector (the north rule's raster↔vector axis, reverse
     direction): one deterministic 32x24 RGB raster per user containing
@@ -3113,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups_docs": simhash_near_dups_docs,
         "rasterize_heatmap_tiles": rasterize_heatmap_tiles,
         "raster_components_vectorize": raster_components_vectorize,
+        "raster_pyramid_tiles": raster_pyramid_tiles,
     }
 
 
@@ -3173,6 +3225,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups_docs": _simhash_near_dups_sql(),
         "rasterize_heatmap_tiles": _rasterize_heatmap_sql(),
         "raster_components_vectorize": _raster_components_sql(),
+        "raster_pyramid_tiles": _raster_pyramid_sql(),
         # validate_images_summary: intentionally no oracle (pixel/codec
         # decode is not SQL-expressible) -> driver rows-only check; pytest
         # pins it. Its SQL-replayable half (caption/dims/phash presence) IS

@@ -116,6 +116,48 @@ def assemble_tiles(sparse: DataFrame, z: int, p: int = 8) -> DataFrame:
     )
 
 
+def pyramid_rollup(sparse: DataFrame, z_from: int, z_to: int, p: int = 8) -> DataFrame:
+    """Raster pyramid: aggregate a sparse tile raster at zoom ``z_from``
+    down to zoom ``z_to`` (the standard tile-service pyramid build — each
+    coarser pixel sums its 2x2 children, tiles re-key to their parents).
+    Input/output schema: (tile_id long, px int, py int, n) as produced by
+    :func:`rasterize_points`.
+
+    In global pixel space the whole ladder is one shift: a zoom-(z-1)
+    pixel is (gx >> 1, gy >> 1), so k levels down is ONE groupBy on
+    shifted coordinates — not k sequential shuffles. Counts are additive,
+    so partial aggregation keeps the shuffle at one row per coarse lit
+    pixel."""
+    if not z_to < z_from:
+        raise ValueError("pyramid_rollup wants z_to < z_from")
+    k = z_from - z_to
+    mask = (1 << p) - 1
+    # reconstruct global pixel coords at z_from + p, shift down k levels
+    gx = (
+        F.shiftleft(F.shiftright(F.col("tile_id"), z_from), p) + F.col("px")
+    )
+    gy = (
+        F.shiftleft(F.col("tile_id").bitwiseAND(F.lit((1 << z_from) - 1)), p)
+        + F.col("py")
+    )
+    cgx, cgy = F.shiftright(gx, k), F.shiftright(gy, k)
+    return (
+        sparse.select(
+            F.shiftright(cgx, p).alias("tx"),
+            F.shiftright(cgy, p).alias("ty"),
+            cgx.bitwiseAND(F.lit(mask)).cast("int").alias("px"),
+            cgy.bitwiseAND(F.lit(mask)).cast("int").alias("py"),
+            F.col("n"),
+        )
+        .groupBy("tx", "ty", "px", "py")
+        .agg(F.sum("n").alias("n"))
+        .select(
+            F.shiftleft(F.col("tx"), z_to).bitwiseOR(F.col("ty")).alias("tile_id"),
+            "px", "py", "n",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Raster -> vector
 # ---------------------------------------------------------------------------

@@ -89,6 +89,7 @@ HEADLINE = [
     "simhash_near_dups_docs",
     "rasterize_heatmap_tiles",
     "raster_components_vectorize",
+    "raster_pyramid_tiles",
 ]
 
 

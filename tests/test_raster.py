@@ -170,6 +170,42 @@ def test_assemble_tiles_dense_raster_bytes(spark):
         assert t.checksum == n * ((gy & 255) * 256 + (gx & 255) + 1)
 
 
+def test_pyramid_rollup_equals_direct_rasterize(spark):
+    # floor(v * 2^(z+k)) >> k == floor(v * 2^z) exactly (scaling by a
+    # power of two is exact in IEEE754), so rolling a fine raster down k
+    # levels must match rasterizing at the coarse zoom directly —
+    # pixel-for-pixel, count-for-count
+    from activity_files_spark.operators.raster import pyramid_rollup
+
+    rng = np.random.default_rng(11)
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "lat": rng.uniform(39.9, 40.6, 400),
+            "lon": rng.uniform(-105.6, -104.9, 400),
+        }),
+        "lat double, lon double",
+    )
+    fine = rasterize_points(df, z=14, p=8)
+    rolled = {
+        (r.tile_id, r.px, r.py): r.n
+        for r in pyramid_rollup(fine, z_from=14, z_to=11, p=8).collect()
+    }
+    direct = {
+        (r.tile_id, r.px, r.py): r.n
+        for r in rasterize_points(df, z=11, p=8).collect()
+    }
+    assert rolled == direct and sum(rolled.values()) == 400
+
+
+def test_pyramid_rollup_rejects_non_descending(spark):
+    from activity_files_spark.operators.raster import pyramid_rollup
+
+    df = spark.createDataFrame([(40.0, -105.0)], "lat double, lon double")
+    sparse = rasterize_points(df, z=10, p=8)
+    with pytest.raises(ValueError, match="z_to < z_from"):
+        pyramid_rollup(sparse, z_from=10, z_to=10)
+
+
 def test_rasterize_single_shuffle_plan(spark):
     df = spark.range(100).select(
         (F.lit(40.0) + F.col("id") * 0.001).alias("lat"),
