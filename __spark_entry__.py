@@ -25,6 +25,7 @@ from activity_files_spark.functions.geo import haversine_m, haversine_sql
 from activity_files_spark.functions.quadkey import (
     quadkey_col,
     quadkey_digits_sql,
+    quadkey_from_cell_id_col,
     tile_xy_col,
     tile_xy_sql,
 )
@@ -2755,6 +2756,119 @@ def _raster_pyramid_sql() -> str:
     """
 
 
+_ZONAL_RING = [(-105.45, 40.05), (-105.05, 40.1), (-105.25, 40.45)]
+
+
+def zonal_stats_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — the classic raster-vector analytics op: sum the
+    event heatmap raster inside a polygon zone. Composes BOTH round-5
+    raster directions: polygon_mask_pixels ray-casts a triangle geofence
+    into a pixel mask in web-mercator PIXEL space (ring vertices forward-
+    transformed once with the proven sin/ln chain; pixel centers are
+    exact integer+0.5 floats, so the per-edge crossing tests are pure
+    arithmetic — zero transcendentals in the hot loop, fully codegen'd),
+    then the mask LEFT-joins the rasterize_points heatmap on (tile, px,
+    py) — a broadcast equi-join on the small mask side. Output: per tile
+    (quadkey, inside_px, n_points, checksum); the oracle re-derives the
+    bbox cover, the vertex transform, the unrolled even-odd crossing sum,
+    and the pixel counts entirely in SQL."""
+    from activity_files_spark.operators.raster import (
+        polygon_mask_pixels,
+        rasterize_points,
+    )
+
+    z, p = 12, 4
+    side = 1 << p
+    mask = polygon_mask_pixels(spark, _ZONAL_RING, z=z, p=p)
+    pts = _read(spark, sf_dir, "events").select(
+        _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    heat = rasterize_points(pts, z=z, p=p)
+    joined = mask.join(heat, ["tile_id", "px", "py"], "left")
+    return (
+        joined.groupBy("tile_id")
+        .agg(
+            F.count(F.lit(1)).alias("inside_px"),
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("n_points"),
+            F.sum(F.col("py") * side + F.col("px") + 1).alias("checksum"),
+        )
+        .select(
+            quadkey_from_cell_id_col(F.col("tile_id"), z).alias("quadkey"),
+            "inside_px", "n_points", "checksum",
+        )
+    )
+
+
+def _zonal_stats_sql() -> str:
+    z, p = 12, 4
+    side = 1 << p
+    zp = z + p
+    scale = float(1 << zp)
+    mx, my = tile_xy_sql("lat", "lon", zp)
+    qk = quadkey_digits_sql("tx", "ty", z)
+
+    def vx(lon: float) -> str:
+        return f"((CAST({lon} AS DOUBLE) + 180.0) / 360.0 * {scale})"
+
+    def vy(lat: float) -> str:
+        s = f"sin((greatest(least(CAST({lat} AS DOUBLE), 85.05112878), -85.05112878) * pi() / 180.0))"
+        return f"((0.5 - ln((1.0 + {s}) / (1.0 - {s})) / (4.0 * pi())) * {scale})"
+
+    verts = [(vx(lon), vy(lat)) for lon, lat in _ZONAL_RING]
+    terms = []
+    for k in range(len(verts)):
+        x1, y1 = verts[k]
+        x2, y2 = verts[(k + 1) % len(verts)]
+        terms.append(
+            f"CASE WHEN (({y1} > cy) != ({y2} > cy)) AND "
+            f"(cx < (({x2} - {x1}) * (cy - {y1}) / ({y2} - {y1}) + {x1})) "
+            "THEN 1 ELSE 0 END"
+        )
+    inside = "(" + " + ".join(terms) + ") % 2 = 1"
+
+    lon_w, lat_s = min(v[0] for v in _ZONAL_RING), min(v[1] for v in _ZONAL_RING)
+    lon_e, lat_n = max(v[0] for v in _ZONAL_RING), max(v[1] for v in _ZONAL_RING)
+    cx0, cy0 = tile_xy_sql(f"CAST({lat_n} AS DOUBLE)", f"CAST({lon_w} AS DOUBLE)", z)
+    cx1, cy1 = tile_xy_sql(f"CAST({lat_s} AS DOUBLE)", f"CAST({lon_e} AS DOUBLE)", z)
+    return f"""
+    WITH corners AS (
+      SELECT {cx0} AS x0, {cy0} AS y0, {cx1} AS x1, {cy1} AS y1
+    ),
+    tiles AS (
+      SELECT t_x.tx AS tx, t_y.ty AS ty
+      FROM corners,
+           unnest(range(least(x0, x1), greatest(x0, x1) + 1)) t_x(tx),
+           unnest(range(least(y0, y1), greatest(y0, y1) + 1)) t_y(ty)
+    ),
+    mask AS (
+      SELECT tx, ty, p_x.px AS px, p_y.py AS py
+      FROM tiles,
+           unnest(range({side})) p_x(px),
+           unnest(range({side})) p_y(py),
+           LATERAL (SELECT CAST(tx * {side} + p_x.px AS DOUBLE) + 0.5 AS cx,
+                           CAST(ty * {side} + p_y.py AS DOUBLE) + 0.5 AS cy) c
+      WHERE {inside}
+    ),
+    pts AS (
+      SELECT 40.0 + CAST(event_id % 1000 AS DOUBLE) * 0.0005 AS lat,
+             -105.0 - CAST(event_id % 997 AS DOUBLE) * 0.0005 AS lon
+      FROM events
+    ),
+    heat AS (
+      SELECT gx >> {p} AS tx, gy >> {p} AS ty,
+             gx & {side - 1} AS px, gy & {side - 1} AS py, COUNT(*) AS n
+      FROM (SELECT {mx} AS gx, {my} AS gy FROM pts)
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT {qk} AS quadkey,
+           CAST(COUNT(*) AS BIGINT) AS inside_px,
+           CAST(SUM(COALESCE(heat.n, 0)) AS BIGINT) AS n_points,
+           CAST(SUM(mask.py * {side} + mask.px + 1) AS BIGINT) AS checksum
+    FROM mask LEFT JOIN heat USING (tx, ty, px, py)
+    GROUP BY mask.tx, mask.ty
+    """
+
+
 def raster_components_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster→vector (the north rule's raster↔vector axis, reverse
     direction): one deterministic 32x24 RGB raster per user containing
@@ -3165,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_heatmap_tiles": rasterize_heatmap_tiles,
         "raster_components_vectorize": raster_components_vectorize,
         "raster_pyramid_tiles": raster_pyramid_tiles,
+        "zonal_stats_polygon": zonal_stats_polygon,
     }
 
 
@@ -3226,6 +3341,7 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_heatmap_tiles": _rasterize_heatmap_sql(),
         "raster_components_vectorize": _raster_components_sql(),
         "raster_pyramid_tiles": _raster_pyramid_sql(),
+        "zonal_stats_polygon": _zonal_stats_sql(),
         # validate_images_summary: intentionally no oracle (pixel/codec
         # decode is not SQL-expressible) -> driver rows-only check; pytest
         # pins it. Its SQL-replayable half (caption/dims/phash presence) IS

@@ -158,6 +158,74 @@ def pyramid_rollup(sparse: DataFrame, z_from: int, z_to: int, p: int = 8) -> Dat
     )
 
 
+def merc_px_py(lat: float, lon: float, zp: int) -> tuple[float, float]:
+    """CONTINUOUS web-mercator pixel coordinates at pixel-zoom ``zp``
+    (tile_xy_py without the floor): the coordinate frame polygon
+    rasterization ray-casts in. Same operation sequence as
+    functions/quadkey.py so all four engine twins stay bit-identical."""
+    import math
+
+    from activity_files_spark.functions.quadkey import MAX_LAT
+
+    lat = min(max(lat, -MAX_LAT), MAX_LAT)
+    scale = float(1 << zp)
+    x = (lon + 180.0) / 360.0 * scale
+    sin_lat = math.sin(lat * math.pi / 180.0)
+    y = (0.5 - math.log((1.0 + sin_lat) / (1.0 - sin_lat)) / (4.0 * math.pi)) * scale
+    return x, y
+
+
+def polygon_mask_pixels(spark, ring: list[tuple[float, float]], z: int, p: int = 8) -> DataFrame:
+    """Vector→raster for POLYGONS: -> (tile_id long, px int, py int) — one
+    row per pixel whose center lies inside the (lon, lat) ring, across the
+    ring's bbox cover tiles at zoom ``z`` with ``2**p``-pixel tiles (the
+    geofence-mask / label-raster job).
+
+    The even-odd ray cast runs in web-mercator PIXEL space: ring vertices
+    are forward-transformed once (:func:`merc_px_py` — sin/ln only, the
+    chain proven bit-identical across engines by the quadkey twins) and
+    pixel centers are exact floats (integer + 0.5), so the refine is pure
+    sub/mul/div/add/compare — no inverse mercator, no transcendentals in
+    the hot loop, bit-replayable in SQL. The plan is Column-only (cover
+    rows -> two sequence explodes -> codegen'd XOR chain of per-edge
+    crossing tests), embarrassingly parallel, zero shuffle."""
+    from activity_files_spark.operators.spatial import polygon_cover_tiles
+
+    side = 1 << p
+    verts = [merc_px_py(lat, lon, z + p) for lon, lat in ring]
+    tiles = polygon_cover_tiles(ring, z)
+    tdf = spark.createDataFrame(tiles, "tx long, ty long").repartition(
+        min(len(tiles), spark.sparkContext.defaultParallelism)
+    )
+    pix = tdf.select(
+        "tx", "ty",
+        F.explode(F.sequence(F.lit(0), F.lit(side - 1))).alias("px"),
+    ).select(
+        "tx", "ty", "px",
+        F.explode(F.sequence(F.lit(0), F.lit(side - 1))).alias("py"),
+    )
+    cx = (F.shiftleft(F.col("tx"), p) + F.col("px")).cast("double") + F.lit(0.5)
+    cy = (F.shiftleft(F.col("ty"), p) + F.col("py")).cast("double") + F.lit(0.5)
+    crossings = None
+    for k in range(len(verts)):
+        x1, y1 = verts[k]
+        x2, y2 = verts[(k + 1) % len(verts)]
+        if y1 == y2:
+            continue  # horizontal edge never satisfies (y1>cy) != (y2>cy)
+        crosses = (F.lit(y1) > cy) != (F.lit(y2) > cy)
+        xin = (
+            F.lit(x2 - x1) * (cy - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+        )
+        term = (crosses & (cx < xin)).cast("int")
+        crossings = term if crossings is None else crossings + term
+    if crossings is None:
+        raise ValueError("degenerate ring: all edges horizontal")
+    return pix.where(crossings % 2 == 1).select(
+        F.shiftleft(F.col("tx"), z).bitwiseOR(F.col("ty")).alias("tile_id"),
+        "px", "py",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Raster -> vector
 # ---------------------------------------------------------------------------

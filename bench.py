@@ -90,6 +90,7 @@ HEADLINE = [
     "rasterize_heatmap_tiles",
     "raster_components_vectorize",
     "raster_pyramid_tiles",
+    "zonal_stats_polygon",
 ]
 
 

@@ -206,6 +206,46 @@ def test_pyramid_rollup_rejects_non_descending(spark):
         pyramid_rollup(sparse, z_from=10, z_to=10)
 
 
+def test_polygon_mask_matches_raycast_golden(spark):
+    # the distributed Column XOR chain must agree with the pure-python
+    # even-odd ray cast evaluated at every pixel center in mercator pixel
+    # space — over the full bbox cover, inside and outside alike
+    from activity_files_spark.operators.raster import (
+        merc_px_py,
+        polygon_mask_pixels,
+    )
+    from activity_files_spark.operators.spatial import (
+        polygon_cover_tiles,
+        ray_cast_py,
+    )
+
+    ring = [(-105.45, 40.05), (-105.05, 40.1), (-105.25, 40.45)]
+    z, p = 10, 3
+    side = 1 << p
+    got = {
+        ((r.tile_id >> z), (r.tile_id & ((1 << z) - 1)), r.px, r.py)
+        for r in polygon_mask_pixels(spark, ring, z=z, p=p).collect()
+    }
+    verts = [merc_px_py(lat, lon, z + p) for lon, lat in ring]
+    want = set()
+    for tx, ty in polygon_cover_tiles(ring, z):
+        for px in range(side):
+            for py in range(side):
+                cx = (tx << p) + px + 0.5
+                cy = (ty << p) + py + 0.5
+                if ray_cast_py(cx, cy, verts):
+                    want.add((tx, ty, px, py))
+    assert got == want and len(want) > 0
+
+
+def test_polygon_mask_rejects_degenerate_ring(spark):
+    from activity_files_spark.operators.raster import polygon_mask_pixels
+
+    flat = [(-105.3, 40.2), (-105.1, 40.2), (-105.2, 40.2)]
+    with pytest.raises(ValueError, match="degenerate"):
+        polygon_mask_pixels(spark, flat, z=10, p=3)
+
+
 def test_rasterize_single_shuffle_plan(spark):
     df = spark.range(100).select(
         (F.lit(40.0) + F.col("id") * 0.001).alias("lat"),
