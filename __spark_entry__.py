@@ -2653,6 +2653,91 @@ def _video_mp4_sql() -> str:
     """
 
 
+def video_mkv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal VIDEO through the REAL Matroska (EBML) container codec
+    (codecs/mkv.py), driver-gated end-to-end: one deterministic I420 clip
+    per user (8x6 luma + 4x3 subsampled chroma, 6 frames; all planes
+    integer formulas of (x, y, frame, uid)), muxed into a real Matroska
+    file — EBML header, Segment, CRC-32'd Info/Tracks, V_UNCOMPRESSED
+    track, Clusters carrying Xiph-LACED SimpleBlocks — then frame-sampled
+    every 2nd frame through the container-aware walker (sample_frames
+    resolves the EBML element tree + lacing table to per-frame byte ranges
+    and decodes only the sampled frames, upsampling 4:2:0 chroma by exact
+    2x2 integer replication). The oracle replays the plane formulas, the
+    frame stride, AND the chroma upsample (u(x,y) = u_sub(x//2, y//2))
+    bit-for-bit — a hash match proves the EBML walk, the lacing split, and
+    the timestamp ordering round-trip for real."""
+    import numpy as np
+    import pandas as pd
+
+    from activity_files_spark.codecs.mkv import encode_mkv
+    from activity_files_spark.operators.multimodal import (
+        VIDEO_SCHEMA,
+        frame_stats,
+        sample_frames,
+    )
+
+    users = _read(spark, sf_dir, "events").select("user_id").distinct()
+    w, h, n_frames = 8, 6, 6
+
+    def gen(batches):
+        yy, xx = np.mgrid[0:h, 0:w]
+        ys, xs = np.mgrid[0 : h // 2, 0 : w // 2]
+        for pdf in batches:
+            rows = []
+            for uid in pdf["user_id"]:
+                i = int(uid)
+                y = np.stack(
+                    [(3 * xx + yy + f + 2 * i) % 256 for f in range(n_frames)]
+                ).astype(np.uint8)
+                u = np.stack(
+                    [(xs + 2 * ys + 3 * f + i) % 256 for f in range(n_frames)]
+                ).astype(np.uint8)
+                v = np.stack(
+                    [(2 * xs + ys * f + i) % 256 for f in range(n_frames)]
+                ).astype(np.uint8)
+                rows.append({
+                    "clip_id": f"u{i}",
+                    "bytes": encode_mkv(
+                        (y, u, v), fps=(10, 1), frames_per_cluster=3,
+                        lacing="xiph",
+                    ),
+                    "w": w, "h": h, "fps": 10.0, "n_frames": n_frames,
+                    "fmt": "mkv",
+                })
+            yield pd.DataFrame(rows)
+
+    clips = users.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, VIDEO_SCHEMA
+    )
+    stats = frame_stats(sample_frames(clips, every=2))
+    return stats.select(
+        F.substring("clip_id", 2, 20).cast("long").alias("user_id"),
+        "frame_idx",
+        F.col("sum_r").alias("sum_y"),
+        F.col("sum_g").alias("sum_u"),
+        F.col("sum_b").alias("sum_v"),
+    )
+
+
+def _video_mkv_sql() -> str:
+    return """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+      SELECT u.user_id, f.f AS frame_idx, x.x AS x, y.y AS y
+      FROM users u,
+           (SELECT unnest([0, 2, 4]) AS f) f,
+           (SELECT unnest(range(8)) AS x) x,
+           (SELECT unnest(range(6)) AS y) y
+    )
+    SELECT user_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(SUM((3 * x + y + frame_idx + 2 * user_id) % 256) AS BIGINT) AS sum_y,
+           CAST(SUM(((x // 2) + 2 * (y // 2) + 3 * frame_idx + user_id) % 256) AS BIGINT) AS sum_u,
+           CAST(SUM((2 * (x // 2) + (y // 2) * frame_idx + user_id) % 256) AS BIGINT) AS sum_v
+    FROM grid GROUP BY user_id, frame_idx
+    """
+
+
 def rasterize_heatmap_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector→raster (the north rule's raster↔vector axis, forward
     direction): burn every event's derived (lat, lon) into 256px heatmap
@@ -3272,6 +3357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": video_frame_stats,
         "video_y4m_stats": video_y4m_stats,
         "video_mp4_stats": video_mp4_stats,
+        "video_mkv_stats": video_mkv_stats,
         "image_invariants_summary": image_invariants_summary,
         "stream_tile_rollup_cells": stream_tile_rollup_cells,
         "hamming_near_dups_docs": hamming_near_dups_docs,
@@ -3334,6 +3420,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frame_stats": _video_frame_sql(),
         "video_y4m_stats": _video_y4m_sql(),
         "video_mp4_stats": _video_mp4_sql(),
+        "video_mkv_stats": _video_mkv_sql(),
         "image_invariants_summary": _image_invariants_sql(),
         "stream_tile_rollup_cells": _stream_tile_rollup_sql(),
         "hamming_near_dups_docs": _hamming_near_dups_sql(),

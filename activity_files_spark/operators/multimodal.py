@@ -40,8 +40,8 @@ VIDEO_SCHEMA = (
     "clip_id string, bytes binary, w int, h int, fps double, n_frames long, fmt string"
 )
 
-REAL_AUDIO_FMTS = {"mp3"}  # still-stubbed compressed codecs
-REAL_VIDEO_FMTS = {"webm", "mkv"}
+STUB_AUDIO_FMTS = {"mp3"}  # still-stubbed compressed codecs
+STUB_VIDEO_FMTS: set[str] = set()
 # flac moved OUT of the stub set in round 5: codecs/flac.py is a real
 # pure-python RFC 9639 decoder/encoder (the format is fully public).
 # ogg followed within the round: codecs/ogg.py demuxes RFC 3533 pages and
@@ -51,6 +51,12 @@ REAL_VIDEO_FMTS = {"webm", "mkv"}
 # real and decodes 'raw ' (QuickTime uncompressed RGB) payloads; avc1/hev1
 # and other compressed sample entries raise inside parse_mp4_raw with the
 # container metadata still parsed.
+# mkv/webm closed the video stub set: codecs/mkv.py is a real EBML
+# (RFC 8794) + Matroska walker — V_UNCOMPRESSED I420 decodes for real;
+# compressed CodecIDs (V_VP8/V_VP9/V_AV1/...) raise at pixel-decode time
+# with the container metadata still parsed, same boundary as MP4 avc1.
+# mp3 stays the one honest stub: a Layer III decoder needs huffman/IMDCT/
+# polyphase DSP with no exact-integer oracle — binding territory.
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -116,7 +122,7 @@ def decode_audio(data: bytes, fmt: str, n_samples: int, channels: int) -> np.nda
         if bps != 16:
             raise NotImplementedError(f"{fmt} bit depth {bps}: pipeline is int16")
         return samples.astype(np.int16)
-    if fmt in REAL_AUDIO_FMTS:
+    if fmt in STUB_AUDIO_FMTS:
         raise NotImplementedError(
             f"audio codec {fmt!r} needs a soundfile/ffmpeg binding (not in "
             "this container); 'wav', 'flac', 'ogg' (ogg-flac), and "
@@ -266,11 +272,16 @@ def decode_video_frame(data: bytes, fmt: str, w: int, h: int, frame: int) -> np.
 
         frames, _meta = parse_mp4_raw(bytes(data))
         return frames[frame]
-    if fmt in REAL_VIDEO_FMTS:
+    if fmt in ("mkv", "webm"):
+        from activity_files_spark.codecs.mkv import parse_mkv
+
+        frames, _meta = parse_mkv(bytes(data))
+        return frames[frame]
+    if fmt in STUB_VIDEO_FMTS:
         raise NotImplementedError(
             f"video codec {fmt!r} needs an ffmpeg binding (not in this "
-            "container); 'y4m', 'mp4' ('raw ' RGB payloads), and 'rawrgb' "
-            "are decodable here"
+            "container); 'y4m', 'mp4' ('raw ' RGB payloads), 'mkv'/'webm' "
+            "(V_UNCOMPRESSED I420), and 'rawrgb' are decodable here"
         )
     if fmt != "rawrgb":
         raise ValueError(f"unknown video fmt {fmt!r}")
@@ -407,6 +418,32 @@ def sample_frames(video: DataFrame, every: int = 2) -> DataFrame:
                         rows.append({
                             "clip_id": r.clip_id, "frame_idx": f,
                             "frame_bytes": data[off : off + size],
+                            "w": meta["w"], "h": meta["h"],
+                        })
+                    continue
+                if r.fmt in ("mkv", "webm"):
+                    # container-aware: EBML walk resolves every block's
+                    # byte range; only the sampled frames are decoded
+                    # (I420 -> interleaved with the exact 2x2 chroma
+                    # replication, the same contract as the y4m branch)
+                    from activity_files_spark.codecs.mkv import (
+                        decode_i420_frame,
+                        parse_mkv_meta,
+                    )
+
+                    meta = parse_mkv_meta(data)
+                    if meta["codec"] != "V_UNCOMPRESSED":
+                        raise NotImplementedError(
+                            f"Matroska codec {meta['codec']!r} needs an "
+                            "ffmpeg binding"
+                        )
+                    for f in range(0, meta["n_frames"], every):
+                        off, size, _ts = meta["frames"][f]
+                        rows.append({
+                            "clip_id": r.clip_id, "frame_idx": f,
+                            "frame_bytes": decode_i420_frame(
+                                data, off, size, meta["w"], meta["h"]
+                            ).tobytes(),
                             "w": meta["w"], "h": meta["h"],
                         })
                     continue

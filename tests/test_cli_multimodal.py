@@ -106,9 +106,10 @@ def test_video_frame_sampling(spark):
 
 
 def test_video_real_codec_stubbed():
-    # webm/mkv need an ffmpeg binding; mp4 is REAL since codecs/mp4.py
-    # (its compressed sample entries stay stubbed — tests/test_mp4.py)
-    with pytest.raises(NotImplementedError):
+    # mp3 is the one remaining stub; every video container is REAL now
+    # (mkv/webm via codecs/mkv.py — compressed CodecIDs stay stubbed at
+    # pixel-decode time, tests/test_mkv.py). Bad files raise ValueError.
+    with pytest.raises(ValueError):  # webm decodes for real now: bad file
         decode_video_frame(b"", "webm", 8, 6, 0)
     with pytest.raises(ValueError):  # mp4 decodes for real now: bad file
         decode_video_frame(b"", "mp4", 8, 6, 0)

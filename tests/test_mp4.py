@@ -184,5 +184,8 @@ def test_video_surface_wiring():
     fr = _frames(seed=9, n=4)
     data = encode_mp4_raw(fr)
     assert (decode_video_frame(data, "mp4", 8, 6, 1) == fr[1]).all()
-    with pytest.raises(NotImplementedError, match="webm"):
+    # a bare EBML magic with no header/segment is a malformed webm now
+    # that the Matroska codec is real (compressed-codec stubbing is pinned
+    # in tests/test_mkv.py against a full container)
+    with pytest.raises(ValueError):
         decode_video_frame(b"\x1a\x45\xdf\xa3", "webm", 8, 6, 0)
