@@ -2738,6 +2738,130 @@ def _video_mkv_sql() -> str:
     """
 
 
+def audio_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal AUDIO through the REAL MPEG audio (MP3) frame layer
+    (codecs/mp3.py): one deterministic VBR clip per user — n = 6 + uid%5
+    Layer III frames, frame k at bitrate index 1 + (uid + 3k) % 14 with
+    padding (uid+k)%2, sample rate [44100,48000,32000][uid%3], channel
+    mode by uid%4; even uids carry a real CRC-16 per frame (poly 0x8005
+    over header tail + side info, recomputed and VERIFIED by the parser),
+    odd uids carry a Xing VBR header declaring the audio frame count; an
+    ID3v2 tag of (uid%7)*5 padding bytes prefixes (when nonzero) and an
+    ID3v1 tag trails clips with uid%3==1. The parser walks every frame by
+    its self-described length — all-integer outputs, so the oracle replays
+    frame count, sample total, byte total (the floor(144000*br/sr)+pad
+    frame-length math), bitrate sums, CRC tallies, and tag accounting
+    exactly: a hash match proves the frame walk, the CRC polynomial, and
+    the Xing/ID3 handling bit-for-bit. PCM payload decode stays the honest
+    NotImplementedError boundary (multimodal.py STUB_AUDIO_FMTS)."""
+    import pandas as pd
+
+    from activity_files_spark.codecs.mp3 import encode_mp3_frames
+    from activity_files_spark.operators.multimodal import (
+        AUDIO_SCHEMA,
+        mp3_container_stats,
+    )
+
+    users = _read(spark, sf_dir, "events").select("user_id").distinct()
+    modes = ["stereo", "joint_stereo", "dual_channel", "mono"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for uid in pdf["user_id"]:
+                i = int(uid)
+                n = 6 + i % 5
+                frames = [(1 + (i + 3 * k) % 14, (i + k) % 2) for k in range(n)]
+                data = encode_mp3_frames(
+                    frames,
+                    sample_rate_idx=i % 3,
+                    channel_mode=modes[i % 4],
+                    crc=i % 2 == 0,
+                    id3v2_pad=(i % 7) * 5,
+                    id3v1=i % 3 == 1,
+                    xing_frames=n if i % 2 == 1 else None,
+                    payload_seed=i,
+                )
+                rows.append({
+                    "clip_id": f"u{i}", "bytes": data,
+                    "sample_rate": [44100, 48000, 32000][i % 3],
+                    "n_samples": 1152 * n, "channels": 2, "fmt": "mp3",
+                })
+            yield pd.DataFrame(rows)
+
+    clips = users.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, AUDIO_SCHEMA
+    )
+    stats = mp3_container_stats(clips)
+    return stats.select(
+        F.substring("clip_id", 2, 20).cast("long").alias("user_id"),
+        "n_frames", "samples_total", "audio_bytes", "bitrate_sum_kbps",
+        "distinct_bitrates", "sample_rate", "layer", "channel_mode",
+        "crc_frames", "crc_ok_frames", "xing_frames", "id3v2_bytes",
+        "id3v1", "truncated",
+    )
+
+
+def _audio_mp3_sql() -> str:
+    # replay of codecs/mp3.py frame-length math: MPEG1 Layer III frame
+    # bytes = 144000*br//sr + padding; the Xing frame (odd uids) reuses
+    # frame 0's bitrate/padding shape, so it joins the per-frame grid as
+    # k = -1
+    return """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    brs AS (
+      SELECT [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320] AS t
+    ),
+    base AS (
+      SELECT user_id,
+             6 + user_id % 5 AS n,
+             [44100, 48000, 32000][CAST(user_id % 3 AS INT) + 1] AS sr,
+             user_id % 2 = 0 AS has_crc,
+             user_id % 2 = 1 AS has_xing
+      FROM users
+    ),
+    frames AS (
+      SELECT b.user_id, b.n, b.sr, b.has_crc, b.has_xing, k.k AS k,
+             CASE WHEN k.k = -1
+                  THEN 1 + (b.user_id % 14)
+                  ELSE 1 + ((b.user_id + 3 * k.k) % 14) END AS br_idx,
+             CASE WHEN k.k = -1
+                  THEN b.user_id % 2
+                  ELSE (b.user_id + k.k) % 2 END AS pad
+      FROM base b, (SELECT unnest(range(-1, 11)) AS k) k
+      WHERE k.k < b.n AND (k.k >= 0 OR b.has_xing)
+    ),
+    sized AS (
+      SELECT frames.*, brs.t[CAST(br_idx AS INT)] AS br,
+             144000 * brs.t[CAST(br_idx AS INT)] // sr + pad AS fbytes
+      FROM frames, brs
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(1152 * COUNT(*) AS BIGINT) AS samples_total,
+           CAST(SUM(fbytes) AS BIGINT) AS audio_bytes,
+           CAST(SUM(br) AS BIGINT) AS bitrate_sum_kbps,
+           CAST(COUNT(DISTINCT CASE WHEN k >= 0 THEN br END) AS INT)
+             AS distinct_bitrates,
+           CAST(ANY_VALUE(sr) AS INT) AS sample_rate,
+           CAST(3 AS INT) AS layer,
+           ['stereo', 'joint_stereo', 'dual_channel', 'mono']
+             [CAST(user_id % 4 AS INT) + 1] AS channel_mode,
+           CAST(CASE WHEN ANY_VALUE(has_crc) THEN COUNT(*) ELSE 0 END AS BIGINT)
+             AS crc_frames,
+           CAST(CASE WHEN ANY_VALUE(has_crc) THEN COUNT(*) ELSE 0 END AS BIGINT)
+             AS crc_ok_frames,
+           CASE WHEN ANY_VALUE(has_xing)
+                THEN CAST(ANY_VALUE(n) AS BIGINT) END AS xing_frames,
+           CAST(CASE WHEN user_id % 7 = 0 THEN 0
+                     ELSE 10 + (user_id % 7) * 5 END AS BIGINT) AS id3v2_bytes,
+           user_id % 3 = 1 AS id3v1,
+           FALSE AS truncated
+    FROM sized
+    GROUP BY user_id
+    """
+
+
 def rasterize_heatmap_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector→raster (the north rule's raster↔vector axis, forward
     direction): burn every event's derived (lat, lon) into 256px heatmap
@@ -3358,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_y4m_stats": video_y4m_stats,
         "video_mp4_stats": video_mp4_stats,
         "video_mkv_stats": video_mkv_stats,
+        "audio_mp3_stats": audio_mp3_stats,
         "image_invariants_summary": image_invariants_summary,
         "stream_tile_rollup_cells": stream_tile_rollup_cells,
         "hamming_near_dups_docs": hamming_near_dups_docs,
@@ -3421,6 +3546,7 @@ def oracle_sql() -> dict[str, str]:
         "video_y4m_stats": _video_y4m_sql(),
         "video_mp4_stats": _video_mp4_sql(),
         "video_mkv_stats": _video_mkv_sql(),
+        "audio_mp3_stats": _audio_mp3_sql(),
         "image_invariants_summary": _image_invariants_sql(),
         "stream_tile_rollup_cells": _stream_tile_rollup_sql(),
         "hamming_near_dups_docs": _hamming_near_dups_sql(),

@@ -3,11 +3,15 @@
 Usage (package the library with --py-files):
 
     zip -r engine.zip activity_files_spark
-    spark-submit --py-files engine.zip -m activity_files_spark.cli convert \\
+    spark-submit --py-files engine.zip spark_main.py convert \\
         --input /data/raw --from auto --to gpx --output /data/out
-    spark-submit ... validate --input /data/raw --from auto --report /data/diag
-    spark-submit ... tile --images /data/images.parquet --resolutions 8,10,12 \\
+    spark-submit ... spark_main.py validate --input /data/raw --from auto --report /data/diag
+    spark-submit ... spark_main.py tile --images /data/images.parquet --resolutions 8,10,12 \\
         --geofences /data/geofences.json --output /data/tiles --manifest /data/ckpt
+
+(spark-submit takes an application file, not a module; `spark_main.py` at the
+repo root is the one-file launcher, proven zip-only importable by
+tests/test_spark_submit.py.)
 
 Reference: bin/activity_files.dart:37-394 (convert/validate commands).
 """

@@ -55,8 +55,12 @@ STUB_VIDEO_FMTS: set[str] = set()
 # (RFC 8794) + Matroska walker — V_UNCOMPRESSED I420 decodes for real;
 # compressed CodecIDs (V_VP8/V_VP9/V_AV1/...) raise at pixel-decode time
 # with the container metadata still parsed, same boundary as MP4 avc1.
-# mp3 stays the one honest stub: a Layer III decoder needs huffman/IMDCT/
-# polyphase DSP with no exact-integer oracle — binding territory.
+# mp3 PCM decode stays the one honest stub: a Layer III decoder needs
+# huffman/IMDCT/polyphase DSP with no exact-integer oracle — binding
+# territory. Its *frame layer* (codecs/mp3.py) parses for real though:
+# header walk, frame-length math, CRC-16 verification, ID3v2/ID3v1,
+# Xing/VBRI — the container metadata a 100 TB pipeline routes on
+# (mp3_container_stats below), same split as MP4 avc1 / MKV V_VP9.
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -352,6 +356,49 @@ def audio_features(audio: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return audio.mapInPandas(kernel, schema)
+
+
+def mp3_container_stats(clips: DataFrame) -> DataFrame:
+    """Per-clip MPEG audio (MP3) frame-layer metadata via an Arrow kernel
+    over codecs/mp3.py's real frame walk — the route/slice/duration index a
+    100 TB media pipeline needs before spending payload-decode cycles.
+    All-integer outputs so a SQL oracle can replay every field exactly."""
+
+    schema = (
+        "clip_id string, n_frames long, samples_total long, audio_bytes long, "
+        "bitrate_sum_kbps long, distinct_bitrates int, sample_rate int, "
+        "layer int, channel_mode string, crc_frames long, crc_ok_frames long, "
+        "xing_frames long, id3v2_bytes long, id3v1 boolean, truncated boolean"
+    )
+
+    def kernel(batches):
+        from activity_files_spark.codecs.mp3 import parse_mp3_meta
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                m = parse_mp3_meta(bytes(r.bytes))
+                x = m["xing"]
+                rows.append({
+                    "clip_id": r.clip_id,
+                    "n_frames": m["n_frames"],
+                    "samples_total": m["samples_total"],
+                    "audio_bytes": m["audio_bytes"],
+                    "bitrate_sum_kbps": m["bitrate_sum_kbps"],
+                    "distinct_bitrates": m["distinct_bitrates"],
+                    "sample_rate": m["sample_rate"],
+                    "layer": m["layer"],
+                    "channel_mode": m["channel_mode"],
+                    "crc_frames": m["crc_frames"],
+                    "crc_ok_frames": m["crc_ok_frames"],
+                    "xing_frames": None if x is None else x["frames"],
+                    "id3v2_bytes": m["id3v2_bytes"],
+                    "id3v1": m["id3v1"],
+                    "truncated": m["truncated"],
+                })
+            yield pd.DataFrame(rows)
+
+    return clips.mapInPandas(kernel, schema)
 
 
 def frame_stats(frames: DataFrame) -> DataFrame:

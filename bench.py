@@ -91,6 +91,8 @@ HEADLINE = [
     "raster_components_vectorize",
     "raster_pyramid_tiles",
     "zonal_stats_polygon",
+    "video_mkv_stats",
+    "audio_mp3_stats",
 ]
 
 
