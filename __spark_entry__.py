@@ -2756,14 +2756,14 @@ def audio_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     NotImplementedError boundary (multimodal.py STUB_AUDIO_FMTS)."""
     import pandas as pd
 
-    from activity_files_spark.codecs.mp3 import encode_mp3_frames
+    from activity_files_spark.codecs.mp3 import _CHANNEL_MODES, encode_mp3_frames
     from activity_files_spark.operators.multimodal import (
         AUDIO_SCHEMA,
         mp3_container_stats,
     )
 
     users = _read(spark, sf_dir, "events").select("user_id").distinct()
-    modes = ["stereo", "joint_stereo", "dual_channel", "mono"]
+    modes = _CHANNEL_MODES  # header-bit ordering lives in the codec table
 
     def gen(batches):
         for pdf in batches:

@@ -144,13 +144,14 @@ def _id3v2_size(data: bytes) -> int:
     return 10 + size + footer
 
 
-def _parse_xing(payload: bytes, version: str, channel_mode: str) -> dict | None:
+def _parse_xing(payload: bytes, version: str, channel_mode: str,
+                crc_bytes: int = 0) -> dict | None:
     """Xing/Info (and VBRI) VBR header inside the first frame's payload.
 
     `payload` is the frame bytes after header+CRC; the Xing fourcc sits
-    right after the side info, VBRI at fixed offset 32 from the header
-    (i.e. 36 - 4 - crc bytes into the payload — callers pass post-CRC
-    payload so VBRI scanning uses a fixed probe)."""
+    right after the side info. VBRI sits at a fixed 32 bytes after the
+    4-byte header END (absolute frame offset 36), so its payload probe is
+    32 minus however many CRC bytes the caller stripped (`crc_bytes`)."""
     off = side_info_length(version, channel_mode)
     if len(payload) >= off + 8 and payload[off:off + 4] in (b"Xing", b"Info"):
         fourcc = payload[off:off + 4].decode()
@@ -168,8 +169,8 @@ def _parse_xing(payload: bytes, version: str, channel_mode: str) -> dict | None:
         if flags & 0x8 and len(payload) >= p + 4:
             out["quality"] = struct.unpack(">I", payload[p:p + 4])[0]
         return out
-    # VBRI (Fraunhofer): fixed 32 bytes after the 4-byte header
-    vp = 32 - 4
+    # VBRI (Fraunhofer): fixed 32 bytes after the end of the 4-byte header
+    vp = 32 - crc_bytes
     if len(payload) >= vp + 26 and payload[vp:vp + 4] == b"VBRI":
         frames = struct.unpack(">I", payload[vp + 14:vp + 18])[0]
         nbytes = struct.unpack(">I", payload[vp + 10:vp + 14])[0]
@@ -185,7 +186,9 @@ def parse_mp3_meta(data: bytes) -> dict:
 
     Returns dict with: n_frames, samples_total, audio_bytes, bitrate_sum_kbps,
     distinct_bitrates, sample_rate, version, layer, channel_mode,
-    crc_frames, crc_ok_frames, xing (sub-dict or None), id3v2_bytes,
+    crc_frames (CRC-checked Layer III frames), crc_ok_frames,
+    crc_unchecked_frames (protected Layer I/II frames, whose CRC span
+    needs bit-allocation parsing), xing (sub-dict or None), id3v2_bytes,
     id3v1 (bool), resync_bytes (junk skipped before first frame),
     truncated (final frame extends past EOF)."""
     if not isinstance(data, (bytes, bytearray)):
@@ -216,12 +219,25 @@ def parse_mp3_meta(data: bytes) -> dict:
                 break
         h = None
         pos += 1
+    if h is None:
+        # no two-header chain anywhere: fall back to the first lone header
+        # whose frame fully fits — a valid final frame followed by >=4 bytes
+        # of trailer junk (APE/Lyrics3 tag) must still count as audio, same
+        # tolerance the main walk extends to junk after later frames
+        pos = start
+        while pos + 4 <= end:
+            h = hdr_at(pos)
+            if h is not None and pos + h["frame_bytes"] <= end:
+                break
+            h = None
+            pos += 1
     resync_bytes = pos - start
     out = {
         "n_frames": 0, "samples_total": 0, "audio_bytes": 0,
         "bitrate_sum_kbps": 0, "distinct_bitrates": 0, "sample_rate": None,
         "version": None, "layer": None, "channel_mode": None,
-        "crc_frames": 0, "crc_ok_frames": 0, "xing": None,
+        "crc_frames": 0, "crc_ok_frames": 0, "crc_unchecked_frames": 0,
+        "xing": None,
         "id3v2_bytes": id3v2_bytes, "id3v1": bool(id3v1),
         "resync_bytes": resync_bytes, "truncated": False,
     }
@@ -246,17 +262,26 @@ def parse_mp3_meta(data: bytes) -> dict:
         seen_br.add(h["bitrate_kbps"])
         body = pos + 4
         if h["crc"]:
-            out["crc_frames"] += 1
-            if body + 2 <= end and h["layer"] == 3:
-                stored = struct.unpack(">H", data[body:body + 2])[0]
-                si = side_info_length(h["version"], h["channel_mode"])
-                span = data[pos + 2:pos + 4] + data[body + 2:body + 2 + si]
-                if body + 2 + si <= pos + fl and crc16_mpeg(span) == stored:
-                    out["crc_ok_frames"] += 1
+            # crc_frames counts only CRC-CHECKED frames: the Layer III span
+            # (header tail + side info) is fixed-size, but Layer I/II spans
+            # depend on the bit-allocation section, which needs payload
+            # parsing — those protected frames go to crc_unchecked_frames
+            # instead of masquerading as failures in crc_ok/crc ratios
+            if h["layer"] == 3:
+                out["crc_frames"] += 1
+                if body + 2 <= end:
+                    stored = struct.unpack(">H", data[body:body + 2])[0]
+                    si = side_info_length(h["version"], h["channel_mode"])
+                    span = data[pos + 2:pos + 4] + data[body + 2:body + 2 + si]
+                    if body + 2 + si <= pos + fl and crc16_mpeg(span) == stored:
+                        out["crc_ok_frames"] += 1
+            else:
+                out["crc_unchecked_frames"] += 1
             body += 2
         if first and h["layer"] == 3:
             out["xing"] = _parse_xing(
-                data[body:pos + fl], h["version"], h["channel_mode"])
+                data[body:pos + fl], h["version"], h["channel_mode"],
+                crc_bytes=2 if h["crc"] else 0)
             first = False
         pos += fl
     out["distinct_bitrates"] = len(seen_br)
@@ -316,7 +341,11 @@ def encode_mp3_frames(
               + payload_seed + 31 * k) % 251).astype(np.uint8).tobytes()
         )
         si = side_info_length(version, channel_mode)
-        if xing is not None and layer == 3 and body_len >= si + 12:
+        if xing is not None:
+            if layer != 3:
+                raise ValueError("Xing header requires Layer III")
+            if body_len < si + 12:
+                raise ValueError("frame too small for a Xing header")
             body[si:si + 12] = b"Xing" + struct.pack(">II", 0x1, xing)
         if crc:
             if layer != 3:

@@ -125,10 +125,11 @@ def test_id3v2_footer_flag_and_id3v1_only():
 
 
 def test_vbri_header():
-    # VBRI sits 32 bytes after the header start; build frame 0 by hand
+    # VBRI sits 32 bytes after the END of the 4-byte header (frame offset
+    # 36, the Fraunhofer spec position); build frame 0 by hand
     base = encode_mp3_frames([(9, 0), (9, 0)], sample_rate_idx=0)
     b = bytearray(base)
-    vp = 4 + 32 - 4  # no CRC: payload starts at 4, probe at 32-4 into it
+    vp = 36  # absolute offset in the (no-CRC, no-ID3) stream
     b[vp:vp + 4] = b"VBRI"
     b[vp + 4:vp + 6] = struct.pack(">H", 1)      # version
     b[vp + 8:vp + 10] = struct.pack(">H", 77)    # quality
@@ -190,3 +191,60 @@ def test_pcm_decode_stays_honest_stub():
     assert "mp3" in STUB_AUDIO_FMTS
     with pytest.raises(NotImplementedError):
         decode_audio(encode_mp3_frames([(9, 0)]), "mp3", 1152, 2)
+
+
+def test_lone_final_frame_with_trailer_junk():
+    # a valid frame followed by >=4 bytes of non-frame trailer (APE tag)
+    # must still count as audio: resync falls back to the lone-header scan
+    # when no two-header chain exists anywhere
+    one = encode_mp3_frames([(9, 0)])
+    m = parse_mp3_meta(one + b"APETAGEX" + bytes(24))
+    assert m["n_frames"] == 1 and m["resync_bytes"] == 0
+    assert not m["truncated"]
+    # two-frame version walks identically (asymmetry regression guard)
+    m2 = parse_mp3_meta(encode_mp3_frames([(9, 0)] * 2) + b"APETAGEX")
+    assert m2["n_frames"] == 2
+
+
+def test_layer2_protected_frames_are_crc_unchecked():
+    # Layer I/II CRC spans depend on the bit-allocation section, which the
+    # frame layer does not parse: protected L2 frames must land in
+    # crc_unchecked_frames, never as crc_frames-without-crc_ok "failures"
+    def l2_frame():
+        br = _BITRATES[("V1", 2)][4]  # idx 5 -> 80 kbps
+        fl = frame_length("MPEG1", 2, br, 44100, 0)
+        word = (0x7FF << 21) | (0b11 << 19) | (0b10 << 17) | (0 << 16) \
+            | (5 << 12) | (0 << 10) | (0 << 9) | (0 << 6)
+        body = bytes((np.arange(fl - 6, dtype=np.int64) * 17 % 251)
+                     .astype(np.uint8))
+        return struct.pack(">I", word) + b"\x12\x34" + body
+
+    m = parse_mp3_meta(l2_frame() * 3)
+    assert m["n_frames"] == 3 and m["layer"] == 2
+    assert m["crc_frames"] == 0 and m["crc_ok_frames"] == 0
+    assert m["crc_unchecked_frames"] == 3
+
+
+def test_vbri_after_crc_frame():
+    # with CRC present the payload starts 2 bytes later, so the VBRI probe
+    # must shift: fourcc still lands at absolute frame offset 36
+    base = encode_mp3_frames([(9, 0), (9, 0)], crc=True)
+    b = bytearray(base)
+    b[36:40] = b"VBRI"
+    b[40 + 4:40 + 6] = struct.pack(">H", 3)       # quality at vp+8
+    b[36 + 8:36 + 10] = struct.pack(">H", 7)
+    b[36 + 10:36 + 14] = struct.pack(">I", 555)   # bytes
+    b[36 + 14:36 + 18] = struct.pack(">I", 11)    # frames
+    m = parse_mp3_meta(bytes(b))
+    assert m["xing"] == {"kind": "VBRI", "frames": 11, "bytes": 555,
+                         "quality": 7}
+
+
+def test_encoder_xing_misuse_raises():
+    with pytest.raises(ValueError, match="Layer III"):
+        encode_mp3_frames([(5, 0)], layer=2, xing_frames=5)
+    with pytest.raises(ValueError, match="too small for a Xing"):
+        # MPEG2.5 8 kbps @ 8000 Hz -> 72 bytes/frame, but side info for
+        # non-mono is 17 and 17+12+4 < 72... use mono 8kbps@24000 -> 24B
+        encode_mp3_frames([(1, 0)], version="MPEG2", sample_rate_idx=1,
+                          xing_frames=1)
