@@ -1320,15 +1320,17 @@ def _tile_assign_sql() -> str:
 
 
 def image_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIP join of the image table against the broadcast geofence set (cell
-    cover broadcast hash join + exact Column refine, as pip_rect_join)."""
+    """PIP join of the image table against the tiny geofence set via the
+    join-free expression-compiled path (spatial._rect_pip_expr): the rect
+    table becomes a CASE-array projection — the right plan for image rows,
+    whose decode cost dwarfs the per-row predicate, at any scale."""
     from activity_files_spark.data.images import synth_images
     from activity_files_spark.operators.spatial import rect_pip_join
 
     imgs = synth_images(spark, N_IMAGES_CORRECTNESS, partitions=8).select(
         "image_id", "lat", "lon"
     )
-    j = rect_pip_join(imgs, GEOFENCES)
+    j = rect_pip_join(imgs, GEOFENCES, expr_max_rects=16)
     return j.groupBy("geofence_id").agg(
         F.count("*").alias("n_images"),
         F.min("image_id").alias("first_image"),

@@ -247,3 +247,37 @@ def test_rect_pip_join_multi_part_geofence_id(spark):
     ]
     got = {(r["pid"], r["geofence_id"]) for r in rect_pip_join(pts, rects).collect()}
     assert got == {(1, "gf"), (2, "gf")}
+
+
+def test_rect_pip_expr_path_matches_cover_join(spark):
+    """The tiny-set expression-compiled path (no join at all) must return
+    the exact rows of the broadcast cover join on both how modes, including
+    overlapping rects, multi-part ids, boundary-inclusive points, and
+    points in no rect."""
+    import random
+
+    from activity_files_spark.operators.spatial import rect_pip_join
+
+    rng = random.Random(7)
+    pts = spark.createDataFrame(
+        [(i, rng.uniform(39.5, 41.5), rng.uniform(-106.0, -103.0))
+         for i in range(400)]
+        + [(1000, 40.0, -105.5), (1001, 40.1, -105.4)],  # exact boundaries
+        "pid int, lat double, lon double",
+    )
+    rects = [
+        ("a", -105.5, -105.0, 40.0, 40.6),
+        ("a", -104.2, -103.8, 40.9, 41.2),   # multi-part id
+        ("b", -105.3, -104.6, 40.3, 41.0),   # overlaps "a"
+        ("c", -103.1, -103.05, 39.6, 39.7),  # tiny, likely empty
+    ]
+    for how in ("inner", "left_outer"):
+        expr = rect_pip_join(pts, rects, how=how, expr_max_rects=16)
+        cover = rect_pip_join(pts, rects, how=how, expr_max_rects=0)
+        key = lambda r: (r["pid"], r["geofence_id"] or "")
+        assert sorted(map(key, expr.collect())) == sorted(map(key, cover.collect())), how
+    # the expr plan is join-free: no Exchange, no join operator of any kind
+    plan = expr._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+    # and an empty rect set still routes through the (empty-cover) join path
+    assert rect_pip_join(pts, [], how="inner").count() == 0
