@@ -411,6 +411,157 @@ def _pip_raycast_sql() -> str:
     """
 
 
+# map-matching route network over the derived grid: three polylines whose
+# 2 km buffer covers a strip of the lattice; the planar projection anchor
+# is the grid's mid latitude
+MM_ROUTES = [
+    ("r_diag", [(-105.45, 40.05), (-105.25, 40.25), (-105.05, 40.45)]),
+    ("r_horiz", [(-105.48, 40.30), (-105.02, 40.30)]),
+    ("r_vert", [(-105.20, 40.02), (-105.20, 40.48)]),
+]
+MM_TOL_M = 2000.0
+MM_REF_LAT = 40.25
+
+
+def map_match_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching join (operators/spatial.snap_to_segments): every derived
+    trackpoint within 2 km of the 3-route network snaps to its nearest
+    segment — broadcast cell-cover equi-join + pure-Column point-to-segment
+    distance + struct-min argmin (map-side combine => the shuffle carries
+    one row per matched point). The oracle replays the identical projection
+    arithmetic as a brute theta-join, so every candidate prune, clamp, and
+    tie-break must agree row-for-row."""
+    from activity_files_spark.operators.spatial import snap_to_segments
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    out = snap_to_segments(ev, MM_ROUTES, MM_TOL_M, MM_REF_LAT)
+    return out.select(
+        "event_id", "route_id", "seg_idx",
+        F.round("dist_m", 6).alias("dist_m"),
+        F.round("t_frac", 6).alias("t_frac"),
+    )
+
+
+def _map_match_sql() -> str:
+    from activity_files_spark.operators.spatial import snap_to_segments_sql
+
+    body = snap_to_segments_sql("pts", MM_ROUTES, MM_TOL_M, MM_REF_LAT)
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon FROM events
+    ),
+    {body}
+    SELECT event_id, route_id, seg_idx,
+           ROUND(d, 6) AS dist_m, ROUND(t, 6) AS t_frac
+    FROM mm_best
+    """
+
+
+SPIKE_VMAX_MPS = 1.0  # derived-grid speeds: median 0.28 m/s, p99 4.3 m/s
+
+
+def spike_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPS teleport-spike filter (normalize.filter_speed_spikes): drop points
+    whose implied speed to BOTH neighbors exceeds vmax — one lag/lead window
+    pass, endpoints kept. The per-user aggregate pins the exact kept-row
+    count and event_id sum, so every haversine, Δt guard, and boundary rule
+    must match the SQL replay."""
+    from activity_files_spark.operators.normalize import filter_speed_spikes
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    kept = filter_speed_spikes(
+        ev, SPIKE_VMAX_MPS, key="user_id", ts="ts", tiebreak="event_id"
+    )
+    return kept.groupBy("user_id").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("event_id").cast("long").alias("sum_kept_event_id"),
+    )
+
+
+def _spike_filter_sql() -> str:
+    hav_p = haversine_sql("plat", "plon", "lat", "lon")
+    hav_n = haversine_sql("lat", "lon", "nlat", "nlon")
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ), nb AS (
+      SELECT user_id, event_id, lat, lon,
+             LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+             LEAD(lat) OVER w AS nlat, LEAD(lon) OVER w AS nlon,
+             (epoch_us(ts) / 1000000.0) - LAG(epoch_us(ts) / 1000000.0) OVER w AS dtp,
+             LEAD(epoch_us(ts) / 1000000.0) OVER w - (epoch_us(ts) / 1000000.0) AS dtn
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sp AS (
+      SELECT user_id, event_id,
+             CASE WHEN dtp > 0 THEN {hav_p} / dtp END AS vp,
+             CASE WHEN dtn > 0 THEN {hav_n} / dtn END AS vn
+      FROM nb
+    )
+    SELECT user_id, COUNT(*) AS n_kept,
+           CAST(SUM(event_id) AS BIGINT) AS sum_kept_event_id
+    FROM sp
+    WHERE NOT (vp IS NOT NULL AND vp > {SPIKE_VMAX_MPS!r}
+               AND vn IS NOT NULL AND vn > {SPIKE_VMAX_MPS!r})
+    GROUP BY user_id
+    """
+
+
+RT_Z = 15  # route-signature tile zoom (~1.2 km cells at the grid latitude)
+
+
+def route_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route near-dup mining (operators/trajectory.py): each user's route
+    signature is its distinct z15 tile set; candidate pairs come from a
+    tile self-equi-join with exact cell Jaccard; every route picks its
+    single most similar other route (jaccard desc, id asc — deterministic
+    at any corpus density, unlike a global threshold); the winner pair is
+    refined with the cell-snapped symmetric Hausdorff distance in meters.
+    The oracle replays signature, join, ranking, and the min/max haversine
+    pyramid over identical tile-center floats."""
+    from activity_files_spark.operators.trajectory import (
+        hausdorff_refine,
+        route_cells,
+        route_pair_jaccard,
+        top_similar_routes,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    cells = route_cells(ev, RT_Z, key="user_id")
+    pairs = route_pair_jaccard(cells, key="user_id")
+    top = top_similar_routes(pairs, k=1).drop("rank")
+    ref = hausdorff_refine(top, cells, RT_Z, key="user_id")
+    return ref.select(
+        F.col("key").alias("user_id"),
+        F.col("other").alias("similar_user_id"),
+        "n_shared",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("hausdorff_m", 3).alias("hausdorff_m"),
+    )
+
+
+def _route_near_dups_sql() -> str:
+    from activity_files_spark.operators.trajectory import route_similarity_sql
+
+    body = route_similarity_sql("pts", RT_Z, k=1, key="user_id")
+    return f"""
+    WITH pts AS (
+      SELECT user_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon FROM events
+    ),
+    {body}
+    SELECT key AS user_id, other AS similar_user_id, n_shared,
+           ROUND(jaccard, 6) AS jaccard, ROUND(hausdorff_m, 3) AS hausdorff_m
+    FROM rc_final
+    """
+
+
 def resample_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 resample: per-user 6-hour grid (end-inclusive) with linear
     interpolation of the derived lat/lon between bracketing points."""
@@ -1270,6 +1421,39 @@ def _hex_cells_sql() -> str:
     SELECT {hex_cell_sql('lat', 'lon', 6)} AS hex_id,
            COUNT(*) AS n_points, MIN(event_id) AS min_event_id
     FROM pts GROUP BY 1
+    """
+
+
+def geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash base-32 ladder (precision 6) rollup over the derived
+    trackpoints — the third cell family next to quadkey_cells / hex_cells
+    (functions/geohash.py: interchange format + free prefix res-ladder).
+    Pure Column bit-interleave expression; scan -> groupBy, one shuffle."""
+    from activity_files_spark.functions.geohash import geohash_col
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    enc = ev.withColumn("geohash", geohash_col(F.col("lat"), F.col("lon"), 6))
+    return enc.groupBy("geohash").agg(
+        F.count("*").alias("n_points"), F.min("event_id").alias("min_event_id")
+    )
+
+
+def _geohash_cells_sql() -> str:
+    from activity_files_spark.functions.geohash import geohash_sql
+
+    x, y, z, s = geohash_sql("lat", "lon", 6)
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon FROM events
+    ), xy AS (
+      SELECT event_id, {x} AS gx, {y} AS gy FROM pts
+    ), code AS (
+      SELECT event_id, {z} AS gz FROM xy
+    )
+    SELECT {s} AS geohash, COUNT(*) AS n_points, MIN(event_id) AS min_event_id
+    FROM code GROUP BY 1
     """
 
 
@@ -3466,6 +3650,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_raycast_join": pip_raycast_join,
         "resample_track": resample_track,
         "hex_cells": hex_cells,
+        "geohash_cells": geohash_cells,
+        "map_match_events": map_match_events,
+        "route_near_dups": route_near_dups,
+        "spike_filter_events": spike_filter_events,
         "fit_roundtrip_stats": fit_roundtrip_stats,
         "gpx_roundtrip_stats": gpx_roundtrip_stats,
         "merge_upsert_events": merge_upsert_events,
@@ -3530,6 +3718,10 @@ def oracle_sql() -> dict[str, str]:
         "pip_raycast_join": _pip_raycast_sql(),
         "resample_track": _resample_sql(),
         "hex_cells": _hex_cells_sql(),
+        "geohash_cells": _geohash_cells_sql(),
+        "map_match_events": _map_match_sql(),
+        "route_near_dups": _route_near_dups_sql(),
+        "spike_filter_events": _spike_filter_sql(),
         "fit_roundtrip_stats": _fit_roundtrip_sql(),
         "gpx_roundtrip_stats": _gpx_roundtrip_sql(),
         "merge_upsert_events": _merge_upsert_sql(),

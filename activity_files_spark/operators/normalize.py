@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from activity_files_spark.functions.geo import haversine_m
 from activity_files_spark.functions.time import ts_seconds
 
 # Reference constants (raw_editor.dart:82-195)
@@ -438,3 +439,48 @@ def update_point(
             ).cast("long") - F.lit(1),
         )
     return out
+
+
+def filter_speed_spikes(
+    points: DataFrame,
+    vmax_mps: float,
+    key: str = "activity_id",
+    ts: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """GPS teleport-spike filter: drop a point iff the implied speed to BOTH
+    its neighbors exceeds ``vmax_mps`` — a single displaced fix shows an
+    implausible jump out AND back, while genuine fast movement shows a high
+    speed on one side only, so honest points survive.
+
+    Not in the reference (its trimInvalid, raw_editor.dart:82-195, handles
+    coordinate sentinels but not kinematic outliers); this extends the same
+    data-quality family for corpus-scale track cleaning. One window pass:
+    lag/lead haversine over Δt (speed NULL when Δt <= 0 — a non-advancing
+    clock is never spike evidence, duplicate-ts resolution belongs to
+    sortAndDedup). Endpoints have one neighbor and are always kept.
+    Consecutive multi-point spikes need iterated passes or the stateful
+    keep-chain kernel (downsample.py) — single isolated fixes are the
+    overwhelming real-world case and the one-pass form stays a pure
+    window expression (no shuffle beyond the per-activity sort).
+    """
+    order = [ts, tiebreak] if tiebreak else [ts]
+    w = Window.partitionBy(key).orderBy(*order)
+    t_s = ts_seconds(F.col(ts))
+    dt_prev = t_s - F.lag(t_s).over(w)
+    dt_next = F.lead(t_s).over(w) - t_s
+    d_prev = haversine_m(
+        F.lag(lat).over(w), F.lag(lon).over(w), F.col(lat), F.col(lon)
+    )
+    d_next = haversine_m(
+        F.col(lat), F.col(lon), F.lead(lat).over(w), F.lead(lon).over(w)
+    )
+    v_prev = F.when(dt_prev > 0, d_prev / dt_prev)
+    v_next = F.when(dt_next > 0, d_next / dt_next)
+    spike = (
+        v_prev.isNotNull() & (v_prev > F.lit(vmax_mps))
+        & v_next.isNotNull() & (v_next > F.lit(vmax_mps))
+    )
+    return points.withColumn("_spike", spike).filter(~F.col("_spike")).drop("_spike")

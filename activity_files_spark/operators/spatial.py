@@ -23,6 +23,8 @@ by AQE skew-join plus optional salting in `tiling.py`.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -434,6 +436,191 @@ def knn_join_brute(
     )
 
 
+def segment_table(
+    routes: list[tuple[str, list[tuple[float, float]]]], ref_lat: float
+) -> list[tuple]:
+    """Flatten ``(route_id, [(lon, lat), ...])`` polylines into per-segment
+    rows with the planar projection precomputed driver-side:
+
+        (route_id, seg_idx, a_lon, a_lat, vx, vy, len2)
+
+    where ``vx/vy`` are the segment vector in METERS under the local
+    equirectangular projection anchored at ``ref_lat`` (kx = m per degree
+    lon at the anchor, ky = m per degree lat), and ``len2`` = vx²+vy².
+    Zero-length segments are encoded as vx=vy=0, len2=1 so the projection
+    parameter t collapses to 0 and the distance degrades to point distance
+    — no division-by-zero branch needed in the hot expression.
+
+    Precomputing these as exact double literals means the Spark Column
+    expression and the DuckDB oracle SQL consume the *same* numbers and the
+    remaining per-point arithmetic is the same IEEE op sequence in both.
+    """
+    kx, ky = planar_scales(ref_lat)
+    rows = []
+    for route_id, pts in routes:
+        for i in range(len(pts) - 1):
+            (a_lon, a_lat), (b_lon, b_lat) = pts[i], pts[i + 1]
+            vx = (b_lon - a_lon) * kx
+            vy = (b_lat - a_lat) * ky
+            len2 = vx * vx + vy * vy
+            if len2 == 0.0:
+                vx = vy = 0.0
+                len2 = 1.0
+            rows.append((route_id, i, a_lon, a_lat, vx, vy, len2))
+    return rows
+
+
+def planar_scales(ref_lat: float) -> tuple[float, float]:
+    """(meters per degree lon, meters per degree lat) of the local
+    equirectangular projection anchored at ``ref_lat``."""
+    from activity_files_spark.functions.geo import EARTH_RADIUS_M
+
+    kx = math.radians(1.0) * EARTH_RADIUS_M * math.cos(math.radians(ref_lat))
+    ky = math.radians(1.0) * EARTH_RADIUS_M
+    return kx, ky
+
+
+def snap_to_segments(
+    points: DataFrame,
+    routes: list[tuple[str, list[tuple[float, float]]]],
+    max_dist_m: float,
+    ref_lat: float,
+    z: int | None = None,
+    lat: str = "lat",
+    lon: str = "lon",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Map-matching join: snap every point to the nearest segment of a small
+    route set within ``max_dist_m``, as a cell-prefix hash join.
+
+    Not in the reference (which parses tracks but never matches them to a
+    route network); this is north-rule spatial core in the same family as
+    :func:`pip_join` / :func:`knn_join`. Plan shape:
+
+    - Each segment's bbox is buffered by ``max_dist_m`` (converted to
+      degrees through the SAME planar scales the distance uses, so the
+      prune is provably complete: d(p, seg) <= tol implies p lies inside
+      the buffered bbox) and covered with zoom-``z`` tiles.
+    - The tiny ``(cell, segment)`` cover is **broadcast**; points carry a
+      native packed-cell column and equi-join on it (BroadcastHashJoin,
+      codegen'd) — at 100 TB the candidate volume is |points near routes| ×
+      avg segments per cell, never n_points × n_segments.
+    - Point-to-segment distance is pure Column arithmetic (project, clamp
+      t to [0,1], hypot); the per-point argmin is a groupBy MIN over a
+      (dist, route_id, seg_idx, t) struct — map-side partial aggregation
+      collapses candidates to one row per point before the exchange, so
+      the shuffle moves one row per matched point.
+
+    Returns the input columns (minus helper cells) plus ``route_id``,
+    ``seg_idx``, ``dist_m``, ``t_frac`` for points with at least one
+    segment within tolerance (inner semantics).
+    """
+    spark = points.sparkSession
+    segs = segment_table(routes, ref_lat)
+    kx, ky = planar_scales(ref_lat)
+    buf_lon = max_dist_m / kx
+    buf_lat = max_dist_m / ky
+    seg_rings = []
+    for route_id, i, a_lon, a_lat, vx, vy, len2 in segs:
+        b_lon = a_lon + vx / kx
+        b_lat = a_lat + vy / ky
+        w, e = min(a_lon, b_lon) - buf_lon, max(a_lon, b_lon) + buf_lon
+        s, n = min(a_lat, b_lat) - buf_lat, max(a_lat, b_lat) + buf_lat
+        seg_rings.append(((route_id, i, a_lon, a_lat, vx, vy, len2),
+                          [(w, s), (e, s), (e, n), (w, n)]))
+    if z is None and cell_col is not None:
+        raise ValueError("cell_col requires an explicit z (its zoom)")
+    if z is None:
+        z = min(auto_cover_zoom(r) for _, r in seg_rings) if seg_rings else 12
+    cover_rows = []
+    for (route_id, i, a_lon, a_lat, vx, vy, len2), ring in seg_rings:
+        for x, y in polygon_cover_tiles(ring, z):
+            cover_rows.append(
+                (route_id, i, (x << z) | y, a_lon, a_lat, vx, vy, len2)
+            )
+    cover = spark.createDataFrame(
+        cover_rows,
+        "route_id string, seg_idx int, _cover_cell long, a_lon double,"
+        " a_lat double, vx double, vy double, len2 double",
+    )
+    if cell_col is None:
+        pts = points.withColumn("_cell", cell_id_col(F.col(lat), F.col(lon), z))
+        cc = "_cell"
+    else:
+        pts = points
+        cc = cell_col
+    wx = (F.col(lon) - F.col("a_lon")) * F.lit(kx)
+    wy = (F.col(lat) - F.col("a_lat")) * F.lit(ky)
+    t_raw = (wx * F.col("vx") + wy * F.col("vy")) / F.col("len2")
+    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    dx = wx - t * F.col("vx")
+    dy = wy - t * F.col("vy")
+    d = F.sqrt(dx * dx + dy * dy)
+    keep = [c for c in points.columns if c != cc]
+    cand = (
+        pts.join(F.broadcast(cover), pts[cc] == cover["_cover_cell"], "inner")
+        .withColumn("_d", d)
+        .withColumn("_t", t)
+        .filter(F.col("_d") <= F.lit(max_dist_m))
+    )
+    best = cand.groupBy(*keep).agg(
+        F.min(F.struct(F.col("_d"), F.col("route_id"), F.col("seg_idx"), F.col("_t"))).alias("_m")
+    )
+    return best.select(
+        *keep,
+        F.col("_m.route_id").alias("route_id"),
+        F.col("_m.seg_idx").alias("seg_idx"),
+        F.col("_m._d").alias("dist_m"),
+        F.col("_m._t").alias("t_frac"),
+    )
+
+
+def snap_to_segments_sql(
+    pts_cte: str,
+    routes: list[tuple[str, list[tuple[float, float]]]],
+    max_dist_m: float,
+    ref_lat: float,
+    point_cols: str = "event_id",
+) -> str:
+    """DuckDB oracle twin of :func:`snap_to_segments`: brute theta-join over
+    the same precomputed segment literals with the identical IEEE op
+    sequence, argmin by ROW_NUMBER over (d, route_id, seg_idx). The cell
+    prune is conservative-complete, so brute == pruned row-for-row."""
+    segs = segment_table(routes, ref_lat)
+    kx, ky = planar_scales(ref_lat)
+    vals = ", ".join(
+        f"('{rid}', {i}, {a_lon!r}, {a_lat!r}, {vx!r}, {vy!r}, {len2!r})"
+        for rid, i, a_lon, a_lat, vx, vy, len2 in segs
+    )
+    return f"""
+    seg(route_id, seg_idx, a_lon, a_lat, vx, vy, len2) AS (VALUES {vals}),
+    mm_proj AS (
+      SELECT {point_cols}, route_id, seg_idx, len2, vx, vy,
+             (lon - a_lon) * {kx!r} AS wx,
+             (lat - a_lat) * {ky!r} AS wy
+      FROM {pts_cte} CROSS JOIN seg
+    ),
+    mm_t AS (
+      SELECT {point_cols}, route_id, seg_idx, vx, vy, wx, wy,
+             LEAST(GREATEST((wx * vx + wy * vy) / len2, 0.0), 1.0) AS t
+      FROM mm_proj
+    ),
+    mm_cand AS (
+      SELECT {point_cols}, route_id, seg_idx, t,
+             SQRT((wx - t * vx) * (wx - t * vx) + (wy - t * vy) * (wy - t * vy)) AS d
+      FROM mm_t
+    ),
+    mm_best AS (
+      SELECT {point_cols}, route_id, seg_idx, d, t
+      FROM mm_cand
+      WHERE d <= {max_dist_m!r}
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY {point_cols} ORDER BY d, route_id, seg_idx
+      ) = 1
+    )
+    """
+
+
 __all__ = [
     "cell_encode",
     "polygon_cover_tiles",
@@ -445,4 +632,8 @@ __all__ = [
     "knn_join",
     "knn_join_brute",
     "quadkey_py",
+    "planar_scales",
+    "segment_table",
+    "snap_to_segments",
+    "snap_to_segments_sql",
 ]

@@ -93,6 +93,10 @@ HEADLINE = [
     "zonal_stats_polygon",
     "video_mkv_stats",
     "audio_mp3_stats",
+    "geohash_cells",
+    "map_match_events",
+    "route_near_dups",
+    "spike_filter_events",
 ]
 
 

@@ -281,3 +281,73 @@ def test_rect_pip_expr_path_matches_cover_join(spark):
     assert "Join" not in plan and "Exchange" not in plan
     # and an empty rect set still routes through the (empty-cover) join path
     assert rect_pip_join(pts, [], how="inner").count() == 0
+
+
+def _snap_brute_py(pts, routes, tol, ref_lat):
+    """Pure-python brute oracle for snap_to_segments (same IEEE sequence)."""
+    from activity_files_spark.operators.spatial import planar_scales, segment_table
+
+    kx, ky = planar_scales(ref_lat)
+    segs = segment_table(routes, ref_lat)
+    out = {}
+    for pid, lat, lon in pts:
+        best = None
+        for rid, i, a_lon, a_lat, vx, vy, len2 in segs:
+            wx = (lon - a_lon) * kx
+            wy = (lat - a_lat) * ky
+            t = min(max((wx * vx + wy * vy) / len2, 0.0), 1.0)
+            dx, dy = wx - t * vx, wy - t * vy
+            d = (dx * dx + dy * dy) ** 0.5
+            if d <= tol:
+                k = (d, rid, i, t)
+                if best is None or k < best:
+                    best = k
+        if best is not None:
+            out[pid] = (best[1], best[2], round(best[0], 6), round(best[3], 6))
+    return out
+
+
+def test_snap_to_segments_matches_brute(spark):
+    """Cell-pruned broadcast snap == brute python oracle on a random cloud
+    spanning inside/outside the tolerance band, including a zero-length
+    segment (degrades to point distance) and shared-vertex tie-breaks."""
+    import random
+
+    from activity_files_spark.operators.spatial import snap_to_segments
+
+    routes = [
+        ("alpha", [(-105.45, 40.05), (-105.25, 40.25), (-105.05, 40.45)]),
+        ("beta", [(-105.40, 40.30), (-105.10, 40.30)]),
+        ("gamma", [(-105.20, 40.20), (-105.20, 40.20)]),  # zero-length
+    ]
+    rng = random.Random(11)
+    pts = [(i, rng.uniform(39.9, 40.6), rng.uniform(-105.6, -104.9))
+           for i in range(500)]
+    # points exactly on route vertices (ties between adjacent segments)
+    pts += [(1000, 40.25, -105.25), (1001, 40.30, -105.40), (1002, 40.20, -105.20)]
+    tol, ref_lat = 3000.0, 40.25
+    expected = _snap_brute_py(pts, routes, tol, ref_lat)
+
+    df = spark.createDataFrame(pts, "pid int, lat double, lon double")
+    got_rows = snap_to_segments(df, routes, tol, ref_lat).collect()
+    got = {
+        r["pid"]: (r["route_id"], r["seg_idx"], round(r["dist_m"], 6), round(r["t_frac"], 6))
+        for r in got_rows
+    }
+    assert got == expected
+    assert got[1002] == ("gamma", 0, 0.0, 0.0)  # zero-length seg, d == 0
+    assert len(got) < len(pts)  # some points fall outside the tolerance
+
+
+def test_snap_to_segments_plan_is_broadcast_hash_join(spark):
+    from activity_files_spark.operators.spatial import snap_to_segments
+
+    df = spark.createDataFrame(
+        [(1, 40.2, -105.2)], "pid int, lat double, lon double"
+    )
+    out = snap_to_segments(
+        df, [("r", [(-105.25, 40.15), (-105.15, 40.25)])], 2000.0, 40.2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

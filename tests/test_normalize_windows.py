@@ -174,3 +174,45 @@ def test_sessionize_gap(spark):
     assert sess[(1, "2024-01-01 00:10:00")] == 0
     assert sess[(1, "2024-01-01 02:00:00")] == 1
     assert sess[(2, "2024-01-01 00:00:00")] == 0
+
+
+def test_filter_speed_spikes(spark):
+    """Isolated teleport dropped; fast-but-sustained movement kept (high
+    speed only on one side per point); endpoints kept; Δt<=0 is never
+    spike evidence."""
+    from datetime import datetime
+
+    from activity_files_spark.operators.normalize import filter_speed_spikes
+
+    t = lambda s: datetime(2024, 3, 1, 10, 0, s)
+    rows = [
+        # walking pace ~1.1 m/s per 10 s step along lat
+        ("a", 0, t(0), 40.0000, -105.0),
+        ("a", 1, t(10), 40.0001, -105.0),
+        ("a", 2, t(20), 40.5000, -105.0),   # teleport out+back -> spike
+        ("a", 3, t(30), 40.0003, -105.0),
+        ("a", 4, t(40), 40.0004, -105.0),
+        # user b: genuine sprint away (fast on ONE side only each point)
+        ("b", 0, t(0), 40.0000, -105.0),
+        ("b", 1, t(10), 40.0001, -105.0),
+        ("b", 2, t(20), 40.1000, -105.0),   # fast in, fast out? next hop fast too
+        ("b", 3, t(30), 40.2000, -105.0),   # sustained fast: both sides fast...
+        # user c: duplicate timestamp -> dt=0 -> no evidence, kept
+        ("c", 0, t(0), 40.0, -105.0),
+        ("c", 1, t(0), 44.0, -105.0),
+        ("c", 2, t(10), 40.0001, -105.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, seq int, ts timestamp, lat double, lon double")
+    kept = filter_speed_spikes(df, 50.0, key="user_id", ts="ts", tiebreak="seq")
+    got = sorted((r["user_id"], r["seq"]) for r in kept.collect())
+    # a2 dropped (~1100 m/s both sides). b2 is an interior sustained-fast
+    # point with both sides above vmax=50 -> dropped (the documented
+    # one-pass limitation); b3 is the LAST point (one neighbor) -> kept.
+    # c1: dt=0 on the prev side -> NULL evidence -> kept despite the jump.
+    assert got == [
+        ("a", 0), ("a", 1), ("a", 3), ("a", 4),
+        ("b", 0), ("b", 1), ("b", 3),
+        ("c", 0), ("c", 1), ("c", 2),
+    ]
+    # with a generous vmax nothing is dropped
+    assert filter_speed_spikes(df, 1e9, key="user_id", ts="ts", tiebreak="seq").count() == len(rows)
