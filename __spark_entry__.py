@@ -512,7 +512,121 @@ def _spike_filter_sql() -> str:
     """
 
 
+def stream_map_match_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING map-matching: the same snap_to_segments semantics over
+    readStream, via the join-free expression-compiled path (spatial.
+    _snap_expr) — a STATELESS append-mode projection needing no watermark
+    or state store, so each micro-batch labels its points independently
+    and the result is micro-batch-boundary-invariant by construction.
+    The oracle is the batch theta-join replay aggregated per segment;
+    a hash match proves the streaming plan computes exactly the batch
+    answer."""
+    import tempfile
+    import uuid
+
+    from activity_files_spark.operators.spatial import snap_to_segments
+    from activity_files_spark.streaming.stream_ops import run_available_now
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    pts = src.select("event_id", _lat_col().alias("lat"), _lon_col().alias("lon"))
+    hit = snap_to_segments(
+        pts, MM_ROUTES, MM_TOL_M, MM_REF_LAT,
+        expr_max_segments=16,
+    ).select("event_id", "route_id", "seg_idx", "dist_m")
+    name = f"stream_mm_{uuid.uuid4().hex[:10]}"
+    q = run_available_now(hit, name, tempfile.mkdtemp(), output_mode="append")
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("route_id", "seg_idx")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("event_id").alias("min_event_id"),
+            F.sum(F.round("dist_m", 6).cast("decimal(22,6)"))
+            .cast("double").alias("sum_dist_m"),
+        )
+    )
+
+
+def _stream_map_match_sql() -> str:
+    from activity_files_spark.operators.spatial import snap_to_segments_sql
+
+    body = snap_to_segments_sql("pts", MM_ROUTES, MM_TOL_M, MM_REF_LAT)
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon FROM events
+    ),
+    {body}
+    SELECT route_id, seg_idx, COUNT(*) AS n_points,
+           MIN(event_id) AS min_event_id,
+           CAST(SUM(CAST(ROUND(d, 6) AS DECIMAL(22,6))) AS DOUBLE) AS sum_dist_m
+    FROM mm_best GROUP BY route_id, seg_idx
+    """
+
+
+DP_EPS_M = 150.0  # Douglas-Peucker tolerance (track amplitude ~1.7 km)
+DP_REF_LAT = 40.25
+
+
+def simplify_track_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker track simplification (operators/simplify.py): each
+    user's events become a smooth parametric track (monotone lat ramp +
+    sine lon wiggle — the derived zigzag grid would keep every vertex);
+    the per-activity Arrow kernel runs the DP stack loop, and the oracle
+    replays the SAME recursion as a WITH RECURSIVE interval-splitting CTE
+    (LATERAL argmax per chord, identical planar-projection floats) — an
+    iterative operator, hash-gated exactly. Aggregate pins kept count and
+    the exact kept-seq sum per user."""
+    from activity_files_spark.operators.simplify import simplify_tracks
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trk = ev.withColumn("seq", F.row_number().over(w).cast("long") - F.lit(1)).select(
+        "user_id", "seq",
+        (F.lit(40.0) + F.col("seq") * F.lit(0.0005)).alias("lat"),
+        (F.lit(-105.0) + F.lit(0.02) * F.sin(F.col("seq") * F.lit(0.05))).alias("lon"),
+    )
+    kept = simplify_tracks(trk, DP_EPS_M, DP_REF_LAT, key="user_id", seq="seq")
+    return kept.groupBy("user_id").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("seq").cast("long").alias("sum_kept_seq"),
+    )
+
+
+def _simplify_track_sql() -> str:
+    from activity_files_spark.operators.simplify import simplify_sql
+
+    body = simplify_sql("pts", DP_EPS_M, DP_REF_LAT, key="user_id")
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS seq
+      FROM events
+    ),
+    -- MATERIALIZED: the recursion's LATERAL argmax re-reads pts many times;
+    -- inlining would re-evaluate the window + SIN chain per reference
+    pts AS MATERIALIZED (
+      SELECT user_id, seq,
+             40.0 + CAST(seq AS DOUBLE) * 0.0005 AS lat,
+             -105.0 + 0.02 * SIN(CAST(seq AS DOUBLE) * 0.05) AS lon
+      FROM base
+    ),
+    {body}
+    SELECT key AS user_id, COUNT(*) AS n_kept,
+           CAST(SUM(seq) AS BIGINT) AS sum_kept_seq
+    FROM dp_kept GROUP BY key
+    """
+
+
 RT_Z = 15  # route-signature tile zoom (~1.2 km cells at the grid latitude)
+RT_REFINE_Z = 13  # Hausdorff refine zoom: |cells|^2 product 16x smaller
 
 
 def route_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,7 +651,10 @@ def route_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = route_cells(ev, RT_Z, key="user_id")
     pairs = route_pair_jaccard(cells, key="user_id")
     top = top_similar_routes(pairs, k=1).drop("rank")
-    ref = hausdorff_refine(top, cells, RT_Z, key="user_id")
+    ref = hausdorff_refine(
+        top, route_cells(ev, RT_REFINE_Z, key="user_id"), RT_REFINE_Z,
+        key="user_id",
+    )
     return ref.select(
         F.col("key").alias("user_id"),
         F.col("other").alias("similar_user_id"),
@@ -550,7 +667,7 @@ def route_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _route_near_dups_sql() -> str:
     from activity_files_spark.operators.trajectory import route_similarity_sql
 
-    body = route_similarity_sql("pts", RT_Z, k=1, key="user_id")
+    body = route_similarity_sql("pts", RT_Z, k=1, key="user_id", refine_z=RT_REFINE_Z)
     return f"""
     WITH pts AS (
       SELECT user_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon FROM events
@@ -3654,6 +3771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_match_events": map_match_events,
         "route_near_dups": route_near_dups,
         "spike_filter_events": spike_filter_events,
+        "simplify_track_events": simplify_track_events,
+        "stream_map_match_events": stream_map_match_events,
         "fit_roundtrip_stats": fit_roundtrip_stats,
         "gpx_roundtrip_stats": gpx_roundtrip_stats,
         "merge_upsert_events": merge_upsert_events,
@@ -3722,6 +3841,8 @@ def oracle_sql() -> dict[str, str]:
         "map_match_events": _map_match_sql(),
         "route_near_dups": _route_near_dups_sql(),
         "spike_filter_events": _spike_filter_sql(),
+        "simplify_track_events": _simplify_track_sql(),
+        "stream_map_match_events": _stream_map_match_sql(),
         "fit_roundtrip_stats": _fit_roundtrip_sql(),
         "gpx_roundtrip_stats": _gpx_roundtrip_sql(),
         "merge_upsert_events": _merge_upsert_sql(),

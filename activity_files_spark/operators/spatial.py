@@ -480,6 +480,51 @@ def planar_scales(ref_lat: float) -> tuple[float, float]:
     return kx, ky
 
 
+def _snap_expr(
+    points: DataFrame,
+    segs: list[tuple],
+    kx: float,
+    ky: float,
+    max_dist_m: float,
+    lat: str,
+    lon: str,
+) -> DataFrame:
+    """Join-free snap path: the segment table compiled into an
+    array<struct>-min projection (the map-matching twin of
+    :func:`_rect_pip_expr`). One WholeStageCodegen span, no broadcast, no
+    aggregation state — which also makes it legal as a STATELESS streaming
+    projection (append mode, no watermark)."""
+    structs = []
+    for rid, i, a_lon, a_lat, vx, vy, len2 in segs:
+        wx = (F.col(lon) - F.lit(a_lon)) * F.lit(kx)
+        wy = (F.col(lat) - F.lit(a_lat)) * F.lit(ky)
+        t_raw = (wx * F.lit(vx) + wy * F.lit(vy)) / F.lit(len2)
+        t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+        dx = wx - t * F.lit(vx)
+        dy = wy - t * F.lit(vy)
+        d = F.sqrt(dx * dx + dy * dy)
+        structs.append(
+            F.struct(
+                d.alias("_d"),
+                F.lit(rid).alias("route_id"),
+                F.lit(i).cast("int").alias("seg_idx"),
+                t.alias("_t"),
+            )
+        )
+    best = F.array_min(F.array(*structs))
+    return (
+        points.withColumn("_m", best)
+        .filter(F.col("_m._d") <= F.lit(max_dist_m))
+        .select(
+            *points.columns,
+            F.col("_m.route_id").alias("route_id"),
+            F.col("_m.seg_idx").alias("seg_idx"),
+            F.col("_m._d").alias("dist_m"),
+            F.col("_m._t").alias("t_frac"),
+        )
+    )
+
+
 def snap_to_segments(
     points: DataFrame,
     routes: list[tuple[str, list[tuple[float, float]]]],
@@ -489,6 +534,7 @@ def snap_to_segments(
     lat: str = "lat",
     lon: str = "lon",
     cell_col: str | None = None,
+    expr_max_segments: int = 0,
 ) -> DataFrame:
     """Map-matching join: snap every point to the nearest segment of a small
     route set within ``max_dist_m``, as a cell-prefix hash join.
@@ -514,10 +560,23 @@ def snap_to_segments(
     Returns the input columns (minus helper cells) plus ``route_id``,
     ``seg_idx``, ``dist_m``, ``t_frac`` for points with at least one
     segment within tolerance (inner semantics).
+
+    Segment tables of at most ``expr_max_segments`` rows skip the join
+    entirely (:func:`_snap_expr`): the table compiles into an
+    array<struct>-min projection — no broadcast, no aggregation, one
+    codegen span. Same rows as the cover join (the argmin ordering is
+    identical and the prune only removes d > tol candidates); the
+    stateless form is also what the streaming twin runs, since it needs
+    no watermark or state store.
     """
     spark = points.sparkSession
     segs = segment_table(routes, ref_lat)
     kx, ky = planar_scales(ref_lat)
+    if 0 < len(segs) <= expr_max_segments:
+        # argmin over the compiled struct array == groupBy struct-min over
+        # the cover join's candidates: same (d, route_id, seg_idx) ordering,
+        # and the cover prune only ever removes candidates with d > tol
+        return _snap_expr(points, segs, kx, ky, max_dist_m, lat, lon)
     buf_lon = max_dist_m / kx
     buf_lat = max_dist_m / ky
     seg_rings = []

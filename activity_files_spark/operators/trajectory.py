@@ -159,15 +159,20 @@ def hausdorff_refine(
 
 
 def route_similarity_sql(
-    pts_cte: str, z: int, k: int = 1, key: str = "user_id"
+    pts_cte: str, z: int, k: int = 1, key: str = "user_id",
+    refine_z: int | None = None,
 ) -> str:
     """DuckDB oracle body for route_cells -> route_pair_jaccard ->
     top_similar_routes(k) -> hausdorff_refine, over a CTE named ``pts_cte``
     with columns (key, lat, lon). Binds CTEs rc_cells .. rc_final; the
-    caller selects from ``rc_final``."""
+    caller selects from ``rc_final``. ``refine_z`` (default ``z``) is the
+    coarser zoom the Hausdorff refine snaps to — the |cells|² product per
+    pair shrinks 4x per level while the signature Jaccard stays at ``z``."""
+    rz = z if refine_z is None else refine_z
     x, y = tile_xy_sql("lat", "lon", z)
-    clat_a, clon_a = tile_center_sql("acx", "acy", z)
-    clat_b, clon_b = tile_center_sql("bcx", "bcy", z)
+    xr, yr = tile_xy_sql("lat", "lon", rz)
+    clat_a, clon_a = tile_center_sql("acx", "acy", rz)
+    clat_b, clon_b = tile_center_sql("bcx", "bcy", rz)
     hav = haversine_sql("alat", "alon", "blat", "blon")
     return f"""
     rc_cells AS (
@@ -199,12 +204,15 @@ def route_similarity_sql(
         PARTITION BY key ORDER BY jaccard DESC, other ASC
       ) <= {k}
     ),
+    rc_cells_r AS (
+      SELECT DISTINCT {key} AS key, {xr} AS cx, {yr} AS cy FROM {pts_cte}
+    ),
     rc_prod AS (
       SELECT t.key, t.other,
              a.cx AS acx, a.cy AS acy, b.cx AS bcx, b.cy AS bcy
       FROM rc_top t
-      JOIN rc_cells a ON a.key = t.key
-      JOIN rc_cells b ON b.key = t.other
+      JOIN rc_cells_r a ON a.key = t.key
+      JOIN rc_cells_r b ON b.key = t.other
     ),
     rc_dist AS (
       SELECT key, other, acx, acy, bcx, bcy,

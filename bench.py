@@ -97,6 +97,8 @@ HEADLINE = [
     "map_match_events",
     "route_near_dups",
     "spike_filter_events",
+    "simplify_track_events",
+    "stream_map_match_events",
 ]
 
 
@@ -445,6 +447,12 @@ SCALE_TIER_QUERIES = (
     # groupBy shuffles one row per lit pixel, and the lit-pixel set
     # saturates while points keep growing)
     "rasterize_heatmap_tiles",
+    # broadcast cover join + map-side-combined argmin: per-row cost must
+    # be flat at 10x (shuffle = one row per matched point)
+    "map_match_events",
+    # per-activity Arrow kernel: 10x users, same per-user track length —
+    # per-row cost must be flat (DP work scales with the group, not corpus)
+    "simplify_track_events",
 )
 
 

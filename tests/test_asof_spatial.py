@@ -351,3 +351,30 @@ def test_snap_to_segments_plan_is_broadcast_hash_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_snap_expr_path_matches_cover_join(spark):
+    """Join-free expression-compiled snap == broadcast cover join, and its
+    plan has no join, no exchange, no aggregate (stateless projection —
+    the property the streaming twin relies on)."""
+    import random
+
+    from activity_files_spark.operators.spatial import snap_to_segments
+
+    routes = [
+        ("alpha", [(-105.45, 40.05), (-105.25, 40.25), (-105.05, 40.45)]),
+        ("beta", [(-105.40, 40.30), (-105.10, 40.30)]),
+    ]
+    rng = random.Random(13)
+    pts = spark.createDataFrame(
+        [(i, rng.uniform(39.9, 40.6), rng.uniform(-105.6, -104.9))
+         for i in range(300)],
+        "pid int, lat double, lon double",
+    )
+    cover = snap_to_segments(pts, routes, 3000.0, 40.25)
+    expr = snap_to_segments(pts, routes, 3000.0, 40.25, expr_max_segments=16)
+    key = lambda r: (r["pid"], r["route_id"], r["seg_idx"],
+                     round(r["dist_m"], 9), round(r["t_frac"], 9))
+    assert sorted(map(key, cover.collect())) == sorted(map(key, expr.collect()))
+    plan = expr._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan and "Aggregate" not in plan
