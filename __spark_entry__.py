@@ -2014,10 +2014,18 @@ def hamming_near_dups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays codes by digit polynomial and brute-forces all pairs with
     the same XOR/popcount — every found pair, missed pair, and distance
     value is bit-exact."""
-    from activity_files_spark.operators.dedup import (
-        hamming_near_dup_pairs,
-        md5_prefix_long,
+    from activity_files_spark.operators.dedup import hamming_near_dup_pairs
+
+    allc = _hamming_corpus(spark, sf_dir)
+    return hamming_near_dup_pairs(
+        allc, code_col="code", id_col="doc_id", max_hamming=3, n_bands=4
     )
+
+
+def _hamming_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-twin hamming corpus (doc_id, code) — Spark twin of
+    :func:`_hamming_corpus_cte`."""
+    from activity_files_spark.operators.dedup import md5_prefix_long
 
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", md5_prefix_long(F.col("text")).alias("code")
@@ -2041,18 +2049,59 @@ def hamming_near_dups_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins4 = docs.filter(did % 7 == 0).select(
         (did + 3000000).alias("doc_id"), F.col("code").bitwiseXOR(m4).alias("code")
     )
-    allc = docs.unionByName(twins1).unionByName(twins3).unionByName(twins4)
-    return hamming_near_dup_pairs(
+    return docs.unionByName(twins1).unionByName(twins3).unionByName(twins4)
+
+
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS — the last stage a deduplicating writer needs:
+    the banded-Hamming pair miner's edges (independently oracled by
+    hamming_near_dups_docs) are closed into connected components
+    (operators/graph.py: min-label propagation + pointer jumping,
+    schedule-independent fixpoint), and each cluster reports its
+    canonical representative (min doc_id), member count, and exact
+    member-id sum. The oracle replays the mining AND the closure — a
+    WITH RECURSIVE transitive min-label reach — so every cluster
+    assignment is hash-gated."""
+    from activity_files_spark.operators.dedup import hamming_near_dup_pairs
+    from activity_files_spark.operators.graph import connected_components
+
+    allc = _hamming_corpus(spark, sf_dir)
+    pairs = hamming_near_dup_pairs(
         allc, code_col="code", id_col="doc_id", max_hamming=3, n_bands=4
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return cc.groupBy(F.col("component").alias("canonical_id")).agg(
+        F.count("*").alias("n_members"),
+        F.sum("node").cast("long").alias("sum_member_id"),
     )
 
 
-def _hamming_near_dups_sql() -> str:
+def _dedup_clusters_sql() -> str:
+    from activity_files_spark.operators.graph import connected_components_sql
+
+    closure = connected_components_sql("pairs")
+    return f"""
+    WITH RECURSIVE {_hamming_corpus_cte()},
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM allc a JOIN allc b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.code, b.code)) <= 3
+    ),
+    {closure}
+    SELECT component AS canonical_id, COUNT(*) AS n_members,
+           CAST(SUM(node) AS BIGINT) AS sum_member_id
+    FROM cc_labels GROUP BY component
+    """
+
+
+def _hamming_corpus_cte() -> str:
+    """CTE body (base/m/allc) for the planted-twin hamming corpus — shared
+    by the pair-mining oracle and the dedup-cluster oracle."""
     from activity_files_spark.operators.dedup import md5_prefix_long_sql
 
     code = md5_prefix_long_sql("text")
     return f"""
-    WITH base AS (SELECT doc_id, {code} AS code FROM documents),
+    base AS (SELECT doc_id, {code} AS code FROM documents),
     m AS (
       SELECT doc_id, code,
              (1::BIGINT << (doc_id % 60)) AS b1,
@@ -2069,7 +2118,12 @@ def _hamming_near_dups_sql() -> str:
       SELECT doc_id + 2000000, xor(code, b1 | b2 | b3) FROM m WHERE doc_id % 5 = 0
       UNION ALL
       SELECT doc_id + 3000000, xor(code, b1 | b2 | b3 | b4) FROM m WHERE doc_id % 7 = 0
-    )
+    )"""
+
+
+def _hamming_near_dups_sql() -> str:
+    return f"""
+    WITH {_hamming_corpus_cte()}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.code, b.code)) AS INT) AS hamming
     FROM allc a JOIN allc b ON a.doc_id < b.doc_id
@@ -3795,6 +3849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_invariants_summary": image_invariants_summary,
         "stream_tile_rollup_cells": stream_tile_rollup_cells,
         "hamming_near_dups_docs": hamming_near_dups_docs,
+        "dedup_clusters_docs": dedup_clusters_docs,
         "simhash_near_dups_docs": simhash_near_dups_docs,
         "rasterize_heatmap_tiles": rasterize_heatmap_tiles,
         "raster_components_vectorize": raster_components_vectorize,
@@ -3865,6 +3920,7 @@ def oracle_sql() -> dict[str, str]:
         "image_invariants_summary": _image_invariants_sql(),
         "stream_tile_rollup_cells": _stream_tile_rollup_sql(),
         "hamming_near_dups_docs": _hamming_near_dups_sql(),
+        "dedup_clusters_docs": _dedup_clusters_sql(),
         "simhash_near_dups_docs": _simhash_near_dups_sql(),
         "rasterize_heatmap_tiles": _rasterize_heatmap_sql(),
         "raster_components_vectorize": _raster_components_sql(),

@@ -99,6 +99,7 @@ HEADLINE = [
     "spike_filter_events",
     "simplify_track_events",
     "stream_map_match_events",
+    "dedup_clusters_docs",
 ]
 
 
