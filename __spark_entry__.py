@@ -459,6 +459,117 @@ def _map_match_sql() -> str:
     """
 
 
+def dwell_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence dwell sessions (windows.dwell_sessions): contiguous
+    inside-the-rect runs per user with exact enter/exit/dwell values;
+    the per-user aggregate pins run count, point count, decimal-exact
+    dwell-second sum, and max dwell — every run boundary (lag-change +
+    ROWS-framed running sum) must match the SQL replay."""
+    from activity_files_spark.operators.windows import dwell_sessions
+
+    g, w, e, s, n = GEOFENCES[1]  # gf_mid
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    runs = dwell_sessions(
+        ev, w, e, s, n, key="user_id", ts="ts", tiebreak="event_id"
+    )
+    return runs.groupBy("user_id").agg(
+        F.count("*").alias("n_dwells"),
+        F.sum("n_points").cast("long").alias("n_points"),
+        F.sum(F.col("dwell_s").cast("decimal(22,6)")).cast("double").alias("sum_dwell_s"),
+        F.max("dwell_s").alias("max_dwell_s"),
+    )
+
+
+def _dwell_sessions_sql() -> str:
+    _, w, e, s, n = GEOFENCES[1]
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ), flags AS (
+      SELECT user_id, event_id, ts,
+             CAST(lon >= {w!r} AND lon <= {e!r} AND lat >= {s!r} AND lat <= {n!r} AS INT) AS _in
+      FROM pts
+    ), lagged AS (
+      SELECT *, CASE WHEN LAG(_in) OVER w IS NULL OR _in != LAG(_in) OVER w
+                     THEN 1 ELSE 0 END AS chg
+      FROM flags WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM lagged
+    ), dwells AS (
+      SELECT user_id, run, COUNT(*) AS n_points,
+             MAX(epoch_us(ts) / 1000000.0) - MIN(epoch_us(ts) / 1000000.0) AS dwell_s
+      FROM runs WHERE _in = 1 GROUP BY user_id, run
+    )
+    SELECT user_id, COUNT(*) AS n_dwells,
+           CAST(SUM(n_points) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(dwell_s AS DECIMAL(22,6))) AS DOUBLE) AS sum_dwell_s,
+           MAX(dwell_s) AS max_dwell_s
+    FROM dwells GROUP BY user_id
+    """
+
+
+def bearing_turns_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bearing / turn-angle analytics (functions/geo.bearing_deg): initial
+    great-circle bearing per consecutive point pair, absolute turn angle
+    between consecutive bearings, per-user aggregate (segment count,
+    sharp-turn count > 120 deg, decimal-exact rounded turn sum). Pure
+    Column trigonometry with a bit-identical SQL twin."""
+    from activity_files_spark.functions.geo import bearing_deg, turn_angle_deg
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b = bearing_deg(
+        F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+    )
+    df = ev.withColumn("_b", b).filter(F.col("_b").isNotNull())
+    turn = turn_angle_deg(F.lag("_b").over(w), F.col("_b"))
+    df = df.withColumn("_turn", turn)
+    return df.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.count(F.when(F.col("_turn") > 120.0, 1)).alias("n_sharp_turns"),
+        F.sum(F.round("_turn", 6).cast("decimal(22,6)")).cast("double").alias("sum_turn_deg"),
+    )
+
+
+def _bearing_turns_sql() -> str:
+    from activity_files_spark.functions.geo import bearing_sql, turn_angle_sql
+
+    b = bearing_sql("plat", "plon", "lat", "lon")
+    t = turn_angle_sql("pb", "_b")
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ), lagged AS (
+      SELECT user_id, event_id, ts, lat, lon,
+             LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), bearings AS (
+      SELECT user_id, event_id, ts, {b} AS _b
+      FROM lagged WHERE plat IS NOT NULL
+    ), turns AS (
+      SELECT user_id, _b, LAG(_b) OVER w AS pb
+      FROM bearings WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), t2 AS (
+      SELECT user_id, CASE WHEN pb IS NULL THEN NULL ELSE {t} END AS turn
+      FROM turns
+    )
+    SELECT user_id, COUNT(*) AS n_segments,
+           COUNT(*) FILTER (turn > 120.0) AS n_sharp_turns,
+           CAST(SUM(CAST(ROUND(turn, 6) AS DECIMAL(22,6))) AS DOUBLE) AS sum_turn_deg
+    FROM t2 GROUP BY user_id
+    """
+
+
 SPIKE_VMAX_MPS = 1.0  # derived-grid speeds: median 0.28 m/s, p99 4.3 m/s
 
 
@@ -3825,6 +3936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_match_events": map_match_events,
         "route_near_dups": route_near_dups,
         "spike_filter_events": spike_filter_events,
+        "dwell_sessions_events": dwell_sessions_events,
+        "bearing_turns_track": bearing_turns_track,
         "simplify_track_events": simplify_track_events,
         "stream_map_match_events": stream_map_match_events,
         "fit_roundtrip_stats": fit_roundtrip_stats,
@@ -3896,6 +4009,8 @@ def oracle_sql() -> dict[str, str]:
         "map_match_events": _map_match_sql(),
         "route_near_dups": _route_near_dups_sql(),
         "spike_filter_events": _spike_filter_sql(),
+        "dwell_sessions_events": _dwell_sessions_sql(),
+        "bearing_turns_track": _bearing_turns_sql(),
         "simplify_track_events": _simplify_track_sql(),
         "stream_map_match_events": _stream_map_match_sql(),
         "fit_roundtrip_stats": _fit_roundtrip_sql(),

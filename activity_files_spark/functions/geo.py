@@ -104,3 +104,43 @@ def lerp(x0: Column, x1: Column, y0: Column, y1: Column, x: Column) -> Column:
     return F.when(x1 == x0, y0).otherwise(
         y0 + (y1 - y0) * ((x - x0) / (x1 - x0))
     )
+
+
+def bearing_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Initial great-circle bearing in degrees, normalized to [0, 360).
+
+    Standard formula: atan2(sin Δλ·cos φ2, cos φ1·sin φ2 − sin φ1·cos φ2·cos Δλ).
+    Pure Column expression; :func:`bearing_sql` is the bit-identical DuckDB
+    twin (same op order, no radians()/pow()). Not in the reference (it never
+    derives heading); used by the turn-angle analytics extension.
+    """
+    d2r = F.lit(math.pi) / F.lit(180.0)
+    phi1 = lat1 * d2r
+    phi2 = lat2 * d2r
+    dlmb = (lon2 - lon1) * d2r
+    y = F.sin(dlmb) * F.cos(phi2)
+    x = F.cos(phi1) * F.sin(phi2) - F.sin(phi1) * F.cos(phi2) * F.cos(dlmb)
+    deg = F.atan2(y, x) * (F.lit(180.0) / F.lit(math.pi))
+    return F.when(deg < 0, deg + F.lit(360.0)).otherwise(deg)
+
+
+def bearing_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """ANSI-SQL twin of :func:`bearing_deg` (same IEEE sequence)."""
+    d2r = "(pi() / 180.0)"
+    y = f"sin((({lon2})-({lon1})) * {d2r}) * cos(({lat2}) * {d2r})"
+    x = (
+        f"cos(({lat1}) * {d2r}) * sin(({lat2}) * {d2r}) "
+        f"- sin(({lat1}) * {d2r}) * cos(({lat2}) * {d2r}) * cos((({lon2})-({lon1})) * {d2r})"
+    )
+    deg = f"atan2({y}, {x}) * (180.0 / pi())"
+    return f"CASE WHEN {deg} < 0 THEN {deg} + 360.0 ELSE {deg} END"
+
+
+def turn_angle_deg(b1: Column, b2: Column) -> Column:
+    """Absolute turn angle in [0, 180] between two bearings in degrees."""
+    d = F.abs(b2 - b1)
+    return F.least(d, F.lit(360.0) - d)
+
+
+def turn_angle_sql(b1: str, b2: str) -> str:
+    return f"LEAST(ABS(({b2}) - ({b1})), 360.0 - ABS(({b2}) - ({b1})))"

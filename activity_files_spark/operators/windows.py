@@ -185,3 +185,53 @@ def sessionize_gap(
         .withColumn(session_col, F.sum("_new").over(wrows).cast("long"))
         .drop("_new")
     )
+
+
+def dwell_sessions(
+    points: DataFrame,
+    lon_w: float,
+    lon_e: float,
+    lat_s: float,
+    lat_n: float,
+    key: str = "activity_id",
+    ts: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Geofence dwell sessions ("time in zone"): contiguous runs of points
+    inside an inclusive rectangle become one row each with entry/exit
+    timestamps and dwell seconds.
+
+    Not in the reference (it has geofence polygons from GeoJSON but no
+    residency analytics); extension in the PIP family. Pure window
+    composition — inside flag, run id via lag-change + running sum (explicit
+    ROWS frame: the default RANGE frame merges tied-ts peers), per-run
+    min/max — one shuffle, exact integer dwell values (epoch-second diffs),
+    so the SQL twin matches bit-for-bit.
+    """
+    order = [ts, tiebreak] if tiebreak else [ts]
+    w = Window.partitionBy(key).orderBy(*order)
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inside = (
+        (F.col(lon) >= F.lit(lon_w)) & (F.col(lon) <= F.lit(lon_e))
+        & (F.col(lat) >= F.lit(lat_s)) & (F.col(lat) <= F.lit(lat_n))
+    )
+    df = points.withColumn("_in", inside.cast("int"))
+    changed = (
+        F.lag("_in").over(w).isNull() | (F.col("_in") != F.lag("_in").over(w))
+    ).cast("int")
+    df = df.withColumn("_run", F.sum(changed).over(wrows))
+    return (
+        df.filter(F.col("_in") == 1)
+        .groupBy(key, "_run")
+        .agg(
+            F.min(ts).alias("enter_ts"),
+            F.max(ts).alias("exit_ts"),
+            F.count("*").alias("n_points"),
+            (
+                F.max(ts_seconds(F.col(ts))) - F.min(ts_seconds(F.col(ts)))
+            ).alias("dwell_s"),
+        )
+        .drop("_run")
+    )

@@ -100,6 +100,8 @@ HEADLINE = [
     "simplify_track_events",
     "stream_map_match_events",
     "dedup_clusters_docs",
+    "dwell_sessions_events",
+    "bearing_turns_track",
 ]
 
 

@@ -114,3 +114,55 @@ def test_fit_scalars(spark):
     assert out[1]["ele"] == 0.0  # 2500/5 - 500
     # 1989-12-31 + 1e9 s = 2021-09-04T01:20:00Z
     assert str(out[1]["ts"]).startswith("2021-09-0")
+
+
+def test_bearing_and_turn_angle(spark):
+    """Compass goldens (E=90, N=0, W=270, S=180 on the equator) and
+    Column/SQL twin parity on irregular pairs."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from activity_files_spark.functions.geo import (
+        bearing_deg,
+        bearing_sql,
+        turn_angle_deg,
+        turn_angle_sql,
+    )
+
+    pairs = [
+        (0.0, 0.0, 0.0, 1.0),    # due east -> 90
+        (0.0, 0.0, 1.0, 0.0),    # due north -> 0
+        (0.0, 0.0, 0.0, -1.0),   # due west -> 270
+        (0.0, 0.0, -1.0, 0.0),   # due south -> 180
+        (40.0, -105.0, 40.3, -104.7),
+        (40.0, -105.0, 39.9, -105.4),
+        (57.64911, 10.40744, 57.65, 10.41),
+    ]
+    df = spark.createDataFrame(pairs, "lat1 double, lon1 double, lat2 double, lon2 double")
+    got = [
+        r["b"] for r in df.select(
+            bearing_deg(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("b")
+        ).collect()
+    ]
+    assert got[0] == 90.0 and got[1] == 0.0 and got[2] == 270.0 and got[3] == 180.0
+    # CAST: bare VALUES literals are DECIMAL in DuckDB, whose exact
+    # subtraction diverges from double subtraction in the last bits
+    vals = ", ".join(
+        f"(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE), CAST({c} AS DOUBLE), CAST({d} AS DOUBLE))"
+        for a, b, c, d in pairs
+    )
+    sql = (
+        f"SELECT {bearing_sql('lat1', 'lon1', 'lat2', 'lon2')} AS b "
+        f"FROM (VALUES {vals}) t(lat1, lon1, lat2, lon2)"
+    )
+    duck = [r[0] for r in duckdb.sql(sql).fetchall()]
+    assert duck == got  # bit-identical twins
+    # turn angle: wrap-around 350 -> 10 is a 20 degree turn, both tiers
+    t_df = spark.createDataFrame([(350.0, 10.0), (10.0, 190.0), (90.0, 90.0)], "b1 double, b2 double")
+    t_got = [r["t"] for r in t_df.select(
+        turn_angle_deg(F.col("b1"), F.col("b2")).alias("t")).collect()]
+    assert t_got == [20.0, 180.0, 0.0]
+    t_duck = [r[0] for r in duckdb.sql(
+        f"SELECT {turn_angle_sql('b1', 'b2')} AS t FROM (VALUES (350.0, 10.0), (10.0, 190.0), (90.0, 90.0)) t(b1, b2)"
+    ).fetchall()]
+    assert t_duck == t_got

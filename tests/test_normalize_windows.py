@@ -216,3 +216,38 @@ def test_filter_speed_spikes(spark):
     ]
     # with a generous vmax nothing is dropped
     assert filter_speed_spikes(df, 1e9, key="user_id", ts="ts", tiebreak="seq").count() == len(rows)
+
+
+def test_dwell_sessions(spark):
+    """Contiguous inside-runs split correctly: re-entry starts a new run,
+    boundary points are inclusive, single-point runs have dwell 0."""
+    from datetime import datetime
+
+    from activity_files_spark.operators.windows import dwell_sessions
+
+    t = lambda s: datetime(2024, 3, 1, 10, 0, s)
+    # rect: lon [-105.2, -105.0], lat [40.0, 40.2]
+    rows = [
+        ("a", 0, t(0), 40.10, -105.10),   # in  (run 1)
+        ("a", 1, t(10), 40.15, -105.05),  # in  (run 1)
+        ("a", 2, t(20), 40.30, -105.05),  # out
+        ("a", 3, t(30), 40.20, -105.20),  # in, exact corner (run 2)
+        ("a", 4, t(40), 40.19, -105.19),  # in  (run 2)
+        ("a", 5, t(50), 40.50, -105.50),  # out
+        ("a", 6, t(55), 40.00, -105.00),  # in, single point (run 3)
+        ("b", 0, t(0), 41.00, -104.00),   # never inside
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, seq int, ts timestamp, lat double, lon double"
+    )
+    out = dwell_sessions(df, -105.2, -105.0, 40.0, 40.2,
+                         key="user_id", ts="ts", tiebreak="seq")
+    got = sorted(
+        (r["user_id"], str(r["enter_ts"]), str(r["exit_ts"]), r["n_points"], r["dwell_s"])
+        for r in out.collect()
+    )
+    assert got == [
+        ("a", "2024-03-01 10:00:00", "2024-03-01 10:00:10", 2, 10.0),
+        ("a", "2024-03-01 10:00:30", "2024-03-01 10:00:40", 2, 10.0),
+        ("a", "2024-03-01 10:00:55", "2024-03-01 10:00:55", 1, 0.0),
+    ]
