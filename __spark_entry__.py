@@ -514,6 +514,38 @@ def _dwell_sessions_sql() -> str:
     """
 
 
+def zone_length_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance traveled inside each geofence (spatial.zone_length):
+    Liang-Barsky parametric clipping of every consecutive-point segment
+    against the 3 zones, entirely as compiled Column expressions — zero
+    joins, one lag window, map-side-combined groupBy. The oracle replays
+    every clip parameter and the decimal-exact rounded length sum."""
+    from activity_files_spark.operators.spatial import zone_length
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    return zone_length(
+        ev, GEOFENCES, MM_REF_LAT, key="user_id", ts="ts", tiebreak="event_id"
+    ).withColumnRenamed("zone_id", "geofence_id")
+
+
+def _zone_length_sql() -> str:
+    from activity_files_spark.operators.spatial import zone_length_sql
+
+    body = zone_length_sql("pts", GEOFENCES, MM_REF_LAT, key="user_id")
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ),
+    {body}
+    SELECT key AS user_id, zone_id AS geofence_id, n_segments, length_m
+    FROM zl_agg
+    """
+
+
 def bearing_turns_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bearing / turn-angle analytics (functions/geo.bearing_deg): initial
     great-circle bearing per consecutive point pair, absolute turn angle
@@ -3938,6 +3970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spike_filter_events": spike_filter_events,
         "dwell_sessions_events": dwell_sessions_events,
         "bearing_turns_track": bearing_turns_track,
+        "zone_length_events": zone_length_events,
         "simplify_track_events": simplify_track_events,
         "stream_map_match_events": stream_map_match_events,
         "fit_roundtrip_stats": fit_roundtrip_stats,
@@ -4011,6 +4044,7 @@ def oracle_sql() -> dict[str, str]:
         "spike_filter_events": _spike_filter_sql(),
         "dwell_sessions_events": _dwell_sessions_sql(),
         "bearing_turns_track": _bearing_turns_sql(),
+        "zone_length_events": _zone_length_sql(),
         "simplify_track_events": _simplify_track_sql(),
         "stream_map_match_events": _stream_map_match_sql(),
         "fit_roundtrip_stats": _fit_roundtrip_sql(),

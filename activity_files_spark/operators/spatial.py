@@ -680,6 +680,169 @@ def snap_to_segments_sql(
     """
 
 
+ZONE_MIN_LEN_M = 1e-9  # degenerate boundary-touch cutoff (see zone_length)
+
+
+def _lb_axis_ts(a, d, lo: float, hi: float):
+    """Liang-Barsky per-axis (t_enter, t_exit) Columns for p = a + t*d
+    against lo <= p <= hi. The d == 0 branch uses 0/1 (inside) or 1/0
+    (outside, empty interval) sentinels; the discarded division branches
+    may compute inf/nan but CASE picks the valid one (IEEE-safe in both
+    engines)."""
+    inside0 = (a >= F.lit(lo)) & (a <= F.lit(hi))
+    t_en = (
+        F.when(d > 0, (F.lit(lo) - a) / d)
+        .when(d < 0, (F.lit(hi) - a) / d)
+        .otherwise(F.when(inside0, F.lit(0.0)).otherwise(F.lit(1.0)))
+    )
+    t_ex = (
+        F.when(d > 0, (F.lit(hi) - a) / d)
+        .when(d < 0, (F.lit(lo) - a) / d)
+        .otherwise(F.when(inside0, F.lit(1.0)).otherwise(F.lit(0.0)))
+    )
+    return t_en, t_ex
+
+
+def zone_length(
+    points: DataFrame,
+    rects: list[tuple],
+    ref_lat: float,
+    key: str = "activity_id",
+    ts: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Distance traveled inside each zone: every consecutive-point segment
+    is clipped against each (inclusive) rectangle with Liang-Barsky
+    parametric clipping — t0 = max(0, enter_x, enter_y), t1 = min(1,
+    exit_x, exit_y), inside length = max(t1 - t0, 0) x planar segment
+    length — and the clipped lengths sum per (key, zone).
+
+    ``rects``: (zone_id, lon_w, lon_e, lat_s, lat_n) like
+    :func:`rect_pip_join`. Length metric = the local equirectangular
+    projection at ``ref_lat`` (same planar scales as the map-matching
+    join), so one IEEE sequence serves snap/simplify/zone ops and the
+    DuckDB twin replays it bit-for-bit.
+
+    Plan shape: one lag window (the segment builder every per-track op
+    needs) -> the tiny zone table joined as a CROSS of N literal CASE
+    columns... no: the zones are compiled into per-zone expression columns
+    and STACKed, keeping everything in one codegen span with zero joins;
+    the final groupBy is map-side combined. Returns (key, zone_id,
+    n_segments, length_m) with only zones actually touched.
+    """
+    kx, ky = planar_scales(ref_lat)
+    order = [ts, tiebreak] if tiebreak else [ts]
+    w = Window.partitionBy(key).orderBy(*order)
+    seg = (
+        points.select(
+            key,
+            F.col(lat).alias("_blat"), F.col(lon).alias("_blon"),
+            F.lag(lat).over(w).alias("_alat"), F.lag(lon).over(w).alias("_alon"),
+        )
+        .filter(F.col("_alat").isNotNull())
+    )
+    dx = (F.col("_blon") - F.col("_alon")) * F.lit(kx)
+    dy = (F.col("_blat") - F.col("_alat")) * F.lit(ky)
+    seg_len = F.sqrt(dx * dx + dy * dy)
+    zone_cols = []
+    for zid, lon_w, lon_e, lat_s, lat_n in rects:
+        ax = (F.col("_alon") - F.lit(lon_w)) * F.lit(kx)
+        ay = (F.col("_alat") - F.lit(lat_s)) * F.lit(ky)
+        tx0, tx1 = _lb_axis_ts(ax, dx, 0.0, (lon_e - lon_w) * kx)
+        ty0, ty1 = _lb_axis_ts(ay, dy, 0.0, (lat_n - lat_s) * ky)
+        t0 = F.greatest(F.lit(0.0), tx0, ty0)
+        t1 = F.least(F.lit(1.0), tx1, ty1)
+        inside = F.greatest(t1 - t0, F.lit(0.0)) * seg_len
+        zone_cols.append(
+            F.struct(F.lit(zid).alias("zone_id"), inside.alias("len_m"))
+        )
+    exploded = seg.select(
+        key, F.explode(F.array(*zone_cols)).alias("_z")
+    ).select(key, "_z.zone_id", "_z.len_m")
+    # > 1e-9 m, not > 0: a segment that merely TOUCHES a zone border
+    # produces a clip interval of ulp-scale length whose exact value (0.0
+    # vs ~1e-12) differs between engines' last-bit rounding in the
+    # greatest/least chain; sub-nanometer clips are geometrically
+    # meaningless, so both twins drop them with the same threshold
+    return (
+        exploded.filter(F.col("len_m") > ZONE_MIN_LEN_M)
+        .groupBy(key, "zone_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.round("len_m", 6).cast("decimal(24,6)"))
+            .cast("double").alias("length_m"),
+        )
+    )
+
+
+def zone_length_sql(
+    pts_cte: str,
+    rects: list[tuple],
+    ref_lat: float,
+    key: str = "user_id",
+    order_cols: str = "ts, event_id",
+) -> str:
+    """DuckDB twin of :func:`zone_length` over a CTE (key, order cols,
+    lat, lon). Binds zl_seg / zl_zones / zl_agg; caller SELECTs from
+    zl_agg (key, zone_id, n_segments, length_m)."""
+    kx, ky = planar_scales(ref_lat)
+    per_zone = []
+    for zid, lon_w, lon_e, lat_s, lat_n in rects:
+        ax = f"((_alon - {lon_w!r}) * {kx!r})"
+        ay = f"((_alat - {lat_s!r}) * {ky!r})"
+        xhi = f"({(lon_e - lon_w) * kx!r})"
+        yhi = f"({(lat_n - lat_s) * ky!r})"
+
+        def axis(a, d, hi):
+            inside0 = f"({a} >= 0.0 AND {a} <= {hi})"
+            t_en = (
+                f"CASE WHEN {d} > 0 THEN (0.0 - {a}) / {d}"
+                f" WHEN {d} < 0 THEN ({hi} - {a}) / {d}"
+                f" ELSE (CASE WHEN {inside0} THEN 0.0 ELSE 1.0 END) END"
+            )
+            t_ex = (
+                f"CASE WHEN {d} > 0 THEN ({hi} - {a}) / {d}"
+                f" WHEN {d} < 0 THEN (0.0 - {a}) / {d}"
+                f" ELSE (CASE WHEN {inside0} THEN 1.0 ELSE 0.0 END) END"
+            )
+            return t_en, t_ex
+
+        tx0, tx1 = axis(ax, "_dx", xhi)
+        ty0, ty1 = axis(ay, "_dy", yhi)
+        t0 = f"GREATEST(0.0, {tx0}, {ty0})"
+        t1 = f"LEAST(1.0, {tx1}, {ty1})"
+        per_zone.append(
+            f"SELECT key, '{zid}' AS zone_id,"
+            f" GREATEST({t1} - {t0}, 0.0) * _len AS len_m FROM zl_seg"
+        )
+    union = " UNION ALL ".join(per_zone)
+    return f"""
+    zl_lag AS (
+      SELECT {key} AS key, lat AS _blat, lon AS _blon,
+             LAG(lat) OVER w AS _alat, LAG(lon) OVER w AS _alon
+      FROM {pts_cte}
+      WINDOW w AS (PARTITION BY {key} ORDER BY {order_cols})
+    ),
+    zl_seg AS (
+      SELECT key, _alat, _alon, _blat, _blon,
+             (_blon - _alon) * {kx!r} AS _dx,
+             (_blat - _alat) * {ky!r} AS _dy,
+             SQRT(((_blon - _alon) * {kx!r}) * ((_blon - _alon) * {kx!r})
+                + ((_blat - _alat) * {ky!r}) * ((_blat - _alat) * {ky!r})) AS _len
+      FROM zl_lag WHERE _alat IS NOT NULL
+    ),
+    zl_zones AS ({union}),
+    zl_agg AS (
+      SELECT key, zone_id, COUNT(*) AS n_segments,
+             CAST(SUM(CAST(ROUND(len_m, 6) AS DECIMAL(24,6))) AS DOUBLE) AS length_m
+      FROM zl_zones WHERE len_m > {ZONE_MIN_LEN_M!r}
+      GROUP BY key, zone_id
+    )
+    """
+
+
 __all__ = [
     "cell_encode",
     "polygon_cover_tiles",

@@ -102,6 +102,7 @@ HEADLINE = [
     "dedup_clusters_docs",
     "dwell_sessions_events",
     "bearing_turns_track",
+    "zone_length_events",
 ]
 
 

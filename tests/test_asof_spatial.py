@@ -378,3 +378,77 @@ def test_snap_expr_path_matches_cover_join(spark):
     assert sorted(map(key, cover.collect())) == sorted(map(key, expr.collect()))
     plan = expr._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan and "Aggregate" not in plan
+
+
+def test_zone_length_matches_python(spark):
+    """Liang-Barsky zone clipping == pure-python reference on random
+    tracks; hand cases: fully-inside segment contributes its whole planar
+    length, boundary-touch contributes nothing."""
+    import random
+
+    from activity_files_spark.operators.spatial import planar_scales, zone_length
+
+    ref_lat = 40.25
+    kx, ky = planar_scales(ref_lat)
+    rects = [
+        ("z1", -105.3, -105.1, 40.1, 40.3),
+        ("z2", -105.15, -104.95, 40.25, 40.45),  # overlaps z1
+    ]
+    rng = random.Random(17)
+    rows = []
+    for u in ("a", "b"):
+        for i in range(60):
+            rows.append((u, i, rng.uniform(39.95, 40.55), rng.uniform(-105.45, -104.85)))
+    rows += [("c", 0, 40.15, -105.25), ("c", 1, 40.2, -105.2)]  # inside z1
+    rows += [("d", 0, 40.1, -105.25), ("d", 1, 40.1, -105.2)]   # along z1's south edge
+
+    def clip_len(a, b, rect):
+        _, w, e, s, n = (None,) + rect[1:]
+        ax, ay = (a[1] - w) * kx, (a[0] - s) * ky
+        dx, dy = (b[1] - a[1]) * kx, (b[0] - a[0]) * ky
+        xhi, yhi = (e - w) * kx, (n - s) * ky
+
+        def axis(a0, d, hi):
+            if d > 0:
+                return (0.0 - a0) / d, (hi - a0) / d
+            if d < 0:
+                return (hi - a0) / d, (0.0 - a0) / d
+            return (0.0, 1.0) if 0.0 <= a0 <= hi else (1.0, 0.0)
+
+        tx0, tx1 = axis(ax, dx, xhi)
+        ty0, ty1 = axis(ay, dy, yhi)
+        t0 = max(0.0, tx0, ty0)
+        t1 = min(1.0, tx1, ty1)
+        return max(t1 - t0, 0.0) * (dx * dx + dy * dy) ** 0.5
+
+    expect = {}
+    byu = {}
+    for u, i, la, lo in rows:
+        byu.setdefault(u, []).append((i, la, lo))
+    for u, pts in byu.items():
+        pts.sort()
+        for (i0, la0, lo0), (i1, la1, lo1) in zip(pts, pts[1:]):
+            for rect in rects:
+                L = clip_len((la0, lo0), (la1, lo1), rect)
+                if L > 1e-9:
+                    k = (u, rect[0])
+                    n, s = expect.get(k, (0, 0.0))
+                    expect[k] = (n + 1, s + round(L, 6))
+
+    df = spark.createDataFrame(rows, "user_id string, seq int, lat double, lon double")
+    got = {
+        (r["user_id"], r["zone_id"]): (r["n_segments"], r["length_m"])
+        for r in zone_length(df, rects, ref_lat, key="user_id",
+                             ts="seq", tiebreak=None).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (n, s) in expect.items():
+        assert got[k][0] == n, k
+        assert got[k][1] == pytest.approx(s, abs=1e-6), k
+    # hand case: c's single segment fully inside z1 -> its full planar length
+    (la0, lo0), (la1, lo1) = (40.15, -105.25), (40.2, -105.2)
+    full = (((lo1 - lo0) * kx) ** 2 + ((la1 - la0) * ky) ** 2) ** 0.5
+    assert got[("c", "z1")][1] == pytest.approx(round(full, 6), abs=1e-6)
+    # d rides exactly along z1's southern boundary lat? (40.1 is inside
+    # [40.1, 40.3] inclusively) -> the clip keeps it
+    assert ("d", "z1") in got
