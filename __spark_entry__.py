@@ -768,7 +768,9 @@ def _simplify_track_sql() -> str:
     """
 
 
-RT_Z = 15  # route-signature tile zoom (~1.2 km cells at the grid latitude)
+RT_Z = 17  # route-signature tile zoom (~300 m cells: finer cells cut the
+# self-join's per-cell occupancy ~15x on this uniformly-dense corpus — the
+# candidate volume is sum(n_c^2), so signature zoom is the skew dial)
 RT_REFINE_Z = 13  # Hausdorff refine zoom: |cells|^2 product 16x smaller
 
 
@@ -791,13 +793,16 @@ def route_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events").select(
         "user_id", _lat_col().alias("lat"), _lon_col().alias("lon")
     )
-    cells = route_cells(ev, RT_Z, key="user_id")
+    # materialize each signature stage once (localCheckpoint = the query-
+    # level stand-in for the production bucketed layout write): the cell
+    # sets feed the self-join twice, the count join twice, and the refine
+    # product twice — recomputing the scan+distinct for each consumer
+    # multiplies the dominant cost of this query
+    cells = route_cells(ev, RT_Z, key="user_id").localCheckpoint(eager=True)
     pairs = route_pair_jaccard(cells, key="user_id")
     top = top_similar_routes(pairs, k=1).drop("rank")
-    ref = hausdorff_refine(
-        top, route_cells(ev, RT_REFINE_Z, key="user_id"), RT_REFINE_Z,
-        key="user_id",
-    )
+    cells_r = route_cells(ev, RT_REFINE_Z, key="user_id").localCheckpoint(eager=True)
+    ref = hausdorff_refine(top, cells_r, RT_REFINE_Z, key="user_id")
     return ref.select(
         F.col("key").alias("user_id"),
         F.col("other").alias("similar_user_id"),
@@ -882,6 +887,95 @@ def _resample_sql() -> str:
                  WHEN nt = pt THEN plon
                  ELSE plon + (nlon - plon) * ((t - pt) / (nt - pt)) END, 9) AS lon
     FROM w WHERE is_grid = 1
+    """
+
+
+RSD_STEP_M = 20000.0  # distance-resample grid step (derived grid hops ~20 km)
+
+
+def resample_distance_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-DISTANCE resampling (asof.resample_by_distance): each user's
+    derived track resampled at 20 km cumulative-haversine intervals with
+    linear interpolation on the distance axis — the route-shape
+    normalization (two traversals at different speeds resample to the
+    same points). The oracle replays the running cumdist, per-activity
+    grid, running-bracket windows, and lerp with identical floats."""
+    from activity_files_spark.operators.asof import resample_by_distance
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    out = resample_by_distance(
+        ev, RSD_STEP_M, ["lat", "lon"], key="user_id", ts="ts", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id", "k",
+        F.round("lat", 9).alias("lat"), F.round("lon", 9).alias("lon"),
+    )
+
+
+def _resample_distance_sql() -> str:
+    hs = haversine_sql("plat", "plon", "lat", "lon")
+    return f"""
+    WITH pts0 AS (
+      SELECT user_id, event_id, ts,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, event_id, ts, lat, lon,
+             LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+             ROW_NUMBER() OVER w AS _seq
+      FROM pts0 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    cum AS (
+      SELECT user_id, _seq, lat, lon,
+             SUM(CASE WHEN plat IS NULL THEN 0.0 ELSE {hs} END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS _d
+      FROM lagged
+    ),
+    env AS (
+      SELECT user_id, MAX(_d) AS total FROM cum GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(0, CAST(FLOOR(total / {RSD_STEP_M!r}) AS INT))) AS k
+      FROM env
+    ),
+    u AS (
+      SELECT user_id, k, CAST(k AS DOUBLE) * {RSD_STEP_M!r} AS _d,
+             CAST(NULL AS BIGINT) AS _seq,
+             CAST(NULL AS DOUBLE) AS lat, CAST(NULL AS DOUBLE) AS lon,
+             1 AS is_grid
+      FROM grid
+      UNION ALL
+      SELECT user_id, NULL AS k, _d, _seq, lat, lon, 0 AS is_grid FROM cum
+    ),
+    br AS (
+      SELECT *,
+             last_value(CASE WHEN is_grid = 0 THEN _d END IGNORE NULLS) OVER wb AS pd,
+             last_value(CASE WHEN is_grid = 0 THEN lat END IGNORE NULLS) OVER wb AS plat,
+             last_value(CASE WHEN is_grid = 0 THEN lon END IGNORE NULLS) OVER wb AS plon,
+             first_value(CASE WHEN is_grid = 0 THEN _d END IGNORE NULLS) OVER wf AS nd,
+             first_value(CASE WHEN is_grid = 0 THEN lat END IGNORE NULLS) OVER wf AS nlat,
+             first_value(CASE WHEN is_grid = 0 THEN lon END IGNORE NULLS) OVER wf AS nlon
+      FROM u
+      WINDOW wb AS (PARTITION BY user_id
+                    ORDER BY _d ASC, is_grid ASC, _seq ASC NULLS FIRST
+                    ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY user_id
+                    ORDER BY _d ASC, is_grid ASC, _seq ASC NULLS FIRST
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, k,
+           ROUND(CASE WHEN pd IS NULL THEN nlat WHEN nd IS NULL THEN plat
+                 WHEN nd = pd THEN plat
+                 ELSE plat + (nlat - plat) * ((_d - pd) / (nd - pd)) END, 9) AS lat,
+           ROUND(CASE WHEN pd IS NULL THEN nlon WHEN nd IS NULL THEN plon
+                 WHEN nd = pd THEN plon
+                 ELSE plon + (nlon - plon) * ((_d - pd) / (nd - pd)) END, 9) AS lon
+    FROM br WHERE is_grid = 1
     """
 
 
@@ -3971,6 +4065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwell_sessions_events": dwell_sessions_events,
         "bearing_turns_track": bearing_turns_track,
         "zone_length_events": zone_length_events,
+        "resample_distance_track": resample_distance_track,
         "simplify_track_events": simplify_track_events,
         "stream_map_match_events": stream_map_match_events,
         "fit_roundtrip_stats": fit_roundtrip_stats,
@@ -4045,6 +4140,7 @@ def oracle_sql() -> dict[str, str]:
         "dwell_sessions_events": _dwell_sessions_sql(),
         "bearing_turns_track": _bearing_turns_sql(),
         "zone_length_events": _zone_length_sql(),
+        "resample_distance_track": _resample_distance_sql(),
         "simplify_track_events": _simplify_track_sql(),
         "stream_map_match_events": _stream_map_match_sql(),
         "fit_roundtrip_stats": _fit_roundtrip_sql(),

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from activity_files_spark.functions.time import ts_seconds
 
-from activity_files_spark.functions.geo import lerp
+from activity_files_spark.functions.geo import haversine_m, lerp
 
 DEFAULT_TOLERANCE_S = 5.0  # encoder_options.dart:22
 
@@ -431,4 +431,85 @@ def snap_channels_to_points(
         .select(key, ts, F.col("_cv.channel").alias("channel"),
                 F.col("_cv.value").alias("value"))
         .filter(F.col("value").isNotNull())
+    )
+
+
+def resample_by_distance(
+    points: DataFrame,
+    step_m: float,
+    cols: list[str],
+    key: str = "activity_id",
+    ts: str = "ts",
+    lat: str = "lat",
+    lon: str = "lon",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Resample ``cols`` onto an equal-DISTANCE grid: d = 0, step, 2·step,
+    ... <= total cumulative haversine distance, with linear interpolation
+    between the bracketing points on the distance axis.
+
+    The distance twin of :func:`resample_linear` (the reference only
+    resamples on time, transform_utils.dart:35-72) — the normalization a
+    route-shape comparison needs: two traversals of the same path at
+    different speeds resample to the same point sequence.
+
+    Plan: one window pass builds the running haversine cumdist (sequential
+    ROWS sum — deterministic doubles in any engine), the per-activity grid
+    is sequence(0, floor(total/step)) exploded map-side, and the
+    union + running last/first + lerp machinery mirrors resample_linear on
+    the ``_d`` axis. Output: key, grid index ``k``, ``d_m``, interpolated
+    ``cols``.
+    """
+    order0 = [ts, tiebreak] if tiebreak else [ts]
+    w = Window.partitionBy(key).orderBy(*order0)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    step = F.coalesce(
+        haversine_m(
+            F.lag(lat).over(w), F.lag(lon).over(w), F.col(lat), F.col(lon)
+        ),
+        F.lit(0.0),
+    )
+    pts = points.withColumn("_d", F.sum(step).over(wc)).withColumn(
+        "_seq", F.row_number().over(w).cast("long")
+    )
+    env = pts.groupBy(key).agg(F.max("_d").alias("_total"))
+    grid = env.select(
+        key,
+        F.explode(
+            F.sequence(F.lit(0), F.floor(F.col("_total") / F.lit(step_m)).cast("int"))
+        ).alias("k"),
+    ).withColumn("_d", F.col("k").cast("double") * F.lit(step_m))
+    g = grid.withColumn("_is_grid", F.lit(1))
+    p = pts.select(key, "_d", "_seq", *cols).withColumn("_is_grid", F.lit(0))
+    u = g.unionByName(p, allowMissingColumns=True)
+    # _seq breaks ties among points sharing one cumdist (zero-length
+    # steps); NULLS FIRST explicitly — Spark and DuckDB default opposite
+    order = [
+        F.col("_d").asc(), F.col("_is_grid").asc(),
+        F.col("_seq").asc_nulls_first(),
+    ]
+    wb = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.partitionBy(key).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    out = u
+    for c in cols:
+        has_v = (F.col("_is_grid") == 0) & F.col(c).isNotNull()
+        src_d = F.when(has_v, F.col("_d"))
+        src_v = F.when(has_v, F.col(c))
+        out = (
+            out.withColumn("_pd", F.last(src_d, ignorenulls=True).over(wb))
+            .withColumn("_nd", F.first(src_d, ignorenulls=True).over(wf))
+            .withColumn("_pv", F.last(src_v, ignorenulls=True).over(wb))
+            .withColumn("_nv", F.first(src_v, ignorenulls=True).over(wf))
+            .withColumn(
+                c,
+                F.when(F.col("_pd").isNull(), F.col("_nv"))
+                .when(F.col("_nd").isNull(), F.col("_pv"))
+                .otherwise(
+                    lerp(F.col("_pd"), F.col("_nd"), F.col("_pv"), F.col("_nv"), F.col("_d"))
+                ),
+            )
+            .drop("_pd", "_nd", "_pv", "_nv")
+        )
+    return out.filter(F.col("_is_grid") == 1).select(
+        key, "k", F.col("_d").alias("d_m"), *cols
     )

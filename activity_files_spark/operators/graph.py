@@ -53,7 +53,10 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    sym = sym.distinct()
+    # checkpoint the symmetrized edge list ONCE: it feeds every round's
+    # neighbor join, and without this the upstream pair-mining pipeline
+    # would be recomputed per round
+    sym = sym.distinct().localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))

@@ -103,6 +103,7 @@ HEADLINE = [
     "dwell_sessions_events",
     "bearing_turns_track",
     "zone_length_events",
+    "resample_distance_track",
 ]
 
 

@@ -452,3 +452,32 @@ def test_zone_length_matches_python(spark):
     # d rides exactly along z1's southern boundary lat? (40.1 is inside
     # [40.1, 40.3] inclusively) -> the clip keeps it
     assert ("d", "z1") in got
+
+
+def test_resample_by_distance(spark):
+    """Straight northward track with unequal time spacing: equal-distance
+    grid lands at analytically-known latitudes regardless of speed."""
+    from datetime import datetime
+
+    from activity_files_spark.functions.geo import haversine_m_py
+    from activity_files_spark.operators.asof import resample_by_distance
+
+    t = lambda s: datetime(2024, 3, 1, 10, 0, s)
+    # 5 points straight north, 0.01 deg apart (~1111.9 m each), bursty times
+    rows = [("a", i, t([0, 1, 50, 51, 59][i]), 40.0 + i * 0.01, -105.0)
+            for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id int, ts timestamp, lat double, lon double"
+    )
+    step = haversine_m_py(40.0, -105.0, 40.01, -105.0)  # one hop's length
+    out = resample_by_distance(
+        df, step / 2.0, ["lat", "lon"], key="user_id", ts="ts", tiebreak="event_id"
+    ).collect()
+    got = {r["k"]: (r["lat"], r["lon"]) for r in out}
+    # total = 4 hops -> grid k = 0..8 at half-hop spacing
+    assert sorted(got) == list(range(9))
+    for k, (la, lo) in got.items():
+        assert lo == pytest.approx(-105.0, abs=1e-12)
+        assert la == pytest.approx(40.0 + k * 0.005, abs=1e-7), k
+    # half-grid points are true midpoints on the distance axis (lerp exact)
+    assert got[1][0] == pytest.approx(40.005, abs=1e-7)
