@@ -890,6 +890,32 @@ def _resample_sql() -> str:
     """
 
 
+KM_K, KM_ITERS, KM_DIM = 6, 2, 64
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational Lloyd's k-means over the embeddings table
+    (operators/clustering.py): k=6, 2 unrolled rounds, deterministic
+    smallest-id seeding, decimal-exact distances and means so cluster
+    assignment is partitioning-invariant. The oracle replays both rounds
+    CTE-for-CTE; the centroid-norm fingerprint pins every coordinate of
+    the final centroids."""
+    from activity_files_spark.operators.clustering import kmeans_relational
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return kmeans_relational(emb, KM_K, KM_ITERS, KM_DIM)
+
+
+def _kmeans_sql() -> str:
+    from activity_files_spark.operators.clustering import kmeans_sql
+
+    body = kmeans_sql("embeddings", KM_K, KM_ITERS, KM_DIM)
+    return f"""
+    WITH {body}
+    SELECT cluster, n_members, centroid_norm FROM km_out
+    """
+
+
 RSD_STEP_M = 20000.0  # distance-resample grid step (derived grid hops ~20 km)
 
 
@@ -4066,6 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bearing_turns_track": bearing_turns_track,
         "zone_length_events": zone_length_events,
         "resample_distance_track": resample_distance_track,
+        "kmeans_embeddings": kmeans_embeddings,
         "simplify_track_events": simplify_track_events,
         "stream_map_match_events": stream_map_match_events,
         "fit_roundtrip_stats": fit_roundtrip_stats,
@@ -4141,6 +4168,7 @@ def oracle_sql() -> dict[str, str]:
         "bearing_turns_track": _bearing_turns_sql(),
         "zone_length_events": _zone_length_sql(),
         "resample_distance_track": _resample_distance_sql(),
+        "kmeans_embeddings": _kmeans_sql(),
         "simplify_track_events": _simplify_track_sql(),
         "stream_map_match_events": _stream_map_match_sql(),
         "fit_roundtrip_stats": _fit_roundtrip_sql(),

@@ -104,6 +104,7 @@ HEADLINE = [
     "bearing_turns_track",
     "zone_length_events",
     "resample_distance_track",
+    "kmeans_embeddings",
 ]
 
 
