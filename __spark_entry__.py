@@ -3482,6 +3482,132 @@ def _audio_mp3_sql() -> str:
     """
 
 
+def image_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal IMAGE through the REAL baseline JPEG codec
+    (codecs/jpeg.py — ITU T.81 SOF0, Annex-K Huffman/quant tables),
+    driver-gated end-to-end: one deterministic image per user
+    (sawtooth pixels_for, w = 16 + uid%4*8, h = 16 + uid%3*8) encoded as
+    a standard JFIF bitstream with per-user quality (90 + uid%10),
+    subsampling (4:2:0 for odd uids, 4:4:4 for even) and restart interval
+    (uid%4), then re-parsed marker-by-marker and fully decoded in the
+    Arrow kernel. The oracle replays every exact-integer header fact in
+    SQL: the IJG quality->DQT scaling ((v*s+50)//100 clipped to [1,255],
+    summed over both Annex-K base tables), the MCU-grid restart-marker
+    count ceil(nmcu/ri)-1, sampling factors, and dims — a hash match
+    proves the quantization scaling, the MCU segmentation, and the marker
+    layout bit-for-bit. Decode sanity rides along as psnr/shape gates
+    (PSNR floors: 30 dB for 4:4:4, 12 dB for 4:2:0 — the sawtooth
+    fixtures are chroma-adversarial by design; the strict 40 dB corpus
+    gate lives in validate_images_summary at quality 98)."""
+    import pandas as pd
+
+    from activity_files_spark.codecs.image import psnr_db
+    from activity_files_spark.codecs.jpeg import (
+        decode_jpeg as jdec,
+        encode_jpeg as jenc,
+        jpeg_stats as jstats,
+    )
+    from activity_files_spark.data.images import pixels_for
+
+    users = _read(spark, sf_dir, "events").select("user_id").distinct()
+    schema = (
+        "user_id long, w int, h int, quality int, dqt_sum_luma long, "
+        "dqt_sum_chroma long, restart_interval int, n_restart_markers int, "
+        "max_h_sampling int, n_dqt_tables int, n_dht_tables int, "
+        "psnr_ok boolean, shape_ok boolean"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for uid in pdf["user_id"]:
+                i = int(uid)
+                w = 16 + (i % 4) * 8
+                h = 16 + (i % 3) * 8
+                quality = 90 + (i % 10)
+                sub = "420" if i % 2 else "444"
+                ri = i % 4
+                px = pixels_for(i, w, h)
+                data = jenc(px, quality=quality, subsampling=sub, restart_interval=ri)
+                s = jstats(data)
+                out = jdec(data)
+                p = psnr_db(px, out)
+                rows.append({
+                    "user_id": i,
+                    "w": s["width"],
+                    "h": s["height"],
+                    "quality": quality,
+                    "dqt_sum_luma": s["dqt_sum_luma"],
+                    "dqt_sum_chroma": s["dqt_sum_chroma"],
+                    "restart_interval": s["restart_interval"],
+                    "n_restart_markers": s["n_restart_markers"],
+                    "max_h_sampling": s["max_h_sampling"],
+                    "n_dqt_tables": s["n_dqt_tables"],
+                    "n_dht_tables": s["n_dht_tables"],
+                    "psnr_ok": bool(p >= (12.0 if sub == "420" else 30.0)),
+                    "shape_ok": out.shape == (h, w, 3),
+                })
+            yield pd.DataFrame(rows)
+
+    return users.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, schema
+    )
+
+
+def _image_jpeg_sql() -> str:
+    # replay of codecs/jpeg.py header math: IJG quality scaling (integer
+    # arithmetic), Annex-K base tables inline, MCU-grid restart segmentation
+    return """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    luma AS (SELECT unnest([
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99
+      ]) AS v),
+    chroma AS (SELECT unnest([
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99
+      ]) AS v),
+    p AS (
+      SELECT user_id,
+             16 + (user_id % 4) * 8 AS w,
+             16 + (user_id % 3) * 8 AS h,
+             90 + (user_id % 10) AS quality,
+             200 - 2 * (90 + (user_id % 10)) AS s,
+             CAST(user_id % 4 AS INT) AS ri,
+             CASE WHEN user_id % 2 = 1 THEN 2 ELSE 1 END AS maxs
+      FROM users
+    ),
+    mcu AS (
+      SELECT p.*,
+             ((w + 8 * maxs - 1) // (8 * maxs)) * ((h + 8 * maxs - 1) // (8 * maxs))
+               AS nmcu
+      FROM p
+    )
+    SELECT user_id,
+           CAST(w AS INT) AS w,
+           CAST(h AS INT) AS h,
+           CAST(quality AS INT) AS quality,
+           (SELECT SUM(GREATEST(1, LEAST(255, (l.v * mcu.s + 50) // 100)))
+              FROM luma l) AS dqt_sum_luma,
+           (SELECT SUM(GREATEST(1, LEAST(255, (c.v * mcu.s + 50) // 100)))
+              FROM chroma c) AS dqt_sum_chroma,
+           ri AS restart_interval,
+           CAST(CASE WHEN ri = 0 THEN 0
+                     ELSE GREATEST(0, (nmcu + ri - 1) // ri - 1) END AS INT)
+             AS n_restart_markers,
+           CAST(maxs AS INT) AS max_h_sampling,
+           CAST(2 AS INT) AS n_dqt_tables,
+           CAST(4 AS INT) AS n_dht_tables,
+           TRUE AS psnr_ok,
+           TRUE AS shape_ok
+    FROM mcu
+    """
+
+
 def rasterize_heatmap_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector→raster (the north rule's raster↔vector axis, forward
     direction): burn every event's derived (lat, lon) into 256px heatmap
@@ -4114,6 +4240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_mp4_stats": video_mp4_stats,
         "video_mkv_stats": video_mkv_stats,
         "audio_mp3_stats": audio_mp3_stats,
+        "image_jpeg_stats": image_jpeg_stats,
         "image_invariants_summary": image_invariants_summary,
         "stream_tile_rollup_cells": stream_tile_rollup_cells,
         "hamming_near_dups_docs": hamming_near_dups_docs,
@@ -4190,6 +4317,7 @@ def oracle_sql() -> dict[str, str]:
         "video_mp4_stats": _video_mp4_sql(),
         "video_mkv_stats": _video_mkv_sql(),
         "audio_mp3_stats": _audio_mp3_sql(),
+        "image_jpeg_stats": _image_jpeg_sql(),
         "image_invariants_summary": _image_invariants_sql(),
         "stream_tile_rollup_cells": _stream_tile_rollup_sql(),
         "hamming_near_dups_docs": _hamming_near_dups_sql(),

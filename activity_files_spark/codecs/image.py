@@ -7,14 +7,13 @@ No image libraries exist in this container (no PIL/cv2), so:
   4-byte row padding) — lossless, readable by any standard tool.
 - **png**: real 8-bit RGB PNG (zlib, filter 0) — lossless, standards-valid
   (checked against the PNG spec CRC/chunk layout).
-- **jpeg**: DETERMINISTIC FAKE LOSSY CODEC — a clearly-marked stand-in that
-  exercises the lossy path (PSNR >= 40 dB invariant) without a real JPEG
-  implementation: 6-bit uniform quantization per channel + zlib, wrapped in
-  a `FAKEJPG1` magic header (worst-case PSNR 20*log10(255/2) = 42.1 dB,
-  always above the 40 dB gate). Decoding a *real* JPEG bitstream raises
-  NotImplementedError. The Spark-side plumbing (schema, batching, UDF
-  signatures) is identical to what a real codec would use; swap
-  encode_jpeg/decode_jpeg for a libjpeg binding in production.
+- **jpeg**: REAL baseline JPEG (ITU T.81 SOF0, Annex-K tables — see
+  :mod:`activity_files_spark.codecs.jpeg`) at quality 98 / 4:4:4, which
+  holds the pipeline's PSNR >= 40 dB lossy invariant even on the
+  adversarial sawtooth fixtures (measured worst case 43.0 dB). The
+  round-4 `FAKEJPG1` stand-in is still *decodable* (legacy payloads in
+  cached tables), but everything encoded from round 5 on is a standard
+  JFIF bitstream any external decoder can read.
 
 Metrics:
 - :func:`psnr_db` — peak signal-to-noise ratio over uint8 pixels.
@@ -139,10 +138,22 @@ def decode_png(data: bytes) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-# ------------------------------------------------------------------ fake-lossy ("jpeg" slot)
+# ------------------------------------------------------------------ "jpeg" slot
+
+JPEG_QUALITY = 98  # 4:4:4 at q98: worst measured PSNR 43.0 dB on the
+# adversarial sawtooth fixtures — the >= 40 dB gate holds with ~3 dB margin
+
 
 def encode_jpeg(px: np.ndarray) -> bytes:
-    """DETERMINISTIC FAKE lossy codec (see module docstring). NOT real JPEG."""
+    """Real baseline JPEG (T.81 SOF0) — see codecs/jpeg.py."""
+    from activity_files_spark.codecs.jpeg import encode_jpeg as _enc
+
+    return _enc(px, quality=JPEG_QUALITY, subsampling="444")
+
+
+def encode_fake_jpeg(px: np.ndarray) -> bytes:
+    """Round-4 FAKEJPG1 stand-in (6-bit quant + zlib), kept for the legacy
+    decode path and its tests; no pipeline encodes this anymore."""
     h, w, _ = px.shape
     q = (px.astype(np.uint16) >> (8 - _QUANT_BITS)).astype(np.uint8)
     return (
@@ -153,14 +164,12 @@ def encode_jpeg(px: np.ndarray) -> bytes:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
+    if data[:2] == b"\xff\xd8":
+        from activity_files_spark.codecs.jpeg import decode_jpeg as _dec
+
+        return _dec(data)
     if data[: len(FAKE_JPEG_MAGIC)] != FAKE_JPEG_MAGIC:
-        if data[:2] == b"\xff\xd8":
-            raise NotImplementedError(
-                "real JPEG bitstreams need a libjpeg binding (not available "
-                "in this container); only the FAKEJPG1 deterministic stand-in "
-                "is supported here"
-            )
-        raise ValueError("not a FAKEJPG1 payload")
+        raise ValueError("neither a JFIF bitstream nor a FAKEJPG1 payload")
     w, h = struct.unpack_from("<II", data, len(FAKE_JPEG_MAGIC))
     q = np.frombuffer(
         zlib.decompress(data[len(FAKE_JPEG_MAGIC) + 8 :]), dtype=np.uint8
@@ -225,8 +234,9 @@ _DCT32 = _dct_matrix(32)
 
 
 # bumped when block-mean arithmetic changes in a way that can move stored
-# phash values by an ulp (cached bench image tables key on it)
-PHASH_VERSION = 2
+# phash values by an ulp (cached bench image tables key on it); v3 = real
+# JPEG in the jpeg slot + smooth representative-tier pixels
+PHASH_VERSION = 3
 
 
 def _resize_area(gray: np.ndarray, size: int = 32) -> np.ndarray:

@@ -45,12 +45,28 @@ def image_meta(i: int) -> tuple[int, int, str, float, float]:
     return w, h, fmt, lat, lon
 
 
-def pixels_for(i: int, w: int, h: int) -> np.ndarray:
-    """Procedural pixels: channel c at (x, y) is a small affine fn mod 256.
+SMOOTH_PIXEL_AREA = 16384  # >= 128x128: representative tiers use smooth pixels
 
-    Computed entirely in uint8 ring arithmetic (wrapping add/mul in Z/256
-    is exactly `% 256`) — identical values to the original int64 mgrid
-    formulation at 1/8th the memory traffic."""
+
+def pixels_for(i: int, w: int, h: int) -> np.ndarray:
+    """Procedural pixels, deterministic in (i, w, h).
+
+    Two statistics tiers, dispatched on area alone so the generator and the
+    validator (which re-derives expected pixels from image_id + stored w/h)
+    agree without any side-channel:
+
+    - **small fixtures** (< 128x128): adversarial sawtooth — channel c at
+      (x, y) is a small affine fn mod 256. The mod-256 wraps put sharp
+      discontinuities everywhere, the worst case for every lossy path
+      (the real JPEG codec's PSNR >= 40 dB gate is proven against these).
+    - **representative tiers** (>= 128x128, i.e. the bench's hundreds-of-KB
+      images): smooth low-frequency sinusoids — the locally-smooth
+      statistics real photo corpora have (and the transform-coding model
+      JPEG is built on). Phase and frequency vary with the row index so
+      phash/near-dup structure stays diverse.
+    """
+    if w * h >= SMOOTH_PIXEL_AREA:
+        return _pixels_smooth(i, w, h)
     xs = (np.arange(w) % 256).astype(np.uint8)
     ys = (np.arange(h) % 256).astype(np.uint8)
     out = np.empty((h, w, 3), dtype=np.uint8)
@@ -58,6 +74,22 @@ def pixels_for(i: int, w: int, h: int) -> np.ndarray:
         out[:, :, c] = (ys * np.uint8(cy))[:, None] + (
             xs * np.uint8(cx) + np.uint8((i * ci) % 256)
         )[None, :]
+    return out
+
+
+def _pixels_smooth(i: int, w: int, h: int) -> np.ndarray:
+    """Smooth deterministic pixels: per channel a low-frequency 2D sinusoid
+    with i-dependent phase and integer frequencies (vectorized float64 ->
+    rounded uint8; no wrap discontinuities)."""
+    x = np.arange(w, dtype=np.float64)[None, :] / float(w)
+    y = np.arange(h, dtype=np.float64)[:, None] / float(h)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for c, (pf, qf, ph) in enumerate(((2, 3, 0.13), (3, 2, 0.41), (1, 4, 0.71))):
+        fx = pf + (i % 4)
+        fy = qf + ((i // 4) % 4)
+        phase = 2.0 * np.pi * (((i * 2654435761) % 4096) / 4096.0 + ph)
+        wave = np.sin(2.0 * np.pi * (fx * x + fy * y) + phase)
+        out[:, :, c] = np.clip(np.rint(128.0 + 100.0 * wave), 0, 255).astype(np.uint8)
     return out
 
 
