@@ -827,6 +827,69 @@ def _route_near_dups_sql() -> str:
     """
 
 
+FRECHET_M = 8  # samples per route for the Fréchet DP (work per pair = m²)
+
+
+def frechet_route_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Fréchet refinement of the route near-dup candidates
+    (operators/trajectory.py): the same z17 tile-signature miner as
+    route_near_dups picks each route's single most-similar other route,
+    but the refine metric is the ORDER-AWARE dog-leash distance (Eiter &
+    Mannila DP) over 8 evenly-index-resampled points per route — Hausdorff
+    says 'same set of places', Fréchet says 'same route walked the same
+    direction'. The resample slots use pure integer rank arithmetic and
+    the DP cells use the scalar-libm haversine twin, so the DuckDB oracle
+    replays the ENTIRE pipeline exactly: candidates, sampling, and the DP
+    itself unrolled along anti-diagonals (dp[i][j] depends on diagonals
+    k-1/k-2 only -> one generated CTE per diagonal, 2m-1 stages). A hash
+    match proves a nontrivial dynamic program end-to-end across engines."""
+    from activity_files_spark.operators.trajectory import (
+        frechet_refine,
+        index_resample,
+        route_cells,
+        route_pair_jaccard,
+        top_similar_routes,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        _lat_col().alias("lat"), _lon_col().alias("lon"),
+    )
+    cells = route_cells(ev, RT_Z, key="user_id").localCheckpoint(eager=True)
+    pairs = route_pair_jaccard(cells, key="user_id")
+    top = top_similar_routes(pairs, k=1).drop("rank")
+    samples = index_resample(
+        ev, FRECHET_M, key="user_id", order_cols=("ts", "event_id")
+    )
+    ref = frechet_refine(top, samples, key="user_id")
+    return ref.select(
+        F.col("key").alias("user_id"),
+        F.col("other").alias("similar_user_id"),
+        "n_shared",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("frechet_m", 3).alias("frechet_m"),
+    )
+
+
+def _frechet_route_sql() -> str:
+    from activity_files_spark.operators.trajectory import frechet_sql
+
+    body = frechet_sql(
+        "pts", RT_Z, FRECHET_M, key="user_id", order_cols=("ts", "event_id")
+    )
+    return f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ),
+    {body}
+    SELECT key AS user_id, other AS similar_user_id, n_shared,
+           ROUND(jaccard, 6) AS jaccard, ROUND(frechet_m, 3) AS frechet_m
+    FROM fr_final
+    """
+
+
 def resample_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 resample: per-user 6-hour grid (end-inclusive) with linear
     interpolation of the derived lat/lon between bracketing points."""
@@ -4241,6 +4304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_mkv_stats": video_mkv_stats,
         "audio_mp3_stats": audio_mp3_stats,
         "image_jpeg_stats": image_jpeg_stats,
+        "frechet_route_refine": frechet_route_refine,
         "image_invariants_summary": image_invariants_summary,
         "stream_tile_rollup_cells": stream_tile_rollup_cells,
         "hamming_near_dups_docs": hamming_near_dups_docs,
@@ -4318,6 +4382,7 @@ def oracle_sql() -> dict[str, str]:
         "video_mkv_stats": _video_mkv_sql(),
         "audio_mp3_stats": _audio_mp3_sql(),
         "image_jpeg_stats": _image_jpeg_sql(),
+        "frechet_route_refine": _frechet_route_sql(),
         "image_invariants_summary": _image_invariants_sql(),
         "stream_tile_rollup_cells": _stream_tile_rollup_sql(),
         "hamming_near_dups_docs": _hamming_near_dups_sql(),

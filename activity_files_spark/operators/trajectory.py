@@ -246,6 +246,205 @@ def route_similarity_sql(
     """
 
 
+# ----------------------------------------------------- discrete Fréchet
+
+def index_resample(
+    points: DataFrame, m: int, key: str = "user_id",
+    order_cols: tuple = ("ts",), lat: str = "lat", lon: str = "lon",
+) -> DataFrame:
+    """<= ``m`` points per route at evenly spaced RANK positions.
+
+    Rank ``rn`` in 1..n maps to slot ``idx = (rn-1)*m DIV n`` (pure integer
+    arithmetic — the DuckDB twin is bit-free of float division); the FIRST
+    point of each slot survives, then slots are re-numbered to a contiguous
+    0-based ``i``. Routes shorter than ``m`` keep all their points. This is
+    the bounded-work knob that makes pairwise trajectory metrics feasible
+    at corpus scale: a 100k-point activity and a 50-point stroll both
+    collapse to <= m ordered samples, so every pair costs O(m²) regardless
+    of raw track length.
+
+    Output: (key, i, lat, lon)."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    wn = Window.partitionBy(key)
+    pts = (
+        points.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("idx", F.expr(f"(rn - 1) * {int(m)} DIV n"))
+    )
+    first = F.min("rn").over(Window.partitionBy(key, "idx"))
+    kept = pts.withColumn("_first", first).filter(F.col("rn") == F.col("_first"))
+    wi = Window.partitionBy(key).orderBy("idx")
+    return kept.select(
+        F.col(key), (F.row_number().over(wi) - F.lit(1)).alias("i"),
+        F.col(lat), F.col(lon),
+    )
+
+
+def frechet_refine(pairs: DataFrame, samples: DataFrame, key: str = "user_id") -> DataFrame:
+    """Discrete Fréchet distance (meters) for each (key, other) pair over
+    index-resampled route samples — the ORDER-AWARE trajectory metric
+    (Hausdorff ignores traversal direction; Fréchet is the dog-leash
+    distance, the standard for 'same route, same direction').
+
+    ``pairs``: (key, other, n_shared, jaccard) — e.g. top_similar_routes.
+    ``samples``: (key, i, lat, lon) from :func:`index_resample` (i 0-based
+    contiguous per route, <= m rows per route).
+
+    Plan: one groupBy packs each route's samples into an ordered array
+    (<= m structs, a few hundred bytes — cheap to shuffle), two equi-joins
+    attach both arrays to each pair, and an Arrow kernel runs the O(m²)
+    dynamic program per pair. Distances use the scalar libm haversine
+    twin (geo.haversine_m_exact), so every cell of the DP — and therefore
+    the max/min lattice result — is bit-identical to the DuckDB oracle's
+    anti-diagonal SQL replay. At 10^12 points the per-pair cost is a
+    constant m² regardless of track length; the pair count is bounded by
+    the candidate miner upstream.
+
+    Output: pairs + ``frechet_m``."""
+    import pandas as pd
+
+    from activity_files_spark.functions.geo import haversine_m_exact
+
+    agg = samples.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("i"), F.col("lat"), F.col("lon")))
+        ).alias("pts")
+    )
+    a = agg.select(F.col(key).alias("key"), F.col("pts").alias("pts_a"))
+    b = agg.select(F.col(key).alias("other"), F.col("pts").alias("pts_b"))
+    joined = pairs.join(a, "key").join(b, "other")
+
+    schema = (
+        f"key {joined.schema['key'].dataType.simpleString()}, "
+        f"other {joined.schema['other'].dataType.simpleString()}, "
+        "n_shared long, jaccard double, frechet_m double"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                pa = [(p["lat"], p["lon"]) for p in row.pts_a]
+                pb = [(p["lat"], p["lon"]) for p in row.pts_b]
+                recs.append({
+                    "key": row.key,
+                    "other": row.other,
+                    "n_shared": row.n_shared,
+                    "jaccard": row.jaccard,
+                    "frechet_m": discrete_frechet(pa, pb, haversine_m_exact),
+                })
+            yield pd.DataFrame(recs)
+
+    return joined.mapInPandas(kernel, schema)
+
+
+def discrete_frechet(pa: list, pb: list, dist) -> float:
+    """Classic O(|a|·|b|) coupled-distance DP (Eiter & Mannila 1994):
+    dp[i][j] = max(d(i,j), min(dp[i-1][j], dp[i][j-1], dp[i-1][j-1])).
+    Pure max/min lattice over the pairwise distances — no arithmetic on
+    the dp values, so exactness reduces to exactness of ``dist``."""
+    na, nb = len(pa), len(pb)
+    d = [[dist(pa[i][0], pa[i][1], pb[j][0], pb[j][1]) for j in range(nb)]
+         for i in range(na)]
+    dp = [[0.0] * nb for _ in range(na)]
+    dp[0][0] = d[0][0]
+    for i in range(1, na):
+        dp[i][0] = max(d[i][0], dp[i - 1][0])
+    for j in range(1, nb):
+        dp[0][j] = max(d[0][j], dp[0][j - 1])
+    for i in range(1, na):
+        for j in range(1, nb):
+            dp[i][j] = max(d[i][j], min(dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]))
+    return dp[na - 1][nb - 1]
+
+
+def frechet_sql(pts_cte: str, z: int, m: int, key: str = "user_id",
+                order_cols: tuple = ("ts",)) -> str:
+    """DuckDB oracle body for route_cells -> route_pair_jaccard ->
+    top_similar_routes(1) -> index_resample(m) -> frechet_refine, over a
+    CTE named ``pts_cte`` with columns (key, order_cols..., lat, lon).
+
+    The DP has a same-row data dependency (dp[i][j] needs dp[i][j-1]), so
+    it cannot be one windowed pass — but along ANTI-DIAGONALS (k = i + j)
+    every cell depends only on diagonals k-1 and k-2. This builder emits
+    one python-generated CTE per diagonal (2m-1 stages), each a 3-way
+    LEFT JOIN against the two previous stages with the exact
+    GREATEST(d, LEAST(...)) recurrence; missing-boundary predecessors
+    coalesce to +huge so LEAST ignores them. Binds CTEs fr_* and
+    ``fr_final`` (key, other, n_shared, jaccard, frechet_m); reuses the
+    rc_* candidate CTEs from route_similarity_sql."""
+    body = route_similarity_sql(pts_cte, z, k=1, key=key)
+    order = ", ".join(order_cols)
+    hav = haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    stages = []
+    prev, prev2 = "fr_dp_0", None
+    for kdiag in range(1, 2 * m - 1):
+        p3 = (
+            f"""LEFT JOIN {prev2} p3 ON p3.key = g.key AND p3.other = g.other
+           AND p3.i = g.i - 1 AND p3.j = g.j - 1"""
+            if prev2
+            else ""
+        )
+        p3val = "COALESCE(p3.val, 1e308)" if prev2 else "1e308"
+        stages.append(f"""
+    fr_dp_{kdiag} AS MATERIALIZED (
+      SELECT g.key, g.other, g.i, g.j,
+             GREATEST(g.d, LEAST(COALESCE(p1.val, 1e308),
+                                 COALESCE(p2.val, 1e308), {p3val})) AS val
+      FROM fr_grid g
+      LEFT JOIN {prev} p1 ON p1.key = g.key AND p1.other = g.other
+           AND p1.i = g.i - 1 AND p1.j = g.j
+      LEFT JOIN {prev} p2 ON p2.key = g.key AND p2.other = g.other
+           AND p2.i = g.i AND p2.j = g.j - 1
+      {p3}
+      WHERE g.i + g.j = {kdiag}
+    )""")
+        prev2, prev = prev, f"fr_dp_{kdiag}"
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM fr_dp_{k2}" for k2 in range(2 * m - 1)
+    )
+    return f"""{body},
+    fr_ranked AS MATERIALIZED (
+      SELECT {key} AS key, lat, lon,
+             ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY {order}) AS rn,
+             COUNT(*) OVER (PARTITION BY {key}) AS n
+      FROM {pts_cte}
+    ),
+    fr_samp AS MATERIALIZED (
+      SELECT key, (rn - 1) * {m} // n AS idx, lat, lon, rn FROM fr_ranked
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY key, (rn - 1) * {m} // n ORDER BY rn) = 1
+    ),
+    fr_idx AS MATERIALIZED (
+      SELECT key,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY idx) - 1 AS i,
+             lat, lon
+      FROM fr_samp
+    ),
+    fr_len AS MATERIALIZED (SELECT key, COUNT(*) AS n FROM fr_idx GROUP BY key),
+    fr_grid AS MATERIALIZED (
+      SELECT t.key, t.other, a.i AS i, b.i AS j, {hav} AS d
+      FROM rc_top t
+      JOIN fr_idx a ON a.key = t.key
+      JOIN fr_idx b ON b.key = t.other
+    ),
+    fr_dp_0 AS MATERIALIZED (
+      SELECT key, other, i, j, d AS val FROM fr_grid WHERE i = 0 AND j = 0
+    ),{",".join(stages)},
+    fr_all AS MATERIALIZED (
+      {union}
+    ),
+    fr_final AS MATERIALIZED (
+      SELECT f.key, f.other, t.n_shared, t.jaccard, f.val AS frechet_m
+      FROM fr_all f
+      JOIN fr_len na ON na.key = f.key
+      JOIN fr_len nb ON nb.key = f.other
+      JOIN rc_top t ON t.key = f.key AND t.other = f.other
+      WHERE f.i = na.n - 1 AND f.j = nb.n - 1
+    )
+    """
+
+
 __all__ = [
     "route_cells",
     "route_pair_jaccard",
@@ -253,4 +452,8 @@ __all__ = [
     "hausdorff_refine",
     "tile_center_sql",
     "route_similarity_sql",
+    "index_resample",
+    "frechet_refine",
+    "discrete_frechet",
+    "frechet_sql",
 ]

@@ -197,6 +197,23 @@ def _suite_state_merge(timings: dict, tput: dict) -> dict:
     # tolerate a well-formed but partial/legacy state file
     state.setdefault("queries", {})
     state.setdefault("throughput", {})
+    # image-semantics epoch: when the image corpus itself changes meaning
+    # (PHASH_VERSION bump — e.g. v3 swapped the fake jpeg codec for real
+    # baseline JPEG and re-tiered the representative pixels), best-ofs
+    # measured against the old corpus are not comparable; reset exactly the
+    # image-dependent entries instead of carrying a phantom regression
+    from activity_files_spark.codecs.image import PHASH_VERSION
+
+    if state.get("image_epoch") != PHASH_VERSION:
+        state["queries"] = {
+            k: v for k, v in state["queries"].items()
+            if "image" not in k and not k.startswith("tile_assign")
+        }
+        state["throughput"] = {
+            k: v for k, v in state["throughput"].items()
+            if "image" not in k and "tile_pip" not in k and "validate" not in k
+        }
+        state["image_epoch"] = PHASH_VERSION
     for name, sec in timings.items():
         prev = state["queries"].get(name)
         if prev is None or sec < prev["best"]:
