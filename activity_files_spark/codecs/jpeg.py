@@ -183,13 +183,22 @@ def _rgb_to_ycbcr(px: np.ndarray) -> list[np.ndarray]:
 
 def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     yf = y.astype(np.float64)
-    cbf = cb.astype(np.float64) - 128.0
-    crf = cr.astype(np.float64) - 128.0
-    r = yf + 1.402 * crf
-    g = yf - 0.3441362862 * cbf - 0.7141362862 * crf
-    b = yf + 1.772 * cbf
-    out = np.stack([r, g, b], axis=-1)
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    cbf = cb.astype(np.float64)
+    cbf -= 128.0
+    crf = cr.astype(np.float64)
+    crf -= 128.0
+    out = np.empty(y.shape + (3,), dtype=np.float64)
+    r, g, b = out[:, :, 0], out[:, :, 1], out[:, :, 2]
+    np.multiply(crf, 1.402, out=r)
+    r += yf
+    np.multiply(cbf, -0.3441362862, out=g)
+    g -= 0.7141362862 * crf
+    g += yf
+    np.multiply(cbf, 1.772, out=b)
+    b += yf
+    np.rint(out, out=out)
+    np.clip(out, 0, 255, out=out)
+    return out.astype(np.uint8)
 
 
 def _box2(plane: np.ndarray) -> np.ndarray:
@@ -619,11 +628,14 @@ def _decode_segment(seg: bytes, comps, luts, zz_arrays, fill_pos):
 
     The Huffman chase is sequential by nature (each symbol's start depends
     on the previous symbol's length), but everything *per bit position* is
-    precomputed vectorized: ``lut[next16[p]]`` for every position p and
-    every table in play, plus the 16-bit peek window itself, all exported
-    as python ``bytes`` so the inner loop is pure int arithmetic + O(1)
-    bytes indexing — no numpy scalar boxing in the hot path (~5x the
-    naive per-symbol numpy-indexing loop).
+    precomputed vectorized and FUSED: for every position p and every table
+    in play we precompute the total advance of a symbol starting at p
+    (code length + magnitude-bit count), the symbol byte, and the fully
+    sign-extended coefficient value of the magnitude bits that follow the
+    code. The sequential loop is then ~3 O(1) indexed reads per
+    coefficient (bytes / int16-memoryview indexing — no numpy scalar
+    boxing), and the zigzag writes are batched into one numpy scatter per
+    component instead of a scalar ``zz[bi, k] = r`` per coefficient.
 
     ``comps``: component index of every block in this segment, in scan
     order; ``fill_pos``: per-component next write slot (stream order).
@@ -634,89 +646,120 @@ def _decode_segment(seg: bytes, comps, luts, zz_arrays, fill_pos):
         if comps:
             raise _Corrupt("empty entropy segment")
         return 0
-    padded = np.concatenate([raw, np.zeros(4, dtype=np.uint8)])
-    win = np.lib.stride_tricks.sliding_window_view(padded, 4).copy()
-    arr4 = win.view(">u4").ravel().astype(np.uint64)
-    bitpos = np.arange(total_bits, dtype=np.int64)
+    # pad 6 bytes so the 16-bit peek window exists for every position a
+    # symbol's magnitude bits can reach (p + ln <= total_bits + 15);
+    # next16[8k+r] = bits [8k+r, 8k+r+16) = (24-bit window at byte k) >> (8-r)
+    nbits = total_bits + 16
+    padded = np.concatenate([raw, np.zeros(6, dtype=np.uint8)]).astype(np.int32)
+    w24 = (padded[:-2] << 16) | (padded[1:-1] << 8) | padded[2:]
     next16 = (
-        (arr4[bitpos >> 3] >> (16 - (bitpos & 7)).astype(np.uint64)) & 0xFFFF
-    ).astype(np.uint16)
-    n16_hi = (next16 >> 8).astype(np.uint8).tobytes()
-    n16_lo = (next16 & 0xFF).astype(np.uint8).tobytes()
+        (w24[:, None] >> (8 - np.arange(8, dtype=np.int32))) & 0xFFFF
+    ).ravel()[:nbits]
 
-    tables = {}  # id(lut) -> (len_bytes, sym_bytes)
+    def _adv_sym(lut, is_dc):
+        dec = lut[next16[:total_bits]]
+        ln = (dec >> 8).astype(np.uint8)
+        sym = dec.astype(np.uint8)
+        if is_dc:
+            # adv==0 marks an invalid code (unassigned, or a DC size the
+            # 16-bit peek window cannot serve — spec max is 11)
+            size = np.minimum(sym, 15)
+            ok = (ln != 0) & (sym <= 15)
+        else:
+            size = sym & 15
+            ok = ln != 0
+        adv = (ln + size) * ok.astype(np.uint8)
+        return adv.tobytes(), sym.tobytes()
+
+    tables = {}  # (id(lut), is_dc) -> (adv_bytes, sym_bytes)
     for dc_lut, ac_lut in luts:
-        for lut in (dc_lut, ac_lut):
-            if id(lut) not in tables:
-                dec = lut[next16]
-                tables[id(lut)] = (
-                    (dec >> 8).astype(np.uint8).tobytes(),
-                    (dec & 0xFF).astype(np.uint8).tobytes(),
-                )
+        for lut, is_dc in ((dc_lut, True), (ac_lut, False)):
+            if (id(lut), is_dc) not in tables:
+                tables[(id(lut), is_dc)] = _adv_sym(lut, is_dc)
     per_comp = [
-        (tables[id(d)][0], tables[id(d)][1], tables[id(a)][0], tables[id(a)][1])
-        for d, a in luts
+        (tables[(id(d), True)][0],) + tables[(id(a), False)] for d, a in luts
     ]
 
-    pos = 0
-    preds = [0] * len(zz_arrays)
-    blocks_done = 0
+    nc = len(zz_arrays)
+    fill_start = list(fill_pos)
+    # walk output: per component, coefficient positions + flat zz indices,
+    # and DC symbol positions (one per block, in fill order)
+    ac_pos: list[list[int]] = [[] for _ in range(nc)]
+    ac_idx: list[list[int]] = [[] for _ in range(nc)]
+    dc_pos: list[list[int]] = [[] for _ in range(nc)]
     try:
-        blocks_done = _chase(
-            comps, per_comp, zz_arrays, fill_pos, preds, n16_hi, n16_lo, total_bits
-        )
+        blocks_done = _chase(comps, per_comp, ac_pos, ac_idx, dc_pos, fill_pos, total_bits)
     except IndexError:
         raise _Corrupt("entropy stream truncated mid-symbol") from None
+
+    def _extend(peek, size):
+        # JPEG receive/extend: interpret `size` magnitude bits (MSB-first
+        # at the top of the 16-bit peek) as a signed coefficient
+        size1 = np.maximum(size, 1)
+        r = peek >> (16 - size)
+        ext = np.where(r < (1 << (size1 - 1)), r - ((1 << size1) - 1), r)
+        return np.where(size > 0, ext, 0)
+
+    for ci in range(nc):
+        zz_flat = zz_arrays[ci].ravel()
+        dlut, alut = luts[ci]
+        if ac_pos[ci]:
+            parr = np.asarray(ac_pos[ci], dtype=np.int64)
+            dec = alut[next16[parr]]
+            vals = _extend(next16[parr + (dec >> 8)], dec & 15)
+            zz_flat[np.asarray(ac_idx[ci], dtype=np.int64)] = vals
+        if dc_pos[ci]:
+            parr = np.asarray(dc_pos[ci], dtype=np.int64)
+            dec = dlut[next16[parr]]
+            diffs = _extend(next16[parr + (dec >> 8)], np.minimum(dec & 0xFF, 15))
+            preds = np.cumsum(diffs, dtype=np.int64)
+            slots = (fill_start[ci] + np.arange(len(parr), dtype=np.int64)) << 6
+            zz_flat[slots] = preds
     return blocks_done
 
 
-def _chase(comps, per_comp, zz_arrays, fill_pos, preds, n16_hi, n16_lo, total_bits):
+def _chase(comps, per_comp, ac_pos, ac_idx, dc_pos, fill_pos, total_bits):
+    """Sequential Huffman walk: advances the bit cursor symbol by symbol
+    (2 O(1) bytes-indexings per symbol) recording only *positions* — all
+    value math happens vectorized afterwards in ``_decode_segment``."""
     pos = 0
     blocks_done = 0
     for ci in comps:
         if pos >= total_bits:
             break
-        dlen, dsym, alen, asym = per_comp[ci]
-        zz = zz_arrays[ci]
+        dadv, aadv, asym = per_comp[ci]
         bi = fill_pos[ci]
         fill_pos[ci] += 1
+        base = bi << 6
+        pa = ac_pos[ci].append
+        ia = ac_idx[ci].append
         # DC
-        ln = dlen[pos]
-        if ln == 0:
+        a = dadv[pos]
+        if a == 0:
             raise _Corrupt("invalid DC huffman code")
-        size = dsym[pos]
-        pos += ln
-        if size:
-            r = ((n16_hi[pos] << 8) | n16_lo[pos]) >> (16 - size)
-            pos += size
-            if r < (1 << (size - 1)):
-                r += -(1 << size) + 1
-            preds[ci] += r
-        zz[bi, 0] = preds[ci]
+        dc_pos[ci].append(pos)
+        pos += a
         # AC
         k = 1
         while k <= 63:
-            ln = alen[pos]
-            if ln == 0:
+            a = aadv[pos]
+            if a == 0:
                 raise _Corrupt("invalid AC huffman code")
             sym = asym[pos]
-            pos += ln
-            if sym == 0x00:  # EOB
-                break
+            if sym == 0xF0:  # ZRL
+                pos += a
+                k += 16
+                continue
             size = sym & 15
-            if size == 0:
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
+            if size == 0:  # EOB (0x00) or spec-invalid run-only symbol
+                pos += a
                 break
             k += sym >> 4
             if k > 63:
                 raise _Corrupt("AC run overflows block")
-            r = ((n16_hi[pos] << 8) | n16_lo[pos]) >> (16 - size)
-            pos += size
-            if r < (1 << (size - 1)):
-                r += -(1 << size) + 1
-            zz[bi, k] = r
+            pa(pos)
+            ia(base + k)
+            pos += a
             k += 1
         blocks_done += 1
     return blocks_done
@@ -791,16 +834,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         qid = comps[ci][3]
         if qid not in st["qt"]:
             raise _Corrupt("missing quant table")
-        deq = raster.astype(np.float64) * st["qt"][qid][ZIGZAG].astype(np.float64)
         coef = np.zeros((bh * bw, 64), dtype=np.float64)
-        coef[:, ZIGZAG] = deq
+        coef[:, ZIGZAG] = raster * st["qt"][qid][ZIGZAG]
         coef = coef.reshape(-1, 8, 8)
-        spat = _DCT8.T @ coef @ _DCT8 + 128.0
-        plane = _unblockify(np.clip(np.rint(spat), 0, 255).astype(np.uint8), bh, bw)
+        spat = _DCT8.T @ coef @ _DCT8
+        spat += 128.0
+        np.rint(spat, out=spat)
+        np.clip(spat, 0, 255, out=spat)
+        plane = _unblockify(spat.astype(np.uint8), bh, bw)
         # upsample to full resolution, crop to (h, w)
         ry, rx = vmax // sv, hmax // sh
         if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+            ph, pw = plane.shape
+            plane = np.broadcast_to(
+                plane[:, None, :, None], (ph, ry, pw, rx)
+            ).reshape(ph * ry, pw * rx)
         planes.append(plane[:h, :w])
     if nc == 1:
         return np.stack([planes[0]] * 3, axis=-1)
