@@ -726,10 +726,18 @@ def simplify_track_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the SAME recursion as a WITH RECURSIVE interval-splitting CTE
     (LATERAL argmax per chord, identical planar-projection floats) — an
     iterative operator, hash-gated exactly. Aggregate pins kept count and
-    the exact kept-seq sum per user."""
+    the exact kept-seq sum per user. Gated on a deterministic user subset
+    (user_id % 5 = 0): DuckDB decorrelates the recursive LATERAL argmax
+    into a per-level (splits x corpus) product, so the ORACLE is quadratic
+    in total gated rows (25+ min at the full sf0.01 corpus); the Spark
+    operator itself is linear per track and unbounded in production."""
     from activity_files_spark.operators.simplify import simplify_tracks
 
-    ev = _read(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    ev = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 5 == 0)
+        .select("user_id", "event_id", "ts")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trk = ev.withColumn("seq", F.row_number().over(w).cast("long") - F.lit(1)).select(
         "user_id", "seq",
@@ -751,7 +759,7 @@ def _simplify_track_sql() -> str:
     WITH RECURSIVE base AS (
       SELECT user_id,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS seq
-      FROM events
+      FROM events WHERE user_id % 5 = 0
     ),
     -- MATERIALIZED: the recursion's LATERAL argmax re-reads pts many times;
     -- inlining would re-evaluate the window + SIN chain per reference
@@ -4238,6 +4246,130 @@ def entry(spark: SparkSession) -> DataFrame:
     return j.groupBy("geofence_id", "cell").agg(F.count("*").alias("n_points"))
 
 
+def dbscan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (operators/dbscan.py — the
+    ST_ClusterDBSCAN-shaped operator): signup points on the derived grid,
+    eps=150m / min_pts=4, per-point (role, cluster) rows. The Spark path
+    finds ε-neighbors with the 3x3 grid-cell equi-join and closes
+    core-core edges with min-label connected components; the oracle
+    replays the ε-graph BRUTE FORCE plus the same closure as a WITH
+    RECURSIVE min-label reach, so every core/border/noise decision and
+    every cluster label is hash-gated. Border points attach to the MIN
+    cluster among their core neighbors (the deterministic variant both
+    engines share — see the module doc for why textbook DBSCAN isn't
+    engine-portable)."""
+    from activity_files_spark.operators.dbscan import dbscan
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    pts = ev.select(
+        F.col("event_id").alias("point_id"),
+        _lat_col().alias("lat"),
+        _lon_col().alias("lon"),
+    )
+    return dbscan(pts, eps_m=150.0, min_pts=4, max_abs_lat_deg=41.0)
+
+
+def _dbscan_sql() -> str:
+    from activity_files_spark.operators.dbscan import dbscan_sql
+
+    body = dbscan_sql("pts", eps_m=150.0, min_pts=4)
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT event_id AS point_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events WHERE event_type = 'signup'
+    ),
+    {body}
+    SELECT point_id, role, cluster FROM db_out
+    """
+
+
+def stay_points_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (trajectory.stay_points — Li et al. 2008 visit
+    mining with the faithful anchor creep): each user walks a deterministic
+    station circuit derived from their event sequence (12 points per
+    station ~5m-jittered, 1.1km hops between stations, synthetic 30s
+    cadence), and the detector recovers the dwell at every station whose
+    visit spans >= 240s within a 120m anchor radius. The Spark side is the
+    sequential applyInPandas anchor chain on the scalar-libm haversine
+    twin; the oracle replays the SAME chain as a WITH RECURSIVE anchor
+    walk (LATERAL first-radius-break seek per step) — emit decisions,
+    creep steps, and interval bounds are all hash-gated. Centroids are
+    decimal-exact coordinate sums computed RELATIONALLY (one equi-join on
+    user + seq-range filter, decimal aggregation in both engines) so no
+    float leaves the kernel."""
+    from activity_files_spark.functions.time import ts_seconds
+    from activity_files_spark.operators.trajectory import stay_points
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("seq"),
+    ).select(
+        "user_id",
+        "event_id",
+        "seq",
+        (F.col("seq").cast("double") * F.lit(30.0)).alias("tss"),
+        (
+            F.lit(47.0)
+            + F.floor((F.col("seq") - 1) / 12).cast("double") * F.lit(0.01)
+            + ((F.col("seq") * 7) % 11).cast("double") * F.lit(0.000045)
+        ).alias("lat"),
+        (
+            F.lit(11.0)
+            + F.floor((F.col("seq") - 1) / 12).cast("double") * F.lit(0.01)
+            + ((F.col("seq") * 13) % 7).cast("double") * F.lit(0.00005)
+        ).alias("lon"),
+    )
+    stays = stay_points(
+        pts, d_max_m=120.0, t_min_s=240.0, key="user_id", seq="seq",
+        id_col="event_id", tss="tss", lat="lat", lon="lon",
+    )
+    cent = (
+        stays.join(pts, "user_id")
+        .where(F.col("seq").between(F.col("start_seq"), F.col("end_seq")))
+        .groupBy("user_id", "start_seq", "end_seq", "start_id", "end_id",
+                 "n_points", "dwell_s")
+        .agg(
+            F.sum(F.col("lat").cast("decimal(28,9)")).cast("double").alias("sum_lat"),
+            F.sum(F.col("lon").cast("decimal(28,9)")).cast("double").alias("sum_lon"),
+        )
+    )
+    return cent.select(
+        "user_id", "start_id", "end_id", "n_points", "dwell_s",
+        "sum_lat", "sum_lon",
+    )
+
+
+def _stay_points_sql() -> str:
+    from activity_files_spark.operators.trajectory import stay_points_sql
+
+    body = stay_points_sql("walk", 120.0, 240.0, key="user_id", id_col="event_id")
+    return f"""
+    WITH RECURSIVE walk AS (
+      SELECT user_id, event_id, seq,
+             CAST(seq AS DOUBLE) * 30.0 AS tss,
+             47.0 + CAST(FLOOR((seq - 1) / 12) AS DOUBLE) * 0.01
+                  + CAST((seq * 7) % 11 AS DOUBLE) * 0.000045 AS lat,
+             11.0 + CAST(FLOOR((seq - 1) / 12) AS DOUBLE) * 0.01
+                  + CAST((seq * 13) % 7 AS DOUBLE) * 0.00005 AS lon
+      FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        FROM events WHERE event_type = 'view'
+      )
+    ),
+    {body}
+    SELECT o.user_id, o.start_id, o.end_id, o.n_points, o.dwell_s,
+           CAST(SUM(CAST(p.lat AS DECIMAL(28,9))) AS DOUBLE) AS sum_lat,
+           CAST(SUM(CAST(p.lon AS DECIMAL(28,9))) AS DOUBLE) AS sum_lon
+    FROM sp_out o JOIN walk p
+      ON p.user_id = o.user_id AND p.seq BETWEEN o.start_seq AND o.end_seq
+    GROUP BY 1, 2, 3, 4, 5
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4305,6 +4437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mp3_stats": audio_mp3_stats,
         "image_jpeg_stats": image_jpeg_stats,
         "frechet_route_refine": frechet_route_refine,
+        "dbscan_events": dbscan_events,
+        "stay_points_events": stay_points_events,
         "image_invariants_summary": image_invariants_summary,
         "stream_tile_rollup_cells": stream_tile_rollup_cells,
         "hamming_near_dups_docs": hamming_near_dups_docs,
@@ -4383,6 +4517,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_mp3_stats": _audio_mp3_sql(),
         "image_jpeg_stats": _image_jpeg_sql(),
         "frechet_route_refine": _frechet_route_sql(),
+        "dbscan_events": _dbscan_sql(),
+        "stay_points_events": _stay_points_sql(),
         "image_invariants_summary": _image_invariants_sql(),
         "stream_tile_rollup_cells": _stream_tile_rollup_sql(),
         "hamming_near_dups_docs": _hamming_near_dups_sql(),

@@ -445,6 +445,161 @@ def frechet_sql(pts_cte: str, z: int, m: int, key: str = "user_id",
     """
 
 
+def stay_points(
+    pts: DataFrame,
+    d_max_m: float,
+    t_min_s: float,
+    key: str = "user_id",
+    seq: str = "seq",
+    id_col: str = "event_id",
+    tss: str = "tss",
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Stay-point detection (Li et al. 2008, "Mining user similarity based
+    on location history") — the canonical stop/visit extractor: a stay
+    point is a maximal anchor window where every later point stays within
+    ``d_max_m`` of the ANCHOR and the window spans >= ``t_min_s`` seconds.
+    Faithful to the original INCLUDING the anchor creep: when the radius
+    breaks before the duration is met, the anchor advances by ONE (not to
+    the break), because a stay can begin strictly inside a failed window.
+    Not in the reference (single-file scope, no visit mining).
+
+    ``pts``: (key, seq, id_col, tss, lat, lon) with ``seq`` 1-based
+    contiguous per key in time order and ``tss`` epoch seconds.
+
+    Plan: one shuffle groups each key's track; the scan is an
+    applyInPandas python loop (the anchor chain is inherently sequential
+    — the same keep-chain shape as downsample), using the scalar-libm
+    haversine twin so every radius and duration comparison is
+    bit-identical to the SQL oracle's recursive replay
+    (:func:`stay_points_sql`). Output is PURE INTEGERS (seqs, ids,
+    counts, integer-derived dwell) — centroids are computed relationally
+    downstream so both engines aggregate with the same decimal
+    discipline. At 10^12 points the per-key cost is O(n·w) for window
+    width w (points per stay), keys are independent, and no state leaves
+    the executor."""
+    import pandas as pd
+
+    from activity_files_spark.functions.geo import haversine_m_exact
+
+    out_schema = (
+        f"{key} {pts.schema[key].dataType.simpleString()}, "
+        "start_seq long, end_seq long, start_id long, end_id long, "
+        "n_points long, dwell_s double"
+    )
+    d_max = float(d_max_m)
+    t_min = float(t_min_s)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(seq)
+        kval = pdf[key].iloc[0]
+        seqs = pdf[seq].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        ts_v = pdf[tss].to_numpy(dtype="float64")
+        la = pdf[lat].to_numpy(dtype="float64")
+        lo = pdf[lon].to_numpy(dtype="float64")
+        n = len(pdf)
+        recs = []
+        i = 0
+        while i < n:
+            jeff = n  # 0-based exclusive end
+            for j in range(i + 1, n):
+                if haversine_m_exact(la[i], lo[i], la[j], lo[j]) > d_max:
+                    jeff = j
+                    break
+            dur = ts_v[jeff - 1] - ts_v[i]
+            if dur >= t_min:
+                recs.append(
+                    {
+                        key: kval,
+                        "start_seq": int(seqs[i]),
+                        "end_seq": int(seqs[jeff - 1]),
+                        "start_id": int(ids[i]),
+                        "end_id": int(ids[jeff - 1]),
+                        "n_points": int(jeff - i),
+                        "dwell_s": float(dur),
+                    }
+                )
+                i = jeff
+            else:
+                i += 1
+        cols = [key, "start_seq", "end_seq", "start_id", "end_id",
+                "n_points", "dwell_s"]
+        return pd.DataFrame(recs, columns=cols)
+
+    return pts.groupBy(key).applyInPandas(kernel, out_schema)
+
+
+def stay_points_sql(
+    pts_cte: str,
+    d_max_m: float,
+    t_min_s: float,
+    key: str = "user_id",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB oracle body for :func:`stay_points` over a CTE named
+    ``pts_cte`` with columns (key, seq, id_col, tss, lat, lon), seq
+    1-based contiguous per key. Binds sp_n / sp_chain / sp_out; the
+    caller SELECTs from ``sp_out`` and the enclosing WITH must be
+    RECURSIVE. The anchor chain is replayed step-for-step: each recursive
+    row finds the first radius break after its anchor (LATERAL min-seek
+    with the shared haversine SQL twin), tests the duration, and advances
+    to the break (emit) or by one (creep)."""
+    from activity_files_spark.functions.geo import haversine_sql
+
+    hav = haversine_sql("a.lat", "a.lon", "p.lat", "p.lon")
+    d_max = float(d_max_m)
+    t_min = float(t_min_s)
+
+    def eval_at(anchor: str, outer: str) -> str:
+        # jeff (1-based exclusive end) and emit for the anchor row `a`
+        return f"""
+      JOIN {pts_cte} a ON a.{key} = {outer}.key AND a.seq = {anchor}
+      JOIN LATERAL (
+        SELECT COALESCE(
+                 (SELECT MIN(p.seq) FROM {pts_cte} p
+                  WHERE p.{key} = a.{key} AND p.seq > a.seq
+                    AND {hav} > {d_max!r}),
+                 kn.n + 1) AS jeff
+      ) jj ON TRUE
+      JOIN LATERAL (
+        SELECT ((SELECT p2.tss FROM {pts_cte} p2
+                 WHERE p2.{key} = a.{key} AND p2.seq = jj.jeff - 1)
+                - a.tss) >= {t_min!r} AS emit
+      ) st ON TRUE"""
+
+    return f"""
+    sp_n AS (SELECT {key} AS key, MAX(seq) AS n FROM {pts_cte} GROUP BY 1),
+    sp_chain AS (
+      SELECT kn.key, CAST(1 AS BIGINT) AS anchor, jj.jeff, st.emit
+      FROM sp_n kn
+      {eval_at("1", "kn")}
+      UNION ALL
+      SELECT c.key,
+             CAST(CASE WHEN c.emit THEN c.jeff ELSE c.anchor + 1 END AS BIGINT),
+             jj.jeff, st.emit
+      FROM sp_chain c
+      JOIN sp_n kn ON kn.key = c.key
+      {eval_at("(CASE WHEN c.emit THEN c.jeff ELSE c.anchor + 1 END)", "c")}
+      WHERE (CASE WHEN c.emit THEN c.jeff ELSE c.anchor + 1 END) <= kn.n
+    ),
+    sp_out AS (
+      SELECT c.key AS {key},
+             c.anchor AS start_seq,
+             c.jeff - 1 AS end_seq,
+             sa.{id_col} AS start_id,
+             se.{id_col} AS end_id,
+             c.jeff - c.anchor AS n_points,
+             se.tss - sa.tss AS dwell_s
+      FROM sp_chain c
+      JOIN {pts_cte} sa ON sa.{key} = c.key AND sa.seq = c.anchor
+      JOIN {pts_cte} se ON se.{key} = c.key AND se.seq = c.jeff - 1
+      WHERE c.emit
+    )
+    """
+
+
 __all__ = [
     "route_cells",
     "route_pair_jaccard",
@@ -456,4 +611,6 @@ __all__ = [
     "frechet_refine",
     "discrete_frechet",
     "frechet_sql",
+    "stay_points",
+    "stay_points_sql",
 ]
