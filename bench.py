@@ -105,6 +105,10 @@ HEADLINE = [
     "zone_length_events",
     "resample_distance_track",
     "kmeans_embeddings",
+    "image_jpeg_stats",
+    "frechet_route_refine",
+    "dbscan_events",
+    "stay_points_events",
 ]
 
 
