@@ -4370,6 +4370,60 @@ def _stay_points_sql() -> str:
     """
 
 
+def convex_hull_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex hull per route (operators/hull.py — the ST_ConvexHull
+    shape): each user's click events trace a deterministic spiral
+    (general position — no collinear triples, see the module doc for why
+    the strict-left gate requires it), the Spark side runs Andrew's
+    monotone chain in an applyInPandas kernel, and the oracle replays the
+    hull DEFINITION — (a,b) is an edge iff every other point is strictly
+    left — as a pairs x points join + zero-violations aggregate, then
+    orders vertices by centroid angle anchored at the lexicographic
+    minimum. Two independent algorithms; every vertex AND its
+    counterclockwise position is hash-gated."""
+    from activity_files_spark.operators.hull import convex_hull
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = ev.select(
+        "user_id", F.row_number().over(w).cast("long").alias("seq")
+    ).select(
+        "user_id",
+        "seq",
+        (
+            F.lit(11.0)
+            + F.lit(0.001) * F.col("seq").cast("double")
+            * F.cos(F.col("seq").cast("double") * F.lit(0.7))
+        ).alias("lon"),
+        (
+            F.lit(47.0)
+            + F.lit(0.001) * F.col("seq").cast("double")
+            * F.sin(F.col("seq").cast("double") * F.lit(0.7))
+        ).alias("lat"),
+    )
+    return convex_hull(pts, key="user_id", seq="seq", x="lon", y="lat")
+
+
+def _convex_hull_sql() -> str:
+    from activity_files_spark.operators.hull import convex_hull_sql
+
+    body = convex_hull_sql("spiral")
+    return f"""
+    WITH spiral AS (
+      SELECT user_id, seq,
+             11.0 + 0.001 * CAST(seq AS DOUBLE) * COS(CAST(seq AS DOUBLE) * 0.7) AS lon,
+             47.0 + 0.001 * CAST(seq AS DOUBLE) * SIN(CAST(seq AS DOUBLE) * 0.7) AS lat
+      FROM (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        FROM events WHERE event_type = 'click'
+      )
+    ),
+    {body}
+    SELECT key AS user_id, seq, hull_order FROM ch_verts
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4439,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frechet_route_refine": frechet_route_refine,
         "dbscan_events": dbscan_events,
         "stay_points_events": stay_points_events,
+        "convex_hull_routes": convex_hull_routes,
         "image_invariants_summary": image_invariants_summary,
         "stream_tile_rollup_cells": stream_tile_rollup_cells,
         "hamming_near_dups_docs": hamming_near_dups_docs,
@@ -4519,6 +4574,7 @@ def oracle_sql() -> dict[str, str]:
         "frechet_route_refine": _frechet_route_sql(),
         "dbscan_events": _dbscan_sql(),
         "stay_points_events": _stay_points_sql(),
+        "convex_hull_routes": _convex_hull_sql(),
         "image_invariants_summary": _image_invariants_sql(),
         "stream_tile_rollup_cells": _stream_tile_rollup_sql(),
         "hamming_near_dups_docs": _hamming_near_dups_sql(),

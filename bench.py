@@ -109,6 +109,7 @@ HEADLINE = [
     "frechet_route_refine",
     "dbscan_events",
     "stay_points_events",
+    "convex_hull_routes",
 ]
 
 
