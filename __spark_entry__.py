@@ -4424,6 +4424,93 @@ def _convex_hull_sql() -> str:
     """
 
 
+def polyline_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google Encoded Polyline (functions/polyline.py — the Maps/OSRM/
+    Valhalla wire format) as a RELATIONAL codec: rounding, delta, zigzag,
+    5-bit continuation chunks, and chr() are one unrolled Column tree in
+    Spark and the identical SQL expression in DuckDB — no kernel, no UDF,
+    the whole encoder inside whole-stage codegen. Each user's derived
+    track becomes one polyline string; the emitted STRING (validated
+    against Google's published spec vector in tests/test_polyline.py)
+    plus its length and point count are hash-gated."""
+    from activity_files_spark.functions.polyline import (
+        chunks_col,
+        e5_col,
+        zigzag_col,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("seq"),
+        e5_col(F.col("lat")).alias("la"),
+        e5_col(F.col("lon")).alias("lo"),
+    )
+    d = e.select(
+        "user_id",
+        "seq",
+        (F.col("la") - F.coalesce(F.lag("la").over(
+            Window.partitionBy("user_id").orderBy("seq")), F.lit(0))).alias("dla"),
+        (F.col("lo") - F.coalesce(F.lag("lo").over(
+            Window.partitionBy("user_id").orderBy("seq")), F.lit(0))).alias("dlo"),
+    )
+    g = d.select(
+        "user_id",
+        "seq",
+        F.concat(
+            chunks_col(zigzag_col(F.col("dla"))),
+            chunks_col(zigzag_col(F.col("dlo"))),
+        ).alias("grp"),
+    )
+    return g.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "grp"))),
+                lambda s: s["grp"],
+            ),
+        ).alias("polyline"),
+        F.count("*").alias("n_points"),
+    ).select(
+        "user_id", "polyline", F.length("polyline").alias("len_chars"), "n_points"
+    )
+
+
+def _polyline_sql() -> str:
+    from activity_files_spark.functions.polyline import (
+        chunks_sql,
+        e5_sql,
+        zigzag_sql,
+    )
+
+    return f"""
+    WITH pts AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+             {e5_sql(LAT_EXPR_SQL)} AS la,
+             {e5_sql(LON_EXPR_SQL)} AS lo
+      FROM events
+    ), d AS (
+      SELECT user_id, seq,
+             la - COALESCE(LAG(la) OVER w, 0) AS dla,
+             lo - COALESCE(LAG(lo) OVER w, 0) AS dlo
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY seq)
+    ), g AS (
+      SELECT user_id, seq,
+             {chunks_sql(zigzag_sql('dla'))} || {chunks_sql(zigzag_sql('dlo'))} AS grp
+      FROM d
+    )
+    SELECT user_id,
+           STRING_AGG(grp, '' ORDER BY seq) AS polyline,
+           LENGTH(STRING_AGG(grp, '' ORDER BY seq)) AS len_chars,
+           COUNT(*) AS n_points
+    FROM g GROUP BY user_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4494,6 +4581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_events": dbscan_events,
         "stay_points_events": stay_points_events,
         "convex_hull_routes": convex_hull_routes,
+        "polyline_routes": polyline_routes,
         "image_invariants_summary": image_invariants_summary,
         "stream_tile_rollup_cells": stream_tile_rollup_cells,
         "hamming_near_dups_docs": hamming_near_dups_docs,
@@ -4575,6 +4663,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_events": _dbscan_sql(),
         "stay_points_events": _stay_points_sql(),
         "convex_hull_routes": _convex_hull_sql(),
+        "polyline_routes": _polyline_sql(),
         "image_invariants_summary": _image_invariants_sql(),
         "stream_tile_rollup_cells": _stream_tile_rollup_sql(),
         "hamming_near_dups_docs": _hamming_near_dups_sql(),

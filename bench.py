@@ -110,6 +110,7 @@ HEADLINE = [
     "dbscan_events",
     "stay_points_events",
     "convex_hull_routes",
+    "polyline_routes",
 ]
 
 
