@@ -4297,31 +4297,9 @@ def stay_points_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact coordinate sums computed RELATIONALLY (one equi-join on
     user + seq-range filter, decimal aggregation in both engines) so no
     float leaves the kernel."""
-    from activity_files_spark.functions.time import ts_seconds
     from activity_files_spark.operators.trajectory import stay_points
 
-    ev = _read(spark, sf_dir, "events").filter(F.col("event_type") == "view")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pts = ev.select(
-        "user_id",
-        "event_id",
-        F.row_number().over(w).alias("seq"),
-    ).select(
-        "user_id",
-        "event_id",
-        "seq",
-        (F.col("seq").cast("double") * F.lit(30.0)).alias("tss"),
-        (
-            F.lit(47.0)
-            + F.floor((F.col("seq") - 1) / 12).cast("double") * F.lit(0.01)
-            + ((F.col("seq") * 7) % 11).cast("double") * F.lit(0.000045)
-        ).alias("lat"),
-        (
-            F.lit(11.0)
-            + F.floor((F.col("seq") - 1) / 12).cast("double") * F.lit(0.01)
-            + ((F.col("seq") * 13) % 7).cast("double") * F.lit(0.00005)
-        ).alias("lon"),
-    )
+    pts = _stay_walk_points(spark, sf_dir)
     stays = stay_points(
         pts, d_max_m=120.0, t_min_s=240.0, key="user_id", seq="seq",
         id_col="event_id", tss="tss", lat="lat", lon="lon",
@@ -4511,6 +4489,126 @@ def _polyline_sql() -> str:
     """
 
 
+def od_matrix_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination matrix — the trip-level rollup transit agencies
+    build from visit mining: consecutive stay points per user (the
+    stay_points_events walk) become trips, keyed by the z14 quadkey cell
+    of each stay's ANCHOR point (exact lattice coordinates -> exact cell,
+    no centroid division), and the matrix counts trips plus decimal-exact
+    total transfer time per (origin, dest) cell pair. Pure composition:
+    stay detection -> LEAD window -> coordinate joins -> quadkey -> one
+    map-side-combined groupBy; the oracle replays the stay walk and the
+    same windows/joins in SQL."""
+    from activity_files_spark.operators.trajectory import stay_points
+
+    pts = _stay_walk_points(spark, sf_dir)
+    stays = stay_points(
+        pts, d_max_m=120.0, t_min_s=240.0, key="user_id", seq="seq",
+        id_col="event_id", tss="tss", lat="lat", lon="lon",
+    )
+    w = Window.partitionBy("user_id").orderBy("start_seq")
+    trips = stays.select(
+        "user_id", "start_seq", "end_seq", "dwell_s",
+        F.lead("start_seq").over(w).alias("next_start_seq"),
+    ).where(F.col("next_start_seq").isNotNull())
+    po = pts.select(
+        F.col("user_id").alias("o_uid"), F.col("seq").alias("o_s"),
+        F.col("lat").alias("o_lat"), F.col("lon").alias("o_lon"),
+        F.col("tss").alias("o_tss"),
+    )
+    pd_ = pts.select(
+        F.col("user_id").alias("d_uid"), F.col("seq").alias("d_s"),
+        F.col("lat").alias("d_lat"), F.col("lon").alias("d_lon"),
+        F.col("tss").alias("d_tss"),
+    )
+    d = (
+        trips.join(
+            po,
+            (trips["user_id"] == po["o_uid"]) & (trips["start_seq"] == po["o_s"]),
+        )
+        .join(
+            pd_,
+            (trips["user_id"] == pd_["d_uid"])
+            & (trips["next_start_seq"] == pd_["d_s"]),
+        )
+        .select(
+            quadkey_col(F.col("o_lat"), F.col("o_lon"), 14).alias("o_cell"),
+            quadkey_col(F.col("d_lat"), F.col("d_lon"), 14).alias("d_cell"),
+            (F.col("d_tss") - F.col("o_tss")).alias("gap_s"),
+        )
+    )
+    return d.groupBy("o_cell", "d_cell").agg(
+        F.count("*").alias("n_trips"),
+        F.sum(F.col("gap_s").cast("decimal(22,6)")).cast("double").alias("sum_gap_s"),
+    )
+
+
+def _stay_walk_points(spark: SparkSession, sf_dir: str):
+    """The deterministic station walk shared by stay_points_events and
+    od_matrix_trips (see stay_points_events docstring)."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("seq"),
+    ).select(
+        "user_id",
+        "event_id",
+        "seq",
+        (F.col("seq").cast("double") * F.lit(30.0)).alias("tss"),
+        (
+            F.lit(47.0)
+            + F.floor((F.col("seq") - 1) / 12).cast("double") * F.lit(0.01)
+            + ((F.col("seq") * 7) % 11).cast("double") * F.lit(0.000045)
+        ).alias("lat"),
+        (
+            F.lit(11.0)
+            + F.floor((F.col("seq") - 1) / 12).cast("double") * F.lit(0.01)
+            + ((F.col("seq") * 13) % 7).cast("double") * F.lit(0.00005)
+        ).alias("lon"),
+    )
+
+
+def _od_matrix_sql() -> str:
+    from activity_files_spark.functions.quadkey import quadkey_sql
+    from activity_files_spark.operators.trajectory import stay_points_sql
+
+    body = stay_points_sql("walk", 120.0, 240.0, key="user_id", id_col="event_id")
+    okey = quadkey_sql("po.lat", "po.lon", 14)
+    dkey = quadkey_sql("pd.lat", "pd.lon", 14)
+    return f"""
+    WITH RECURSIVE walk AS (
+      SELECT user_id, event_id, seq,
+             CAST(seq AS DOUBLE) * 30.0 AS tss,
+             47.0 + CAST(FLOOR((seq - 1) / 12) AS DOUBLE) * 0.01
+                  + CAST((seq * 7) % 11 AS DOUBLE) * 0.000045 AS lat,
+             11.0 + CAST(FLOOR((seq - 1) / 12) AS DOUBLE) * 0.01
+                  + CAST((seq * 13) % 7 AS DOUBLE) * 0.00005 AS lon
+      FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        FROM events WHERE event_type = 'view'
+      )
+    ),
+    {body},
+    trips AS (
+      SELECT user_id, start_seq, dwell_s,
+             LEAD(start_seq) OVER (PARTITION BY user_id ORDER BY start_seq)
+               AS next_start_seq
+      FROM sp_out
+    )
+    SELECT {okey} AS o_cell, {dkey} AS d_cell,
+           COUNT(*) AS n_trips,
+           CAST(SUM(CAST(pd.tss - po.tss AS DECIMAL(22,6))) AS DOUBLE) AS sum_gap_s
+    FROM trips t
+    JOIN walk po ON po.user_id = t.user_id AND po.seq = t.start_seq
+    JOIN walk pd ON pd.user_id = t.user_id AND pd.seq = t.next_start_seq
+    WHERE t.next_start_seq IS NOT NULL
+    GROUP BY 1, 2
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -4582,6 +4680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points_events": stay_points_events,
         "convex_hull_routes": convex_hull_routes,
         "polyline_routes": polyline_routes,
+        "od_matrix_trips": od_matrix_trips,
         "image_invariants_summary": image_invariants_summary,
         "stream_tile_rollup_cells": stream_tile_rollup_cells,
         "hamming_near_dups_docs": hamming_near_dups_docs,
@@ -4664,6 +4763,7 @@ def oracle_sql() -> dict[str, str]:
         "stay_points_events": _stay_points_sql(),
         "convex_hull_routes": _convex_hull_sql(),
         "polyline_routes": _polyline_sql(),
+        "od_matrix_trips": _od_matrix_sql(),
         "image_invariants_summary": _image_invariants_sql(),
         "stream_tile_rollup_cells": _stream_tile_rollup_sql(),
         "hamming_near_dups_docs": _hamming_near_dups_sql(),

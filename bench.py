@@ -646,6 +646,8 @@ def run_scaling() -> None:
     # sized so the TIMED 16-core run is >= ~15s: the fused plan carries
     # ~2-4s of fixed cost (codegen compile + job setup) per invocation,
     # which otherwise eats the high-parallelism level's measured throughput
+    from activity_files_spark.codecs.image import PHASH_VERSION
+
     n_images_scaling = int(
         os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "24000" if BIG else "160000")
     )
@@ -687,6 +689,10 @@ def run_scaling() -> None:
         # bump when the measured job's PLAN changes, so stale bests can't
         # merge across definitions (2 = PIP as cover equi-join, round 5)
         "jobdef": 2,
+        # image-semantics epoch: a PHASH_VERSION bump changes what the
+        # corpus' decode work IS (v3 = real JPEG), so bests from an older
+        # corpus must not merge into the published efficiency
+        "imgver": PHASH_VERSION,
     }
     results: dict = {lo_lvl: None, hi_lvl: None}
     if os.path.exists(state_path):
