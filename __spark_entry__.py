@@ -18,6 +18,8 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1905,6 +1907,52 @@ def _geohash_cells_sql() -> str:
     )
     SELECT {s} AS geohash, COUNT(*) AS n_points, MIN(event_id) AS min_event_id
     FROM code GROUP BY 1
+    """
+
+
+def s2_cells_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 cell ladder (level 12) rollup over the derived trackpoints — the
+    fourth cell family and the second index the north rule names
+    ("H3/S2-encoded"; functions/s2.py: cube face + quadratic s-t warp +
+    Hilbert curve, prefix parents, curve-local layout keys).
+
+    The cell id is computed in ONE Arrow-vectorized pandas UDF whose trig
+    goes through scalar glibc libm (the s2.py exactness rule: numpy SIMD
+    trig is ~1 ulp off the libm DuckDB links, JVM Math.cos likewise), so
+    the oracle replays every bit.  The token ladder string is then pure
+    Column work on the grouped (tiny) side.  Scan -> project -> groupBy:
+    one shuffle; at 10^12 rows the same id doubles as the layout/bucket
+    key, which is the point of Hilbert locality."""
+    from activity_files_spark.functions.s2 import s2_cellid_np, s2_token_col
+
+    @F.pandas_udf("long")
+    def s2_id_udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(
+            s2_cellid_np(lat.to_numpy(), lon.to_numpy(), 12, trig="libm")
+        )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    enc = ev.withColumn("s2_id", s2_id_udf("lat", "lon"))
+    agg = enc.groupBy("s2_id").agg(
+        F.count("*").alias("n_points"), F.min("event_id").alias("min_event_id")
+    )
+    return agg.withColumn("s2_token", s2_token_col(F.col("s2_id")))
+
+
+def _s2_cells_sql() -> str:
+    from activity_files_spark.functions.s2 import s2_sql_ctes, s2_token_sql
+
+    ctes, final = s2_sql_ctes("lat", "lon", 12, "event_id", "pts")
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon FROM events
+    ),
+    {ctes}
+    SELECT s2_id, COUNT(*) AS n_points, MIN(event_id) AS min_event_id,
+           {s2_token_sql('s2_id')} AS s2_token
+    FROM {final} GROUP BY 1
     """
 
 
@@ -4645,6 +4693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_track": resample_track,
         "hex_cells": hex_cells,
         "geohash_cells": geohash_cells,
+        "s2_cells_events": s2_cells_events,
         "map_match_events": map_match_events,
         "route_near_dups": route_near_dups,
         "spike_filter_events": spike_filter_events,
@@ -4728,6 +4777,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_track": _resample_sql(),
         "hex_cells": _hex_cells_sql(),
         "geohash_cells": _geohash_cells_sql(),
+        "s2_cells_events": _s2_cells_sql(),
         "map_match_events": _map_match_sql(),
         "route_near_dups": _route_near_dups_sql(),
         "spike_filter_events": _spike_filter_sql(),

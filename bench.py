@@ -111,6 +111,8 @@ HEADLINE = [
     "stay_points_events",
     "convex_hull_routes",
     "polyline_routes",
+    "od_matrix_trips",
+    "s2_cells_events",
 ]
 
 
