@@ -548,6 +548,78 @@ def _zone_length_sql() -> str:
     """
 
 
+COVER_Z = 14  # route-cover cell zoom
+COVER_Q = 8  # subcell bits: endpoints snap to 2^-8 of a cell
+
+
+def route_cell_cover_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyline tiling (operators/supercover.py): every z14 tile each
+    user's trajectory SEGMENTS pass through — the line twin of point tile
+    assignment, closing the gap where sparse sampling skips cells between
+    points. Endpoints snap to the integer subcell lattice via the same
+    hash-gated mercator transform the rasterizer uses (pixel-zoom z+q);
+    everything after is exact integer crossing enumeration. One lag
+    window, one explode (output = the cover itself), map-side-combined
+    rollup; no joins."""
+    from activity_files_spark.functions.quadkey import tile_xy_col
+    from activity_files_spark.operators.supercover import segment_cell_cover
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    px, py = tile_xy_col(F.col("lat"), F.col("lon"), COVER_Z + COVER_Q)
+    pts = ev.select("user_id", "event_id", "ts", px.alias("x1"), py.alias("y1"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    segs = pts.select(
+        "user_id",
+        F.lag("x1").over(w).alias("x0"),
+        F.lag("y1").over(w).alias("y0"),
+        "x1",
+        "y1",
+    ).where(F.col("x0").isNotNull())
+    cover = segment_cell_cover(segs, q=COVER_Q, key="user_id")
+    packed = F.col("cx") * F.lit(1 << COVER_Z) + F.col("cy")
+    return (
+        cover.select(F.col("key").alias("user_id"), packed.alias("cell"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("cell").alias("cell_checksum"),
+            F.min("cell").alias("min_cell"),
+        )
+    )
+
+
+def _route_cell_cover_sql() -> str:
+    from activity_files_spark.functions.quadkey import tile_xy_sql
+    from activity_files_spark.operators.supercover import segment_cover_sql
+
+    x, y = tile_xy_sql("lat", "lon", COVER_Z + COVER_Q)
+    body, final = segment_cover_sql("segs", COVER_Q, key="key")
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ), px AS (
+      SELECT user_id, event_id, ts, {x} AS x1, {y} AS y1 FROM pts
+    ), segs AS (
+      SELECT key, x0, y0, x1, y1 FROM (
+        SELECT user_id AS key,
+               LAG(x1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x0,
+               LAG(y1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y0,
+               x1, y1
+        FROM px
+      ) t WHERE x0 IS NOT NULL
+    ),
+    {body}
+    SELECT key AS user_id, COUNT(*) AS n_cells,
+           SUM(cx * {1 << COVER_Z} + cy) AS cell_checksum,
+           MIN(cx * {1 << COVER_Z} + cy) AS min_cell
+    FROM {final} GROUP BY 1
+    """
+
+
 def bearing_turns_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bearing / turn-angle analytics (functions/geo.bearing_deg): initial
     great-circle bearing per consecutive point pair, absolute turn angle
@@ -4694,6 +4766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_cells": hex_cells,
         "geohash_cells": geohash_cells,
         "s2_cells_events": s2_cells_events,
+        "route_cell_cover_events": route_cell_cover_events,
         "map_match_events": map_match_events,
         "route_near_dups": route_near_dups,
         "spike_filter_events": spike_filter_events,
@@ -4778,6 +4851,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_cells": _hex_cells_sql(),
         "geohash_cells": _geohash_cells_sql(),
         "s2_cells_events": _s2_cells_sql(),
+        "route_cell_cover_events": _route_cell_cover_sql(),
         "map_match_events": _map_match_sql(),
         "route_near_dups": _route_near_dups_sql(),
         "spike_filter_events": _spike_filter_sql(),

@@ -113,6 +113,7 @@ HEADLINE = [
     "polyline_routes",
     "od_matrix_trips",
     "s2_cells_events",
+    "route_cell_cover_events",
 ]
 
 
