@@ -620,6 +620,94 @@ def _route_cell_cover_sql() -> str:
     """
 
 
+SP_Z = 12  # shortest-path cell zoom
+SP_ROUNDS = 14  # >= max node count - 1 at the smallest tier, so settled holds everywhere
+
+
+def shortest_path_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fastest-transfer routing over the cell-transition graph
+    (operators/graph.shortest_paths): consecutive per-user events moving
+    between z12 cells become directed edges weighted by the minimum
+    observed transfer time (exact integer microseconds), symmetrized; then
+    SP_ROUNDS Bellman-Ford relaxations from the minimum cell id. Each
+    round is one equi-join + one map-side-combined min; integer weights
+    make every min exact, so the oracle unrolls the SAME rounds
+    CTE-for-CTE and hash-gates dist AND the per-row fixpoint certificate
+    (settled = the last round changed nothing)."""
+    from activity_files_spark.functions.quadkey import cell_id_col
+    from activity_files_spark.operators.graph import shortest_paths
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("t_us"),
+        cell_id_col(F.col("lat"), F.col("lon"), SP_Z).alias("cell"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    trans = pts.select(
+        F.lag("cell").over(w).alias("src"),
+        F.col("cell").alias("dst"),
+        (F.col("t_us") - F.lag("t_us").over(w)).alias("dt_us"),
+    ).where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    directed = trans.select("src", "dst", F.greatest("dt_us", F.lit(1)).alias("w"))
+    edges = (
+        directed.unionByName(
+            directed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    sources = pts.agg(F.min("cell").alias("node"))
+    sp = shortest_paths(edges, sources, rounds=SP_ROUNDS)
+    return sp.select(
+        F.col("node").alias("cell"),
+        F.col("dist").alias("dist_us"),
+        (F.col("prev_dist").isNotNull() & (F.col("prev_dist") == F.col("dist"))).alias(
+            "settled"
+        ),
+    )
+
+
+def _shortest_path_cells_sql() -> str:
+    from activity_files_spark.functions.quadkey import cell_id_sql
+    from activity_files_spark.operators.graph import shortest_paths_sql
+
+    cell = cell_id_sql("lat", "lon", SP_Z)
+    ctes, final = shortest_paths_sql("sp_edges", "sp_sources", SP_ROUNDS)
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             {cell} AS cell
+      FROM (SELECT user_id, event_id, ts,
+                   {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon FROM events) t
+    ), trans AS (
+      SELECT src, dst, GREATEST(dt_us, 1) AS w FROM (
+        SELECT LAG(cell) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS src,
+               cell AS dst,
+               t_us - LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS dt_us
+        FROM pts
+      ) t WHERE src IS NOT NULL AND src <> dst
+    ), sp_edges AS MATERIALIZED (
+      SELECT src, dst, MIN(w) AS w FROM (
+        SELECT src, dst, w FROM trans
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM trans
+      ) t GROUP BY src, dst
+    ), sp_sources AS (
+      SELECT MIN(cell) AS node FROM pts
+    ),
+    {ctes}
+    SELECT node AS cell, dist AS dist_us,
+           (prev_dist IS NOT NULL AND prev_dist = dist) AS settled
+    FROM {final}
+    """
+
+
 def bearing_turns_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bearing / turn-angle analytics (functions/geo.bearing_deg): initial
     great-circle bearing per consecutive point pair, absolute turn angle
@@ -4767,6 +4855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_cells": geohash_cells,
         "s2_cells_events": s2_cells_events,
         "route_cell_cover_events": route_cell_cover_events,
+        "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
         "route_near_dups": route_near_dups,
         "spike_filter_events": spike_filter_events,
@@ -4852,6 +4941,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_cells": _geohash_cells_sql(),
         "s2_cells_events": _s2_cells_sql(),
         "route_cell_cover_events": _route_cell_cover_sql(),
+        "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),
         "route_near_dups": _route_near_dups_sql(),
         "spike_filter_events": _spike_filter_sql(),

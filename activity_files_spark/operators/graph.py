@@ -1,4 +1,6 @@
-"""Graph operators: connected components over a pair graph.
+"""Graph operators: connected components over a pair graph, and
+fixed-round Bellman-Ford shortest paths (:func:`shortest_paths`) with a
+(dist, prev_dist) fixpoint certificate and an unrolled SQL twin.
 
 The missing last stage of every near-dup pipeline: pair mining (MinHash /
 SimHash / banded-Hamming / embedding-LSH, operators/dedup.py and
@@ -125,4 +127,104 @@ def connected_components_sql(edges_cte: str) -> str:
     """
 
 
-__all__ = ["connected_components", "connected_components_sql"]
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Single/multi-source shortest path distances by ``rounds``
+    Bellman-Ford relaxations, each round's (tiny) distance table
+    lineage-truncated with ``localCheckpoint`` exactly like
+    connected_components — a lazy unroll is impossible here because every
+    round references the previous table TWICE (carry + relax), which makes
+    an uncheckpointed plan tree grow 2^rounds.
+
+    ``edges``: DIRECTED (src, dst, w) with non-negative INTEGER weights —
+    integers keep every min() exact and partitioning-invariant, so the
+    result is schedule-independent and a SQL twin can hash-gate it
+    bit-for-bit (:func:`shortest_paths_sql`). Symmetrize at the caller for
+    undirected graphs. ``sources``: one row per source with a ``node``
+    column (distance 0).
+
+    Returns (node, dist, prev_dist) where ``prev_dist`` is the distance
+    after ``rounds - 1`` relaxations (NULL if the node was first reached in
+    the final round): ``dist == prev_dist`` for every row certifies the
+    fixpoint — callers assert/emit that instead of trusting a round guess.
+    Nodes unreachable within ``rounds`` hops are absent.
+
+    Per round: one equi-join (edges x dist, shuffle ~|edges touched|) and
+    one map-side-combined min — the textbook scalable BF shape. Pointer
+    doubling would square the edge set, so plain relaxation is the right
+    trade at corpus scale where diameters of cell-transition graphs are
+    small.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), F.col(w).alias("e_w")
+    ).localCheckpoint(eager=True)
+    dist = sources.select("node").withColumn("dist", F.lit(0).cast("long"))
+    dist = dist.localCheckpoint(eager=True)
+    prev = dist
+    for _ in range(rounds):
+        relax = e.join(dist, e["e_src"] == dist["node"]).select(
+            F.col("e_dst").alias("node"),
+            (F.col("dist") + F.col("e_w")).cast("long").alias("dist"),
+        )
+        prev = dist
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.join(
+        prev.select(F.col("node"), F.col("dist").alias("prev_dist")),
+        "node",
+        "left",
+    )
+
+
+def shortest_paths_sql(
+    edges_cte: str, sources_cte: str, rounds: int, prefix: str = "sp"
+) -> tuple[str, str]:
+    """DuckDB twin: the SAME ``rounds`` relaxations unrolled CTE-for-CTE.
+    ``edges_cte`` exposes (src, dst, w); ``sources_cte`` exposes (node).
+    Returns ``(cte_sql, final_name)``; the final CTE exposes
+    (node, dist, prev_dist)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    p = prefix
+    # MATERIALIZED is load-bearing: every round references the previous
+    # round TWICE (carry + relax); inlined CTEs would expand 2^rounds —
+    # the SQL-side twin of the localCheckpoint in shortest_paths
+    ctes = [
+        f"{p}_d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist "
+        f"FROM {sources_cte})"
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"{p}_d{k} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM {p}_d{k - 1} "
+            f"UNION ALL "
+            f"SELECT e.dst AS node, d.dist + e.w AS dist "
+            f"FROM {edges_cte} e JOIN {p}_d{k - 1} d ON e.src = d.node"
+            f") t GROUP BY node)"
+        )
+    final = f"{p}_out"
+    ctes.append(
+        f"{final} AS (SELECT a.node, a.dist, b.dist AS prev_dist "
+        f"FROM {p}_d{rounds} a LEFT JOIN {p}_d{rounds - 1} b USING (node))"
+    )
+    return ",\n    ".join(ctes), final
+
+
+__all__ = [
+    "connected_components",
+    "connected_components_sql",
+    "shortest_paths",
+    "shortest_paths_sql",
+]

@@ -114,6 +114,7 @@ HEADLINE = [
     "od_matrix_trips",
     "s2_cells_events",
     "route_cell_cover_events",
+    "shortest_path_cells",
 ]
 
 
