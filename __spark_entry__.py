@@ -4569,9 +4569,16 @@ def convex_hull_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterclockwise position is hash-gated."""
     from activity_files_spark.operators.hull import convex_hull
 
+    pts = _hull_spiral_pts(spark, sf_dir)
+    return convex_hull(pts, key="user_id", seq="seq", x="lon", y="lat")
+
+
+def _hull_spiral_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic general-position spiral per user over click events —
+    shared input of convex_hull_routes and hull_metrics_routes."""
     ev = _read(spark, sf_dir, "events").filter(F.col("event_type") == "click")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pts = ev.select(
+    return ev.select(
         "user_id", F.row_number().over(w).cast("long").alias("seq")
     ).select(
         "user_id",
@@ -4587,15 +4594,9 @@ def convex_hull_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.sin(F.col("seq").cast("double") * F.lit(0.7))
         ).alias("lat"),
     )
-    return convex_hull(pts, key="user_id", seq="seq", x="lon", y="lat")
 
 
-def _convex_hull_sql() -> str:
-    from activity_files_spark.operators.hull import convex_hull_sql
-
-    body = convex_hull_sql("spiral")
-    return f"""
-    WITH spiral AS (
+_HULL_SPIRAL_CTE = """spiral AS (
       SELECT user_id, seq,
              11.0 + 0.001 * CAST(seq AS DOUBLE) * COS(CAST(seq AS DOUBLE) * 0.7) AS lon,
              47.0 + 0.001 * CAST(seq AS DOUBLE) * SIN(CAST(seq AS DOUBLE) * 0.7) AS lat
@@ -4604,9 +4605,113 @@ def _convex_hull_sql() -> str:
                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
         FROM events WHERE event_type = 'click'
       )
-    ),
+    )"""
+
+
+def _convex_hull_sql() -> str:
+    from activity_files_spark.operators.hull import convex_hull_sql
+
+    body = convex_hull_sql("spiral")
+    return f"""
+    WITH {_HULL_SPIRAL_CTE},
     {body}
     SELECT key AS user_id, seq, hull_order FROM ch_verts
+    """
+
+
+def hull_metrics_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon measurements over the per-route convex hull (the ST_Area /
+    ST_Perimeter / ST_Centroid trio): the hull ring from
+    operators/hull.py joins back to its coordinates, one LEAD-with-wrap
+    window walks the counterclockwise edges, and per route the query pins
+    vertex count, the shoelace signed-area sum (2A, positive for CCW —
+    also certifies orientation), the haversine perimeter, and the
+    polygon-centroid numerator sums. All edge terms are plain IEEE
+    multiplies (plus the bit-identical haversine twin), summed through the
+    decimal-exact discipline, so the oracle replays every edge."""
+    from activity_files_spark.functions.geo import haversine_m
+    from activity_files_spark.operators.hull import convex_hull
+
+    pts = _hull_spiral_pts(spark, sf_dir)
+    hull = convex_hull(pts, key="user_id", seq="seq", x="lon", y="lat")
+    verts = hull.join(pts, ["user_id", "seq"]).select(
+        "user_id", "hull_order", "lon", "lat"
+    )
+    wv = Window.partitionBy("user_id").orderBy("hull_order")
+    wall = wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    nxt_lon = F.coalesce(F.lead("lon").over(wv), F.first("lon").over(wall))
+    nxt_lat = F.coalesce(F.lead("lat").over(wv), F.first("lat").over(wall))
+    e = verts.select(
+        "user_id",
+        "lon",
+        "lat",
+        nxt_lon.alias("nlon"),
+        nxt_lat.alias("nlat"),
+    )
+    cross = F.col("lon") * F.col("nlat") - F.col("nlon") * F.col("lat")
+    seg_m = haversine_m(F.col("lat"), F.col("lon"), F.col("nlat"), F.col("nlon"))
+    return (
+        e.select(
+            "user_id",
+            cross.alias("_cross"),
+            seg_m.alias("_seg"),
+            ((F.col("lon") + F.col("nlon")) * cross).alias("_cxn"),
+            ((F.col("lat") + F.col("nlat")) * cross).alias("_cyn"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_vertices"),
+            F.sum(F.round("_cross", 9).cast("decimal(22,9)"))
+            .cast("double")
+            .alias("area2_deg2"),
+            F.sum(F.round("_seg", 6).cast("decimal(22,6)"))
+            .cast("double")
+            .alias("perimeter_m"),
+            F.sum(F.round("_cxn", 9).cast("decimal(22,9)"))
+            .cast("double")
+            .alias("centroid_x_num"),
+            F.sum(F.round("_cyn", 9).cast("decimal(22,9)"))
+            .cast("double")
+            .alias("centroid_y_num"),
+        )
+    )
+
+
+def _hull_metrics_sql() -> str:
+    from activity_files_spark.functions.geo import haversine_sql
+    from activity_files_spark.operators.hull import convex_hull_sql
+
+    body = convex_hull_sql("spiral")
+    seg = haversine_sql("lat", "lon", "nlat", "nlon")
+    return f"""
+    WITH {_HULL_SPIRAL_CTE},
+    {body},
+    hv AS (
+      SELECT v.key AS user_id, v.hull_order, p.lon, p.lat
+      FROM ch_verts v JOIN spiral p
+        ON p.user_id = v.key AND p.seq = v.seq
+    ), hedges AS (
+      SELECT user_id, lon, lat,
+             COALESCE(LEAD(lon) OVER wv, FIRST_VALUE(lon) OVER wall) AS nlon,
+             COALESCE(LEAD(lat) OVER wv, FIRST_VALUE(lat) OVER wall) AS nlat
+      FROM hv
+      WINDOW wv AS (PARTITION BY user_id ORDER BY hull_order),
+             wall AS (PARTITION BY user_id ORDER BY hull_order
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ), hterms AS (
+      SELECT user_id,
+             lon * nlat - nlon * lat AS _cross,
+             {seg} AS _seg,
+             (lon + nlon) * (lon * nlat - nlon * lat) AS _cxn,
+             (lat + nlat) * (lon * nlat - nlon * lat) AS _cyn
+      FROM hedges
+    )
+    SELECT user_id, COUNT(*) AS n_vertices,
+           CAST(SUM(CAST(ROUND(_cross, 9) AS DECIMAL(22,9))) AS DOUBLE) AS area2_deg2,
+           CAST(SUM(CAST(ROUND(_seg, 6) AS DECIMAL(22,6))) AS DOUBLE) AS perimeter_m,
+           CAST(SUM(CAST(ROUND(_cxn, 9) AS DECIMAL(22,9))) AS DOUBLE) AS centroid_x_num,
+           CAST(SUM(CAST(ROUND(_cyn, 9) AS DECIMAL(22,9))) AS DOUBLE) AS centroid_y_num
+    FROM hterms GROUP BY user_id
     """
 
 
@@ -4890,6 +4995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_events": dbscan_events,
         "stay_points_events": stay_points_events,
         "convex_hull_routes": convex_hull_routes,
+        "hull_metrics_routes": hull_metrics_routes,
         "polyline_routes": polyline_routes,
         "od_matrix_trips": od_matrix_trips,
         "image_invariants_summary": image_invariants_summary,
@@ -4976,6 +5082,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_events": _dbscan_sql(),
         "stay_points_events": _stay_points_sql(),
         "convex_hull_routes": _convex_hull_sql(),
+        "hull_metrics_routes": _hull_metrics_sql(),
         "polyline_routes": _polyline_sql(),
         "od_matrix_trips": _od_matrix_sql(),
         "image_invariants_summary": _image_invariants_sql(),

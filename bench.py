@@ -115,6 +115,7 @@ HEADLINE = [
     "s2_cells_events",
     "route_cell_cover_events",
     "shortest_path_cells",
+    "hull_metrics_routes",
 ]
 
 
