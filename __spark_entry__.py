@@ -3939,6 +3939,54 @@ def _rasterize_heatmap_sql() -> str:
     """
 
 
+def raster_blur_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heatmap smoothing (raster.box_blur): 3x3 integer box blur over the
+    zoom-12 sparse raster on GLOBAL pixel keys — smoothing flows across
+    tile boundaries, separable passes keep the explode factor at 2*(2r+1),
+    both passes map-side-combined. Per-tile rollup pins lit-pixel count,
+    total mass (= 9x point count up to edge clipping) and the pixel
+    placement checksum; the oracle replays rasterize + both passes."""
+    from activity_files_spark.operators.raster import box_blur, rasterize_points
+
+    pts = _read(spark, sf_dir, "events").select(
+        _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    blurred = box_blur(rasterize_points(pts, z=12, p=8), z=12, p=8, r=1)
+    return blurred.groupBy("tile_id").agg(
+        F.count("*").alias("nonzero_px"),
+        F.sum("n").alias("mass"),
+        F.max("n").alias("max_count"),
+        F.sum(
+            F.col("n") * (F.col("py").cast("long") * F.lit(256) + F.col("px") + F.lit(1))
+        ).alias("checksum"),
+    )
+
+
+def _raster_blur_sql() -> str:
+    from activity_files_spark.operators.raster import box_blur_sql
+
+    gx, gy = tile_xy_sql("lat", "lon", 20)
+    body = box_blur_sql("gpix_counts", z=12, p=8, r=1)
+    return f"""
+    WITH pts AS (
+      SELECT {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon FROM events
+    ),
+    gpix AS (
+      SELECT {gx} AS gx, {gy} AS gy FROM pts
+    ),
+    gpix_counts AS (
+      SELECT gx, gy, COUNT(*) AS n FROM gpix GROUP BY 1, 2
+    ),
+    {body}
+    SELECT ((gx >> 8) << 12) | (gy >> 8) AS tile_id,
+           CAST(COUNT(*) AS BIGINT) AS nonzero_px,
+           CAST(SUM(n) AS BIGINT) AS mass,
+           CAST(MAX(n) AS BIGINT) AS max_count,
+           CAST(SUM(n * ((gy & 255) * 256 + (gx & 255) + 1)) AS BIGINT) AS checksum
+    FROM bb_final GROUP BY 1
+    """
+
+
 def raster_pyramid_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster pyramid rollup (the tile-service z-ladder build): events are
     rasterized at zoom 14, then pyramid_rollup aggregates the sparse
@@ -5004,6 +5052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs": dedup_clusters_docs,
         "simhash_near_dups_docs": simhash_near_dups_docs,
         "rasterize_heatmap_tiles": rasterize_heatmap_tiles,
+        "raster_blur_tiles": raster_blur_tiles,
         "raster_components_vectorize": raster_components_vectorize,
         "raster_pyramid_tiles": raster_pyramid_tiles,
         "zonal_stats_polygon": zonal_stats_polygon,
@@ -5091,6 +5140,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_docs": _dedup_clusters_sql(),
         "simhash_near_dups_docs": _simhash_near_dups_sql(),
         "rasterize_heatmap_tiles": _rasterize_heatmap_sql(),
+        "raster_blur_tiles": _raster_blur_sql(),
         "raster_components_vectorize": _raster_components_sql(),
         "raster_pyramid_tiles": _raster_pyramid_sql(),
         "zonal_stats_polygon": _zonal_stats_sql(),

@@ -82,6 +82,80 @@ def rasterize_points(
     )
 
 
+def box_blur(sparse: DataFrame, z: int, p: int = 8, r: int = 1) -> DataFrame:
+    """Raster smoothing (the KDE/heat-diffusion step of a tile renderer):
+    (2r+1)x(2r+1) box-sum over the sparse raster, SEPARABLE — one
+    horizontal pass then one vertical pass, so the explode factor is
+    2*(2r+1) instead of (2r+1)^2 and each pass is a map-side-combined
+    groupBy. Runs on GLOBAL pixel keys, so smoothing flows across tile
+    boundaries (tiles are just a partitioning of the pixel plane, not a
+    smoothing barrier); pixels blurred outside the world square are
+    dropped. Integer counts throughout — exact in every engine.
+
+    Input/output: the (tile_id, px, py, n) sparse-raster shape of
+    :func:`rasterize_points`; output support grows by ``r`` around every
+    lit pixel, which is the blur's footprint (the rows any renderer must
+    materialize anyway)."""
+    side_world = 1 << (z + p)
+    tmask = (1 << z) - 1
+    pmask = (1 << p) - 1
+    g = sparse.select(
+        (
+            F.shiftleft(F.shiftright("tile_id", z), p)
+            + F.col("px").cast("long")
+        ).alias("gx"),
+        (
+            F.shiftleft(F.col("tile_id").bitwiseAND(F.lit(tmask)), p)
+            + F.col("py").cast("long")
+        ).alias("gy"),
+        "n",
+    )
+    off = F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("d")
+    gx_pass = (
+        g.select("gx", "gy", "n", off)
+        .select((F.col("gx") + F.col("d")).alias("gx"), "gy", "n")
+        .where((F.col("gx") >= 0) & (F.col("gx") < side_world))
+        .groupBy("gx", "gy")
+        .agg(F.sum("n").alias("n"))
+    )
+    gy_pass = (
+        gx_pass.select("gx", "gy", "n", off)
+        .select("gx", (F.col("gy") + F.col("d")).alias("gy"), "n")
+        .where((F.col("gy") >= 0) & (F.col("gy") < side_world))
+        .groupBy("gx", "gy")
+        .agg(F.sum("n").alias("n"))
+    )
+    return gy_pass.select(
+        F.shiftleft(F.shiftright("gx", p), z)
+        .bitwiseOR(F.shiftright("gy", p))
+        .alias("tile_id"),
+        F.col("gx").bitwiseAND(F.lit(pmask)).cast("int").alias("px"),
+        F.col("gy").bitwiseAND(F.lit(pmask)).cast("int").alias("py"),
+        "n",
+    )
+
+
+def box_blur_sql(sparse_cte: str, z: int, p: int = 8, r: int = 1) -> str:
+    """DuckDB twin over a CTE exposing (gx, gy, n) GLOBAL pixel counts
+    (the pre-tiling shape — callers typically have it anyway). Binds
+    bb_x / bb_final; select (gx, gy, n) from ``bb_final``."""
+    side_world = 1 << (z + p)
+    return f"""
+    bb_x AS (
+      SELECT gx + d AS gx, gy, SUM(n) AS n
+      FROM (SELECT gx, gy, n, UNNEST(range(-{r}, {r + 1})) AS d FROM {sparse_cte}) t
+      WHERE gx + d >= 0 AND gx + d < {side_world}
+      GROUP BY 1, 2
+    ),
+    bb_final AS (
+      SELECT gx, gy + d AS gy, SUM(n) AS n
+      FROM (SELECT gx, gy, n, UNNEST(range(-{r}, {r + 1})) AS d FROM bb_x) t
+      WHERE gy + d >= 0 AND gy + d < {side_world}
+      GROUP BY 1, 2
+    )
+    """
+
+
 def assemble_tiles(sparse: DataFrame, z: int, p: int = 8) -> DataFrame:
     """Vector→raster, dense stage: -> (quadkey string, n_points long,
     nonzero_px long, max_count long, checksum long, raster binary) — one

@@ -116,6 +116,7 @@ HEADLINE = [
     "route_cell_cover_events",
     "shortest_path_cells",
     "hull_metrics_routes",
+    "raster_blur_tiles",
 ]
 
 

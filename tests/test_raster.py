@@ -264,3 +264,82 @@ def test_rasterize_single_shuffle_plan(spark):
     # the tree AND a detail section, so count tree entries only
     assert plan.count("+- Exchange") == 1
     assert "partial_count" in plan  # map-side partial aggregation
+
+
+# ------------------------------------------------------------- box blur
+def test_box_blur_matches_brute(spark):
+    """Separable integer box blur == direct (2r+1)^2 convolution, including
+    cross-tile flow and world-edge clipping (z=2, p=2 -> 16x16 world)."""
+    import random as _random
+
+    from activity_files_spark.operators.raster import box_blur
+
+    rng = _random.Random(41)
+    z, p = 2, 2
+    side = 1 << (z + p)
+    pts = {}
+    for _ in range(60):
+        gx, gy = rng.randrange(side), rng.randrange(side)
+        pts[(gx, gy)] = pts.get((gx, gy), 0) + rng.randint(1, 9)
+    rows = [
+        (((gx >> p) << z) | (gy >> p), gx & ((1 << p) - 1), gy & ((1 << p) - 1), n)
+        for (gx, gy), n in pts.items()
+    ]
+    sdf = spark.createDataFrame(rows, "tile_id long, px int, py int, n long")
+    for r in (1, 2):
+        got = {}
+        for row in box_blur(sdf, z=z, p=p, r=r).collect():
+            gx = ((row["tile_id"] >> z) << p) | row["px"]
+            gy = ((row["tile_id"] & ((1 << z) - 1)) << p) | row["py"]
+            got[(gx, gy)] = row["n"]
+        exp = {}
+        for x in range(side):
+            for y in range(side):
+                s = sum(
+                    pts.get((x + dx, y + dy), 0)
+                    for dx in range(-r, r + 1)
+                    for dy in range(-r, r + 1)
+                    if 0 <= x + dx < side and 0 <= y + dy < side
+                )
+                if s:
+                    exp[(x, y)] = s
+        assert got == exp, f"r={r}"
+
+
+def test_box_blur_sql_twin_matches(spark):
+    import random as _random
+
+    import duckdb
+    import pandas as pd
+
+    from activity_files_spark.operators.raster import box_blur, box_blur_sql
+
+    rng = _random.Random(43)
+    z, p, r = 3, 3, 1
+    side = 1 << (z + p)
+    pts = {}
+    for _ in range(150):
+        gx, gy = rng.randrange(side), rng.randrange(side)
+        pts[(gx, gy)] = pts.get((gx, gy), 0) + rng.randint(1, 5)
+    gdf = pd.DataFrame(
+        [(gx, gy, n) for (gx, gy), n in pts.items()], columns=["gx", "gy", "n"]
+    )
+    body = box_blur_sql("g", z=z, p=p, r=r)
+    exp = {
+        (gx, gy): n
+        for gx, gy, n in duckdb.sql(
+            f"WITH g AS (SELECT * FROM gdf),\n{body}\n"
+            "SELECT gx, gy, n FROM bb_final"
+        ).fetchall()
+    }
+    rows = [
+        (((gx >> p) << z) | (gy >> p), gx & ((1 << p) - 1), gy & ((1 << p) - 1), n)
+        for (gx, gy), n in pts.items()
+    ]
+    sdf = spark.createDataFrame(rows, "tile_id long, px int, py int, n long")
+    got = {}
+    for row in box_blur(sdf, z=z, p=p, r=r).collect():
+        gx = ((row["tile_id"] >> z) << p) | row["px"]
+        gy = ((row["tile_id"] & ((1 << z) - 1)) << p) | row["py"]
+        got[(gx, gy)] = row["n"]
+    assert got == exp
