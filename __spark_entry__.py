@@ -2251,6 +2251,62 @@ def validate_images_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_histogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level gate on the LOSSLESS codec chain: decode every png/bmp
+    fixture's real bytes in an Arrow kernel (tiling.image_channel_stats)
+    and pin per-(image, channel) histogram stats — count, distinct values,
+    value sum, min/max, deterministic mode. The synth sawtooth is exact
+    modular arithmetic, so the DuckDB oracle replays the FORMULA
+    ((y*cy + x*cx + i*ci) mod 256 over the pixel grid) with no decoder at
+    all: encode -> PNG/BMP bitstream -> decode must reproduce the closed
+    form bit-for-bit to hash-match."""
+    from activity_files_spark.data.images import synth_images
+    from activity_files_spark.operators.tiling import image_channel_stats
+
+    imgs = synth_images(spark, N_IMAGES_CORRECTNESS, partitions=8).where(
+        F.col("fmt") != "jpeg"
+    )
+    return image_channel_stats(imgs)
+
+
+def _image_histogram_sql() -> str:
+    n = N_IMAGES_CORRECTNESS
+    return f"""
+    WITH imgs AS (
+      SELECT i,
+             CASE WHEN i % 3 = 0 THEN 16 ELSE 32 END AS w,
+             CASE WHEN i % 3 = 0 THEN 16 ELSE 32 END AS h
+      FROM range({n}) t(i) WHERE i % 3 <> 2
+    ), chans(c, cx, cy, ci) AS (
+      VALUES (0, 3, 5, 7), (1, 7, 11, 13), (2, 13, 17, 19)
+    ), pix AS (
+      SELECT i, c, ((y * cy + x * cx + i * ci) % 256) AS val
+      FROM imgs, chans, range(32) ty(y), range(32) tx(x)
+      WHERE x < w AND y < h
+    ), hist AS (
+      SELECT i, c, val, COUNT(*) AS nv FROM pix GROUP BY 1, 2, 3
+    ), md AS (
+      SELECT i, c, val AS mode_val, nv AS mode_n FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY i, c ORDER BY nv DESC, val ASC) AS rn
+        FROM hist
+      ) t WHERE rn = 1
+    )
+    SELECT printf('img_%012d', s.i) AS image_id, CAST(s.c AS INTEGER) AS channel,
+           s.n_px, s.n_distinct, s.val_sum,
+           CAST(s.min_val AS INTEGER) AS min_val,
+           CAST(s.max_val AS INTEGER) AS max_val,
+           CAST(md.mode_val AS INTEGER) AS mode_val, md.mode_n
+    FROM (
+      SELECT i, c, CAST(SUM(nv) AS BIGINT) AS n_px,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(nv * val) AS BIGINT) AS val_sum,
+             MIN(val) AS min_val, MAX(val) AS max_val
+      FROM hist GROUP BY 1, 2
+    ) s JOIN md ON md.i = s.i AND md.c = s.c
+    """
+
+
 def image_invariants_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-replayable half of validate_images, hash-gated: the
     validator kernel's caption-equality verdicts plus dimension and
@@ -5047,6 +5103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyline_routes": polyline_routes,
         "od_matrix_trips": od_matrix_trips,
         "image_invariants_summary": image_invariants_summary,
+        "image_histogram_stats": image_histogram_stats,
         "stream_tile_rollup_cells": stream_tile_rollup_cells,
         "hamming_near_dups_docs": hamming_near_dups_docs,
         "dedup_clusters_docs": dedup_clusters_docs,
@@ -5135,6 +5192,7 @@ def oracle_sql() -> dict[str, str]:
         "polyline_routes": _polyline_sql(),
         "od_matrix_trips": _od_matrix_sql(),
         "image_invariants_summary": _image_invariants_sql(),
+        "image_histogram_stats": _image_histogram_sql(),
         "stream_tile_rollup_cells": _stream_tile_rollup_sql(),
         "hamming_near_dups_docs": _hamming_near_dups_sql(),
         "dedup_clusters_docs": _dedup_clusters_sql(),

@@ -161,6 +161,52 @@ def validate_images(images: DataFrame, passthrough: tuple = ()) -> DataFrame:
     return images.mapInPandas(kernel, schema)
 
 
+def image_channel_stats(images: DataFrame) -> DataFrame:
+    """Per-(image, channel) histogram statistics from DECODED pixels:
+    (image_id, channel, n_px, n_distinct, val_sum, min_val, max_val,
+    mode_val, mode_n) — mode ties break to the smallest value so the row
+    is deterministic. One np.bincount per channel inside the Arrow kernel;
+    the per-row outputs are tiny, so at corpus scale the job is a pure
+    map (scan-bound), no shuffle until whatever rollup the caller adds.
+
+    Feed it lossless rows (png/bmp): the stats then pin the whole
+    encode->bytes->decode chain against a closed-form oracle (the synth
+    sawtooth is exact modular arithmetic a SQL twin can replay)."""
+    schema = (
+        "image_id string, channel int, n_px long, n_distinct long, "
+        "val_sum long, min_val int, max_val int, mode_val int, mode_n long"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                px = decode(bytes(row.bytes), row.fmt)
+                for c in range(3):
+                    hist = np.bincount(px[:, :, c].ravel(), minlength=256)
+                    nz = np.flatnonzero(hist)
+                    mode_val = int(nz[np.argmax(hist[nz])])  # argmax: first max
+                    recs.append(
+                        {
+                            "image_id": row.image_id,
+                            "channel": c,
+                            "n_px": int(hist.sum()),
+                            "n_distinct": int(len(nz)),
+                            "val_sum": int((hist[nz] * nz).sum()),
+                            "min_val": int(nz[0]),
+                            "max_val": int(nz[-1]),
+                            "mode_val": mode_val,
+                            "mode_n": int(hist[mode_val]),
+                        }
+                    )
+            yield pd.DataFrame(recs, columns=[
+                "image_id", "channel", "n_px", "n_distinct", "val_sum",
+                "min_val", "max_val", "mode_val", "mode_n",
+            ])
+
+    return images.mapInPandas(kernel, schema)
+
+
 def salted_repartition(
     df: DataFrame, key: str, salt_buckets: int, unique_col: str, n_partitions: int | None = None
 ) -> DataFrame:

@@ -117,6 +117,7 @@ HEADLINE = [
     "shortest_path_cells",
     "hull_metrics_routes",
     "raster_blur_tiles",
+    "image_histogram_stats",
 ]
 
 
