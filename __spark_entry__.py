@@ -461,6 +461,51 @@ def _map_match_sql() -> str:
     """
 
 
+# the derived points hug the lat-40 = -(lon+105) diagonal (lat/lon are
+# correlated through event_id), so POIs sit on it to guarantee matches
+WR_POIS = [("hub_a", 40.1, -105.1), ("hub_b", 40.3, -105.3), ("hub_c", 40.45, -105.45)]
+WR_RADIUS_M = 2500.0
+
+
+def within_radius_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DWithin join (spatial.within_radius_join): every derived
+    trackpoint within 2.5 km (haversine, inclusive) of a 3-POI set —
+    broadcast disk-cover equi-join with a provably-complete bbox prune +
+    exact haversine refine. Per-POI rollup pins match count, event-id sum,
+    and the decimal-exact rounded distance sum (round-to-6 absorbs the
+    documented ~1-ulp JVM-vs-libm trig spread, same as the map-match
+    gate); the oracle is the brute theta-join."""
+    from activity_files_spark.operators.spatial import within_radius_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    j = within_radius_join(ev, WR_POIS, WR_RADIUS_M)
+    return j.groupBy("poi_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum("event_id").alias("event_id_sum"),
+        F.sum(F.round("dist_m", 6).cast("decimal(22,6)"))
+        .cast("double")
+        .alias("dist_sum_m"),
+    )
+
+
+def _within_radius_sql() -> str:
+    from activity_files_spark.operators.spatial import within_radius_sql
+
+    body = within_radius_sql("pts", WR_POIS, WR_RADIUS_M)
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon FROM events
+    ),
+    {body}
+    SELECT poi_id, COUNT(*) AS n_points,
+           SUM(event_id) AS event_id_sum,
+           CAST(SUM(CAST(ROUND(dist_m, 6) AS DECIMAL(22,6))) AS DOUBLE) AS dist_sum_m
+    FROM wr_join GROUP BY 1
+    """
+
+
 def dwell_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofence dwell sessions (windows.dwell_sessions): contiguous
     inside-the-rect runs per user with exact enter/exit/dwell values;
@@ -5068,6 +5113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_match_events": map_match_events,
         "route_near_dups": route_near_dups,
         "spike_filter_events": spike_filter_events,
+        "within_radius_events": within_radius_events,
         "dwell_sessions_events": dwell_sessions_events,
         "bearing_turns_track": bearing_turns_track,
         "zone_length_events": zone_length_events,
@@ -5157,6 +5203,7 @@ def oracle_sql() -> dict[str, str]:
         "map_match_events": _map_match_sql(),
         "route_near_dups": _route_near_dups_sql(),
         "spike_filter_events": _spike_filter_sql(),
+        "within_radius_events": _within_radius_sql(),
         "dwell_sessions_events": _dwell_sessions_sql(),
         "bearing_turns_track": _bearing_turns_sql(),
         "zone_length_events": _zone_length_sql(),

@@ -843,6 +843,94 @@ def zone_length_sql(
     """
 
 
+def within_radius_join(
+    points: DataFrame,
+    pois: list[tuple[str, float, float]],
+    radius_m: float,
+    z: int | None = None,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """ST_DWithin join: every point within ``radius_m`` (haversine,
+    inclusive) of any POI in a small driver-side set
+    ``[(poi_id, lat, lon), ...]`` — the geofence-by-radius primitive next
+    to :func:`pip_join` (polygon) and :func:`snap_to_segments` (network).
+
+    Plan shape (the repo's broadcast-cover discipline): each POI's disk is
+    bounded by a provably-complete lat/lon box — great-circle distance
+    satisfies d >= R_earth*|dphi| and d >= R_earth*cos(phi_max)*|dlambda|,
+    so ``|dlat| <= radius/ky`` and ``|dlon| <= radius/(ky*cos(band edge))``
+    contain every within-radius point; the box is covered with zoom-``z``
+    tiles, the tiny (cell, poi) table is **broadcast**, points equi-join on
+    their native packed cell, and the exact haversine twin refines. At
+    corpus scale the candidate volume is |points near POIs| x POIs per
+    cell, never n_points x n_pois.
+
+    Returns the input columns plus ``poi_id`` and ``dist_m`` (inner
+    semantics; a point within range of k POIs appears k times).
+    """
+    from activity_files_spark.functions.geo import EARTH_RADIUS_M
+
+    spark = points.sparkSession
+    ky = math.radians(1.0) * EARTH_RADIUS_M  # meters per degree latitude
+    rows = []
+    rings = []
+    for poi_id, plat, plon in pois:
+        buf_lat = radius_m / ky
+        band = min(abs(plat) + buf_lat, 89.9)
+        buf_lon = radius_m / (ky * math.cos(math.radians(band)))
+        ring = [
+            (plon - buf_lon, plat - buf_lat),
+            (plon + buf_lon, plat - buf_lat),
+            (plon + buf_lon, plat + buf_lat),
+            (plon - buf_lon, plat + buf_lat),
+        ]
+        rings.append(ring)
+        rows.append((poi_id, plat, plon, ring))
+    if z is None:
+        z = min(auto_cover_zoom(r) for r in rings) if rings else 12
+    cover_rows = []
+    for poi_id, plat, plon, ring in rows:
+        for x, y in polygon_cover_tiles(ring, z):
+            cover_rows.append((poi_id, plat, plon, (x << z) | y))
+    cover = spark.createDataFrame(
+        cover_rows, "poi_id string, _plat double, _plon double, _cell long"
+    )
+    pts = points.withColumn("_cell", cell_id_col(F.col(lat), F.col(lon), z))
+    joined = pts.join(F.broadcast(cover), pts["_cell"] == cover["_cell"], "inner")
+    d = haversine_m(F.col(lat), F.col(lon), F.col("_plat"), F.col("_plon"))
+    return (
+        joined.withColumn("dist_m", d)
+        .where(F.col("dist_m") <= radius_m)
+        .drop("_cell", "_plat", "_plon")
+    )
+
+
+def within_radius_sql(
+    pts_cte: str,
+    pois: list[tuple[str, float, float]],
+    radius_m: float,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> str:
+    """DuckDB oracle twin: brute theta-join with the IDENTICAL haversine
+    IEEE sequence and the same inclusive compare — the cover join's prune
+    only removes d > radius candidates, so the row sets must agree exactly.
+    Binds ``wr_pois`` / ``wr_join``; select from ``wr_join``."""
+    from activity_files_spark.functions.geo import haversine_sql
+
+    vals = ", ".join(f"('{pid}', {plat!r}, {plon!r})" for pid, plat, plon in pois)
+    d = haversine_sql(lat, lon, "plat", "plon")
+    return f"""
+    wr_pois(poi_id, plat, plon) AS (VALUES {vals}),
+    wr_join AS (
+      SELECT t.*, w.poi_id, {d} AS dist_m
+      FROM {pts_cte} t, wr_pois w
+      WHERE {d} <= {radius_m!r}
+    )
+    """
+
+
 __all__ = [
     "cell_encode",
     "polygon_cover_tiles",
@@ -858,4 +946,6 @@ __all__ = [
     "segment_table",
     "snap_to_segments",
     "snap_to_segments_sql",
+    "within_radius_join",
+    "within_radius_sql",
 ]

@@ -118,6 +118,7 @@ HEADLINE = [
     "hull_metrics_routes",
     "raster_blur_tiles",
     "image_histogram_stats",
+    "within_radius_events",
 ]
 
 

@@ -481,3 +481,89 @@ def test_resample_by_distance(spark):
         assert la == pytest.approx(40.0 + k * 0.005, abs=1e-7), k
     # half-grid points are true midpoints on the distance axis (lerp exact)
     assert got[1][0] == pytest.approx(40.005, abs=1e-7)
+
+
+# ------------------------------------------------------ within-radius join
+def test_within_radius_join_matches_brute(spark):
+    """Cover join == brute haversine theta-join (the prune must be
+    complete), on a grid spanning in/out/boundary points."""
+    import math as _math
+    import random as _random
+
+    from activity_files_spark.functions.geo import EARTH_RADIUS_M
+    from activity_files_spark.operators.spatial import within_radius_join
+
+    def hav(lat1, lon1, lat2, lon2):
+        d2r = _math.pi / 180.0
+        sp = _math.sin((lat2 - lat1) * d2r / 2)
+        sl = _math.sin((lon2 - lon1) * d2r / 2)
+        a = sp * sp + _math.cos(lat1 * d2r) * _math.cos(lat2 * d2r) * sl * sl
+        return 2.0 * EARTH_RADIUS_M * _math.atan2(_math.sqrt(a), _math.sqrt(1.0 - a))
+
+    rng = _random.Random(47)
+    pts = [
+        (k, 40.0 + rng.random() * 0.1, -105.0 - rng.random() * 0.1)
+        for k in range(3000)
+    ]
+    pois = [("a", 40.02, -105.02), ("b", 40.08, -105.07), ("c", 40.05, -105.01)]
+    radius = 1500.0
+    exp = {
+        (k, pid)
+        for k, la, lo in pts
+        for pid, pla, plo in pois
+        if hav(la, lo, pla, plo) <= radius
+    }
+    sdf = spark.createDataFrame(pts, "event_id long, lat double, lon double")
+    out = within_radius_join(sdf, pois, radius)
+    got = {(r["event_id"], r["poi_id"]) for r in out.collect()}
+    assert got == exp and len(exp) > 100
+
+
+def test_within_radius_join_plan_is_broadcast(spark):
+    from activity_files_spark.operators.spatial import within_radius_join
+
+    sdf = spark.range(100).selectExpr(
+        "id as event_id", "40.0 + id * 0.0001 as lat", "-105.0 as lon"
+    )
+    out = within_radius_join(sdf, [("a", 40.0, -105.0)], 500.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_within_radius_sql_twin_matches(spark):
+    import duckdb
+    import pandas as pd
+
+    from activity_files_spark.operators.spatial import (
+        within_radius_join,
+        within_radius_sql,
+    )
+
+    import random as _random
+
+    rng = _random.Random(53)
+    pts = [
+        (k, 40.0 + rng.random() * 0.05, -105.0 - rng.random() * 0.05)
+        for k in range(2000)
+    ]
+    pois = [("a", 40.01, -105.01), ("b", 40.04, -105.03)]
+    radius = 900.0
+    pdf = pd.DataFrame(pts, columns=["event_id", "lat", "lon"])
+    body = within_radius_sql("pts", pois, radius)
+    exp_rows = duckdb.sql(
+        f"WITH pts AS (SELECT * FROM pdf),\n{body}\n"
+        "SELECT event_id, poi_id, dist_m FROM wr_join"
+    ).fetchall()
+    sdf = spark.createDataFrame(pts, "event_id long, lat double, lon double")
+    got_rows = [
+        (r["event_id"], r["poi_id"], r["dist_m"])
+        for r in within_radius_join(sdf, pois, radius).collect()
+    ]
+    # row SETS agree exactly; dist carries the documented ~1-ulp JVM-vs-libm
+    # trig spread (1e-13 at km magnitudes), absorbed by the same round-to-6
+    # the map-match gate uses
+    assert {(k, p) for k, p, _ in got_rows} == {(k, p) for k, p, _ in exp_rows}
+    assert sorted((k, p, round(d, 6)) for k, p, d in got_rows) == sorted(
+        (k, p, round(d, 6)) for k, p, d in exp_rows
+    )
