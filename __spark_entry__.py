@@ -463,6 +463,64 @@ def _map_match_sql() -> str:
 
 # the derived points hug the lat-40 = -(lon+105) diagonal (lat/lon are
 # correlated through event_id), so POIs sit on it to guarantee matches
+def speed_percentiles_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-user speed percentiles (windows.exact_percentiles —
+    order statistics, not a sketch): consecutive-point haversine speed in
+    m/s, rounded to 6 before ranking (absorbs trig-ulp spread so both
+    engines rank the identical multiset), then the value at rank
+    ceil(q*n) for q in {0.5, 0.9, 0.99}. One window sort per user — the
+    shuffle any exact order statistic costs — plus a map-side-combined
+    rollup."""
+    from activity_files_spark.operators.windows import exact_percentiles
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        haversine_m(
+            F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+        ).alias("_d"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp_ltz"))).over(w)
+        ).alias("_dt_us"),
+    ).where(F.col("_d").isNotNull() & (F.col("_dt_us") > 0))
+    sp = seg.select(
+        "user_id",
+        F.round(F.col("_d") / (F.col("_dt_us").cast("double") / F.lit(1e6)), 6).alias(
+            "speed_mps"
+        ),
+    )
+    return exact_percentiles(sp, "user_id", "speed_mps")
+
+
+def _speed_percentiles_sql() -> str:
+    from activity_files_spark.operators.windows import exact_percentiles_sql
+
+    d = haversine_sql("plat", "plon", "lat", "lon")
+    ctes, final = exact_percentiles_sql("speeds", "user_id", "speed_mps")
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ), lagged AS (
+      SELECT user_id, lat, lon,
+             LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS _dt_us
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), speeds AS (
+      SELECT user_id,
+             ROUND(({d}) / (CAST(_dt_us AS DOUBLE) / 1e6), 6) AS speed_mps
+      FROM lagged WHERE plat IS NOT NULL AND _dt_us > 0
+    ),
+    {ctes}
+    SELECT user_id, n, p50, p90, p99 FROM {final}
+    """
+
+
 WR_POIS = [("hub_a", 40.1, -105.1), ("hub_b", 40.3, -105.3), ("hub_c", 40.45, -105.45)]
 WR_RADIUS_M = 2500.0
 
@@ -5114,6 +5172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_near_dups": route_near_dups,
         "spike_filter_events": spike_filter_events,
         "within_radius_events": within_radius_events,
+        "speed_percentiles_users": speed_percentiles_users,
         "dwell_sessions_events": dwell_sessions_events,
         "bearing_turns_track": bearing_turns_track,
         "zone_length_events": zone_length_events,
@@ -5204,6 +5263,7 @@ def oracle_sql() -> dict[str, str]:
         "route_near_dups": _route_near_dups_sql(),
         "spike_filter_events": _spike_filter_sql(),
         "within_radius_events": _within_radius_sql(),
+        "speed_percentiles_users": _speed_percentiles_sql(),
         "dwell_sessions_events": _dwell_sessions_sql(),
         "bearing_turns_track": _bearing_turns_sql(),
         "zone_length_events": _zone_length_sql(),

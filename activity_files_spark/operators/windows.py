@@ -235,3 +235,71 @@ def dwell_sessions(
         )
         .drop("_run")
     )
+
+
+def exact_percentiles(
+    df: DataFrame,
+    key: str,
+    value: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-key percentiles as order statistics (percentile_disc
+    semantics: the value at rank ceil(q*n), 1-based) — not an approximate
+    sketch. One window sort per key (the shuffle any exact order statistic
+    costs) + a map-side-combined rollup; ties need no tiebreak because the
+    rank picks a VALUE from the sorted multiset, which is invariant to tie
+    order. Returns (key, n, p50, p90, ... named p{100q:g}).
+
+    Approximate sketches (percentile_approx/t-digest) are the right call
+    when 0.1% error is fine; this is the exact twin for gates and SLA-style
+    queries, and the definition is trivially replayable in any engine
+    (ROW_NUMBER + COUNT + rank pick), unlike interpolating percentile_cont
+    whose arithmetic varies by implementation.
+    """
+    w = Window.partitionBy(key).orderBy(value)
+    wall = Window.partitionBy(key)
+    r = df.select(
+        key,
+        F.col(value).alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(wall).alias("_n"),
+    )
+    aggs = [F.max("_n").alias("n")]
+    for q in qs:
+        rank = F.ceil(F.lit(q) * F.col("_n")).cast("long")
+        aggs.append(
+            F.max(F.when(F.col("_rn") == rank, F.col("_v"))).alias(
+                f"p{100 * q:g}".replace(".", "_")
+            )
+        )
+    return r.groupBy(key).agg(*aggs)
+
+
+def exact_percentiles_sql(
+    src_cte: str,
+    key: str,
+    value: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    prefix: str = "ep",
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`exact_percentiles` — same rank definition.
+    Returns (cte_sql, final_name); final exposes (key, n, p...)."""
+    p = prefix
+    ranked = (
+        f"{p}_r AS (SELECT {key}, {value} AS _v, "
+        f"ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY {value}) AS _rn, "
+        f"COUNT(*) OVER (PARTITION BY {key}) AS _n FROM {src_cte})"
+    )
+    cols = []
+    for q in qs:
+        name = f"p{100 * q:g}".replace(".", "_")
+        cols.append(
+            f"MAX(CASE WHEN _rn = CAST(CEIL({q!r} * _n) AS BIGINT) "
+            f"THEN _v END) AS {name}"
+        )
+    final = f"{p}_out"
+    out = (
+        f"{final} AS (SELECT {key}, MAX(_n) AS n, {', '.join(cols)} "
+        f"FROM {p}_r GROUP BY {key})"
+    )
+    return ",\n    ".join([ranked, out]), final

@@ -119,6 +119,7 @@ HEADLINE = [
     "raster_blur_tiles",
     "image_histogram_stats",
     "within_radius_events",
+    "speed_percentiles_users",
 ]
 
 

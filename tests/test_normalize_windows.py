@@ -251,3 +251,50 @@ def test_dwell_sessions(spark):
         ("a", "2024-03-01 10:00:30", "2024-03-01 10:00:40", 2, 10.0),
         ("a", "2024-03-01 10:00:55", "2024-03-01 10:00:55", 1, 0.0),
     ]
+
+
+def test_exact_percentiles(spark):
+    """Order-statistic definition vs a direct sorted-list reference, incl.
+    duplicates and tiny groups."""
+    import math as _math
+    import random as _random
+
+    import duckdb
+    import pandas as pd
+
+    from activity_files_spark.operators.windows import (
+        exact_percentiles,
+        exact_percentiles_sql,
+    )
+
+    rng = _random.Random(59)
+    rows = []
+    for k in range(12):
+        n = rng.choice([1, 2, 3, 7, 50, 200])
+        for _ in range(n):
+            rows.append((k, float(rng.choice([1, 2, 2, 3, 5, 8, 13, 21]))))
+    sdf = spark.createDataFrame(rows, "k long, v double")
+    got = {r["k"]: r for r in exact_percentiles(sdf, "k", "v").collect()}
+    by_k = {}
+    for k, v in rows:
+        by_k.setdefault(k, []).append(v)
+    for k, vs in by_k.items():
+        vs = sorted(vs)
+        n = len(vs)
+        assert got[k]["n"] == n
+        for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            assert got[k][name] == vs[_math.ceil(q * n) - 1], (k, name)
+    # SQL twin parity
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    ctes, final = exact_percentiles_sql("src", "k", "v")
+    exp = duckdb.sql(
+        f"WITH src AS (SELECT * FROM pdf),\n    {ctes}\n"
+        f"SELECT k, n, p50, p90, p99 FROM {final} ORDER BY k"
+    ).fetchall()
+    for k, n, p50, p90, p99 in exp:
+        assert (got[k]["n"], got[k]["p50"], got[k]["p90"], got[k]["p99"]) == (
+            n,
+            p50,
+            p90,
+            p99,
+        )
