@@ -515,3 +515,40 @@ def test_gpx_multi_track_concatenates(spark):
     assert len(pts) == 3
     assert [p["seq"] for p in pts] == [0, 1, 2]  # continuous across tracks
     assert len(laps_of(rec).collect()) == 2  # one lap per trkseg
+
+
+def test_s2_bucketed_rollup_and_join_have_no_shuffle(spark):
+    """S2 cell ids as the physical layout key (the reason a Hilbert-curve
+    id exists at corpus scale): a table bucketed on s2_id aggregates AND
+    self-joins on the cell with zero Exchange — spatial rollups and
+    cell-local joins run at scan speed on a 10^12-row layout."""
+    import shutil
+
+    from activity_files_spark.functions.s2 import with_s2_cellid
+
+    spark.sql("DROP TABLE IF EXISTS ev_s2_b")
+    # a crashed earlier run can leave the managed location behind without
+    # catalog metadata; saveAsTable then refuses the name
+    shutil.rmtree("/tmp/spark_test_warehouse/ev_s2_b", ignore_errors=True)
+    pts = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        (F.lit(40.0) + (F.col("id") % 97).cast("double") * F.lit(0.01)).alias("lat"),
+        (F.lit(-105.0) - (F.col("id") % 89).cast("double") * F.lit(0.01)).alias("lon"),
+    )
+    enc = with_s2_cellid(pts, "lat", "lon", 10, out="s2_id")
+    write_bucketed(enc, "ev_s2_b", "s2_id", n_buckets=8)
+    t = spark.table("ev_s2_b")
+    # rollup: partial agg satisfied by bucketing -> no Exchange
+    agg = t.groupBy("s2_id").agg(F.count("*").alias("n"), F.sum("event_id").alias("s"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan
+    assert agg.count() > 0
+    # cell-local self-join (e.g. same-cell pair mining): hint("merge")
+    # forces the SortMergeJoin path (a broadcast would trivially avoid the
+    # shuffle on this tiny table); bucketing must co-locate both sides
+    j = t.alias("a").join(spark.table("ev_s2_b").hint("merge").alias("b"), "s2_id")
+    jplan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in jplan, jplan
+    assert "Exchange hashpartitioning" not in jplan, jplan  # zero shuffles
+    assert j.count() >= 2000
