@@ -2265,6 +2265,69 @@ def _tile_assign_sql() -> str:
     """
 
 
+def s2_tile_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-table twin of tile_assign on the S2 ladder: each synthetic
+    image lands in exactly one Hilbert cell per level {8, 12}, rolled up
+    per cell with image-index sums — the layout/rollup key a 10^12-image
+    Iceberg table would bucket by (see the shuffle-free bucketed proof in
+    tests/test_layout_parity.py). Cell ids via the libm-exact Arrow kernel
+    (s2.py trig rule); the oracle replays the cube-face + s-t + Hilbert
+    CTE chain from the deterministic fixture grid."""
+    from activity_files_spark.data.images import synth_images
+    from activity_files_spark.functions.s2 import s2_cellid_np, s2_token_col
+
+    def s2_at(lv: int):
+        @F.pandas_udf("long")
+        def f(lat: pd.Series, lon: pd.Series) -> pd.Series:
+            return pd.Series(
+                s2_cellid_np(lat.to_numpy(), lon.to_numpy(), lv, trig="libm")
+            )
+
+        return f
+
+    imgs = synth_images(spark, N_IMAGES_CORRECTNESS, partitions=8).select(
+        "image_id", "lat", "lon"
+    )
+    idx = F.substring("image_id", 5, 12).cast("long")
+    per_level = [
+        imgs.select(
+            F.lit(lv).alias("level"),
+            s2_at(lv)("lat", "lon").alias("s2_id"),
+            idx.alias("img_idx"),
+        )
+        for lv in (8, 12)
+    ]
+    un = per_level[0].unionByName(per_level[1])
+    agg = un.groupBy("level", "s2_id").agg(
+        F.count("*").alias("n_images"), F.sum("img_idx").alias("img_idx_sum")
+    )
+    return agg.withColumn("s2_token", s2_token_col(F.col("s2_id")))
+
+
+def _s2_tile_images_sql() -> str:
+    from activity_files_spark.functions.s2 import s2_sql_ctes, s2_token_sql
+
+    parts = []
+    for lv in (8, 12):
+        ctes, final = s2_sql_ctes("lat", "lon", lv, "img_i", "ipts", prefix=f"s2i{lv}")
+        parts.append(
+            (ctes, f"SELECT {lv} AS level, s2_id, img_i FROM {final}")
+        )
+    all_ctes = ",\n    ".join(p[0] for p in parts)
+    union = " UNION ALL ".join(p[1] for p in parts)
+    return f"""
+    WITH ipts AS (
+      SELECT i AS img_i, {_lat_sql_img('i')} AS lat, {_lon_sql_img('i')} AS lon
+      FROM range({N_IMAGES_CORRECTNESS}) t(i)
+    ),
+    {all_ctes},
+    assigned AS ({union})
+    SELECT level, s2_id, COUNT(*) AS n_images, SUM(img_i) AS img_idx_sum,
+           {s2_token_sql('s2_id')} AS s2_token
+    FROM assigned GROUP BY 1, 2
+    """
+
+
 def image_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP join of the image table against the tiny geofence set via the
     join-free expression-compiled path (spatial._rect_pip_expr): the rect
@@ -5147,6 +5210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_embeddings": cosine_topk_embeddings,
         "gap_events": gap_events,
         "tile_assign_images": tile_assign_images,
+        "s2_tile_images": s2_tile_images,
         "image_pip_join": image_pip_join,
         "image_knn": image_knn,
         "validate_images_summary": validate_images_summary,
@@ -5239,6 +5303,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_embeddings": _cosine_sql(),
         "gap_events": _gap_sql(),
         "tile_assign_images": _tile_assign_sql(),
+        "s2_tile_images": _s2_tile_images_sql(),
         "image_pip_join": _image_pip_sql(),
         "image_knn": _image_knn_sql(),
         "minhash_near_dups": _minhash_sql(),

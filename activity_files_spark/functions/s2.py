@@ -402,8 +402,16 @@ def s2_sql_ctes(
 
     ``keys`` is the comma-separated pass-through column list; ``source`` the
     input relation exposing them plus ``lat``/``lon`` expressions' inputs.
+    Key names must not collide with the chain's internal columns.
     """
     _check_level(level)
+    reserved = {"x", "y", "z", "axis", "face", "u", "v", "i", "j", "pos", "o", "p", "h", "s2_id"}
+    clash = [k for k in (c.strip() for c in keys.split(",")) if k in reserved]
+    if clash:
+        raise ValueError(
+            f"s2_sql_ctes key column(s) {clash} collide with internal names; "
+            f"alias them in the source CTE first (reserved: {sorted(reserved)})"
+        )
     p = prefix
     n = 1 << level
     ctes: list[str] = []

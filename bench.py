@@ -120,6 +120,7 @@ HEADLINE = [
     "image_histogram_stats",
     "within_radius_events",
     "speed_percentiles_users",
+    "s2_tile_images",
 ]
 
 
