@@ -492,6 +492,18 @@ SCALE_TIER_QUERIES = (
     # per-activity Arrow kernel: 10x users, same per-user track length —
     # per-row cost must be flat (DP work scales with the group, not corpus)
     "simplify_track_events",
+    # round-5 additions:
+    # Arrow cell-id kernel + one groupBy — per-row cost must be flat
+    "s2_cells_events",
+    # lag window + bounded explode (output = the cover) — flat per row
+    "route_cell_cover_events",
+    # three map-side-combined pixel groupBys; lit-pixel set saturates
+    # while points grow, so per-row cost should IMPROVE at 10x
+    "raster_blur_tiles",
+    # broadcast disk-cover join + rollup — flat per row
+    "within_radius_events",
+    # per-user window sort (exact order statistics) — flat per row
+    "speed_percentiles_users",
 )
 
 
