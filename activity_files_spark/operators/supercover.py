@@ -59,7 +59,12 @@ def _fdiv(a: Column, b: Column) -> Column:
     """Floor division for BIGINT columns, exact for negative dividends;
     ``b`` must be positive. Spark's ``%`` truncates toward zero with the
     dividend's sign (same as DuckDB), so ``((a % b) + b) % b`` is the
-    non-negative remainder in both engines."""
+    non-negative remainder in both engines.
+
+    The quotient routes through a double division (Spark has no Column
+    integer-div), which is exact only while ``|a| < 2**53`` — hence the
+    26-bit coordinate bound documented on :func:`segment_cell_cover`
+    (crossing numerators are products of two coordinates)."""
     pm = ((a % b) + b) % b
     return (a - pm) / b
 
@@ -150,6 +155,12 @@ def segment_cell_cover(
     columns ``x0, y0, x1, y1`` (``2**q`` subunits per cell) and a grouping
     column ``key`` (cells are deduped per key, not per segment — a route's
     cover is a set).
+
+    Coordinate bound: endpoints must fit in 26 bits (cell zoom + q <= 26,
+    e.g. z18 tiles with 2^8 subcells — sub-meter snap), because the
+    crossing numerators multiply two coordinates and the quotient passes
+    through a double division that is exact only below 2**53. Both engine
+    twins share the bound; the z14+q8 driver tier uses 22 bits.
     """
     s = 1 << q
     seg = segments.select(
