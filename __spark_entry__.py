@@ -811,6 +811,53 @@ def _shortest_path_cells_sql() -> str:
     """
 
 
+def stream_cell_cover_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The segment supercover as a CUSTOM STATEFUL streaming operator
+    (stream_ops.stream_cell_cover): per-user state carries the last point
+    across micro-batches, so the chunked stream covers exactly the cells
+    the batch polyline does — the gate replays the BATCH oracle verbatim,
+    proving chunk-boundary state handling, not just the enumeration."""
+    import tempfile
+    import uuid
+
+    from activity_files_spark.functions.quadkey import tile_xy_col
+    from activity_files_spark.streaming.stream_ops import (
+        run_available_now,
+        stream_cell_cover,
+    )
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    px, py = tile_xy_col(_lat_col(), _lon_col(), COVER_Z + COVER_Q)
+    pts = src.select(
+        "user_id", "event_id", "ts", px.alias("x"), py.alias("y")
+    )
+    cover = stream_cell_cover(
+        pts, q=COVER_Q, key="user_id", ts="ts", tiebreak=["event_id"]
+    )
+    name = f"stream_cover_{uuid.uuid4().hex[:10]}"
+    qy = run_available_now(cover, name, tempfile.mkdtemp(), output_mode="append")
+    qy.awaitTermination()
+    packed = F.col("cx") * F.lit(1 << COVER_Z) + F.col("cy")
+    return (
+        spark.table(name)
+        .dropDuplicates(["user_id", "cx", "cy"])
+        .select("user_id", packed.alias("cell"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("cell").alias("cell_checksum"),
+            F.min("cell").alias("min_cell"),
+        )
+    )
+
+
 def bearing_turns_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bearing / turn-angle analytics (functions/geo.bearing_deg): initial
     great-circle bearing per consecutive point pair, absolute turn angle
@@ -5231,6 +5278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_cells": geohash_cells,
         "s2_cells_events": s2_cells_events,
         "route_cell_cover_events": route_cell_cover_events,
+        "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
         "route_near_dups": route_near_dups,
@@ -5323,6 +5371,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_cells": _geohash_cells_sql(),
         "s2_cells_events": _s2_cells_sql(),
         "route_cell_cover_events": _route_cell_cover_sql(),
+        "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),
         "route_near_dups": _route_near_dups_sql(),

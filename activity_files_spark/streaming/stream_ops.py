@@ -156,6 +156,78 @@ def stream_downsample_time(
     )
 
 
+def stream_cell_cover(
+    points: DataFrame,
+    q: int = 8,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: list[str] | None = None,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Segment supercover (operators/supercover.py) as a CUSTOM STATEFUL
+    streaming operator: per-key state carries the LAST trajectory point, so
+    segments spanning micro-batch boundaries are covered exactly once and
+    the emitted cell multiset dedups to the SAME set as the batch operator
+    — the cover of a polyline is the union of the covers of sub-polylines
+    sharing boundary points, so the result is invariant to how the stream
+    is chunked (the driver gate replays the BATCH oracle verbatim).
+
+    Matches the batch twin's edge semantics: a key's first-ever point only
+    seeds the state (the batch query drops the lagless row), so a
+    single-point key emits nothing. Emits (key, cx, cy) with possible
+    duplicates across batches; callers dedup in their rollup exactly like
+    the batch path's dropDuplicates.
+
+    The per-segment enumeration here is the python golden twin — the
+    pure-Column batch operator is the corpus-scale path; this form exists
+    for incremental pipelines where state correctness across chunk
+    boundaries is the hard part being proven.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from activity_files_spark.operators.supercover import segment_cell_cover_py
+
+    key_type = points.schema[key].dataType.simpleString()
+    out_schema = f"{key} {key_type}, cx long, cy long"
+    state_schema = "last_x long, last_y long"
+    order = [ts] + list(tiebreak or [])
+
+    def fn(key_tuple, pdf_iter, state):
+        last = tuple(int(v) for v in state.get) if state.exists else None
+        chunks = [c for c in pdf_iter if len(c)]
+        if not chunks:
+            return
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(order, kind="stable").reset_index(drop=True)
+        pts = list(zip(pdf[x].astype("int64"), pdf[y].astype("int64")))
+        cells: set[tuple[int, int]] = set()
+        if last is None:
+            prev = (int(pts[0][0]), int(pts[0][1]))
+            rest = pts[1:]
+        else:
+            prev = last
+            rest = pts
+        for px, py in rest:
+            cells |= segment_cell_cover_py(prev[0], prev[1], int(px), int(py), q)
+            prev = (int(px), int(py))
+        state.update((prev[0], prev[1]))
+        if cells:
+            out = sorted(cells)
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(out),
+                    "cx": [c[0] for c in out],
+                    "cy": [c[1] for c in out],
+                }
+            )
+
+    return points.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

@@ -121,6 +121,7 @@ HEADLINE = [
     "within_radius_events",
     "speed_percentiles_users",
     "s2_tile_images",
+    "stream_cell_cover_events",
 ]
 
 
