@@ -103,3 +103,54 @@ def test_stream_downsample_state_crosses_batches(spark, tmp_path):
     # batch A (t=0..50 step 10): keep 0, 20, 40 (state: 40)
     # batch B (t=52,60,70,80): 52 dropped (d12 from 40), keep 60, 70 dropped, keep 80
     assert kept == [0, 20, 40, 108, 128]
+
+
+def test_stream_cell_cover_state_crosses_batches(spark, tmp_path):
+    """The supercover streaming twin covers the boundary-spanning segment
+    exactly once and reproduces the batch operator's cell set under forced
+    one-file-per-trigger chunking."""
+    from datetime import datetime, timedelta
+
+    from activity_files_spark.operators.supercover import segment_cell_cover_py
+    from activity_files_spark.streaming.stream_ops import stream_cell_cover
+
+    t0 = datetime(2024, 3, 1, 10, 0, 0)
+    schema = "user_id long, seq long, ts timestamp, x long, y long"
+    # a zig-zag track split mid-segment across the two files
+    pts = [(0, 0), (40, 5), (90, 60), (95, 200), (10, 210), (300, 320)]
+    rows = [
+        (7, i, t0 + timedelta(seconds=i), px, py) for i, (px, py) in enumerate(pts)
+    ]
+    import glob
+    import shutil
+
+    d = tmp_path / "cov_in"
+    d.mkdir()
+    for part, chunk in enumerate((rows[:3], rows[3:])):
+        tmp = tmp_path / f"cov_{part}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(str(tmp))
+        shutil.copy(
+            glob.glob(str(tmp / "part-*.parquet"))[0], d / f"{part:04d}.parquet"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    cov = stream_cell_cover(stream, q=4, key="user_id", ts="ts", tiebreak=["seq"])
+    q = (
+        cov.writeStream.format("memory").queryName("cov_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cov_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["cx"], r["cy"])
+        for r in spark.sql("SELECT DISTINCT cx, cy FROM cov_test").collect()
+    }
+    exp = set()
+    for (ax, ay), (bx, by) in zip(pts, pts[1:]):
+        exp |= segment_cell_cover_py(ax, ay, bx, by, q=4)
+    assert got == exp
