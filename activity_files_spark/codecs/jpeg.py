@@ -35,11 +35,14 @@ scope is activity files); this module exists for the graft's image axis
 
 from __future__ import annotations
 
+import ctypes
 import struct
 from collections import Counter
 from functools import lru_cache
 
 import numpy as np
+
+from . import _native
 
 # ------------------------------------------------------------- constants
 # Zigzag order: position k in the scan -> row-major coefficient index.
@@ -639,13 +642,24 @@ def _decode_segment(seg: bytes, comps, luts, zz_arrays, fill_pos):
 
     ``comps``: component index of every block in this segment, in scan
     order; ``fill_pos``: per-component next write slot (stream order).
+
+    When the box has a C compiler the whole walk runs in the compiled
+    kernel (:mod:`._native`) — one LUT probe per symbol, coefficients
+    written directly into the zigzag arrays; this python path is the
+    bit-identical reference fallback (``AFS_NATIVE=0`` forces it).
     """
-    raw = np.frombuffer(seg.replace(b"\xff\x00", b"\xff"), dtype=np.uint8)
-    total_bits = len(raw) * 8
+    unstuffed = seg.replace(b"\xff\x00", b"\xff")
+    total_bits = len(unstuffed) * 8
     if total_bits == 0:
-        if comps:
+        if len(comps):
             raise _Corrupt("empty entropy segment")
         return 0
+    lib = _native.chase_lib()
+    if lib is not None:
+        return _decode_segment_native(
+            lib, unstuffed, comps, total_bits, luts, zz_arrays, fill_pos
+        )
+    raw = np.frombuffer(unstuffed, dtype=np.uint8)
     # pad 6 bytes so the 16-bit peek window exists for every position a
     # symbol's magnitude bits can reach (p + ln <= total_bits + 15);
     # next16[8k+r] = bits [8k+r, 8k+r+16) = (24-bit window at byte k) >> (8-r)
@@ -687,8 +701,11 @@ def _decode_segment(seg: bytes, comps, luts, zz_arrays, fill_pos):
     ac_pos: list[list[int]] = [[] for _ in range(nc)]
     ac_idx: list[list[int]] = [[] for _ in range(nc)]
     dc_pos: list[list[int]] = [[] for _ in range(nc)]
+    comps_list = comps.tolist() if isinstance(comps, np.ndarray) else comps
     try:
-        blocks_done = _chase(comps, per_comp, ac_pos, ac_idx, dc_pos, fill_pos, total_bits)
+        blocks_done = _chase(
+            comps_list, per_comp, ac_pos, ac_idx, dc_pos, fill_pos, total_bits
+        )
     except IndexError:
         raise _Corrupt("entropy stream truncated mid-symbol") from None
 
@@ -716,6 +733,45 @@ def _decode_segment(seg: bytes, comps, luts, zz_arrays, fill_pos):
             slots = (fill_start[ci] + np.arange(len(parr), dtype=np.int64)) << 6
             zz_flat[slots] = preds
     return blocks_done
+
+
+_CHASE_ERRORS = {
+    -1: "invalid DC huffman code",
+    -2: "invalid AC huffman code",
+    -3: "AC run overflows block",
+    -5: "entropy stream truncated mid-symbol",
+    -6: "block fill overflow",
+}
+
+
+def _decode_segment_native(lib, unstuffed, comps, total_bits, luts, zz_arrays,
+                           fill_pos):
+    """Run one restart segment through the compiled kernel: the C walk
+    probes the same 16-bit LUTs and writes sign-extended coefficients
+    straight into the (blocks, 64) zigzag arrays — bit-identical to the
+    python path by the shared T.81 semantics (property-tested)."""
+    nc = len(zz_arrays)
+    bits = unstuffed + b"\x00" * 6  # pad the 16-bit peek window
+    comps_arr = np.ascontiguousarray(comps, dtype=np.int32)
+    fp = np.asarray(fill_pos, dtype=np.int64)
+    caps = np.asarray([z.shape[0] for z in zz_arrays], dtype=np.int64)
+    P64 = ctypes.POINTER(ctypes.c_int64)
+    PU16 = ctypes.POINTER(ctypes.c_uint16)
+    rc = lib.afs_decode_seg(
+        ctypes.cast(ctypes.c_char_p(bits), ctypes.POINTER(ctypes.c_uint8)),
+        total_bits,
+        comps_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(comps_arr),
+        (PU16 * nc)(*[d.ctypes.data_as(PU16) for d, _ in luts]),
+        (PU16 * nc)(*[a.ctypes.data_as(PU16) for _, a in luts]),
+        fp.ctypes.data_as(P64),
+        caps.ctypes.data_as(P64),
+        (P64 * nc)(*[z.ctypes.data_as(P64) for z in zz_arrays]),
+    )
+    if rc < 0:
+        raise _Corrupt(_CHASE_ERRORS[int(rc)])
+    fill_pos[:] = fp.tolist()
+    return int(rc)
 
 
 def _chase(comps, per_comp, ac_pos, ac_idx, dc_pos, fill_pos, total_bits):
@@ -781,6 +837,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     mcu_plan: list[int] = []
     for ci, (sh, sv) in enumerate(samplings):
         mcu_plan.extend([ci] * (sh * sv))
+    mcu_plan_arr = np.asarray(mcu_plan, dtype=np.int32)
     nmcu = my * mx
 
     luts = []
@@ -819,7 +876,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     remaining = nmcu
     for si, seg in enumerate(segments):
         mcus = min(dri, remaining) if dri else remaining
-        plan = mcu_plan * mcus
+        plan = np.tile(mcu_plan_arr, mcus)
         _decode_segment(seg, plan, luts, zz_arrays, fill_pos)
         remaining -= mcus
 

@@ -142,3 +142,87 @@ def test_property_roundtrip_never_crashes(w, h, seed, sub, ri):
     assert out.dtype == np.uint8
     if sub == "444":
         assert psnr_db(px, out) >= 40.0 or np.array_equal(px, out)
+
+
+# ----------------------------------------------------- native kernel parity
+
+def _decode_pure_python(data):
+    """Force the pure-python reference walk regardless of the compiled
+    kernel's availability, restoring the dispatch state afterwards."""
+    import os
+
+    from activity_files_spark.codecs import _native
+
+    saved_lib, saved_env = _native._lib, os.environ.get("AFS_NATIVE")
+    os.environ["AFS_NATIVE"] = "0"
+    _native._lib = None
+    try:
+        return decode_jpeg(data)
+    finally:
+        _native._lib = saved_lib
+        if saved_env is None:
+            os.environ.pop("AFS_NATIVE", None)
+        else:
+            os.environ["AFS_NATIVE"] = saved_env
+
+
+def test_native_kernel_available():
+    # the sandbox ships cc; if this ever fails the fallback still keeps
+    # decode correct, but the perf tier should know the kernel vanished
+    from activity_files_spark.codecs._native import chase_lib
+
+    assert chase_lib() is not None
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.sampled_from(["444", "420"]),
+    st.sampled_from([0, 3]),
+    st.sampled_from([35, 80, 98]),
+)
+def test_native_matches_python_walk(w, h, seed, sub, ri, q):
+    from activity_files_spark.codecs._native import chase_lib
+
+    if chase_lib() is None:
+        pytest.skip("no C compiler")
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    data = encode_jpeg(px, quality=q, subsampling=sub, restart_interval=ri)
+    assert np.array_equal(decode_jpeg(data), _decode_pure_python(data))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=1, max_value=200),
+)
+def test_native_matches_python_on_corrupt_scan(seed, cut):
+    """Truncated / bit-flipped entropy streams: both walks must agree on
+    decode-or-reject, and on the pixels whenever both decode."""
+    from activity_files_spark.codecs._native import chase_lib
+
+    if chase_lib() is None:
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(px, quality=90, restart_interval=2))
+    # flip a byte inside the scan (after SOS payload start)
+    sos = bytes(data).find(b"\xff\xda")
+    pos = min(len(data) - 3, sos + 14 + int(cut))
+    data[pos] ^= 0x5A
+    blob = bytes(data)
+    try:
+        a = decode_jpeg(blob)
+        a_err = None
+    except (ValueError, NotImplementedError) as e:
+        a, a_err = None, type(e)
+    try:
+        b = _decode_pure_python(blob)
+        b_err = None
+    except (ValueError, NotImplementedError) as e:
+        b, b_err = None, type(e)
+    assert a_err == b_err
+    if a is not None:
+        assert np.array_equal(a, b)
