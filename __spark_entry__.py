@@ -4256,6 +4256,54 @@ def _raster_blur_sql() -> str:
     """
 
 
+def contour_heatmap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector, iso-line direction (raster.contour_segments):
+    midpoint marching squares over the zoom-9 events heatmap extracts the
+    iso-contour of the region "pixel count >= 4" as vector segments in
+    DOUBLED global-pixel integers (doubling keeps edge midpoints exact, so
+    both engines hash bit-for-bit). Fully relational: a 4-way corner
+    explode, ONE map-side-combined groupBy(cell) summing corner bits into
+    the marching-squares case index, and a broadcast join against the
+    16-case midpoint table — no Python kernel, linear-size shuffle, skew
+    spread across distinct cell keys. The gate returns every segment; the
+    oracle replays the identical corner-bit vote and case table in SQL.
+    Complements raster_components_vectorize (regions) with the other
+    classic raster→vector primitive (contours); the reference engine has
+    no raster surface at all (it is a per-file track parser)."""
+    from activity_files_spark.operators.raster import (
+        contour_segments,
+        rasterize_points,
+    )
+
+    pts = _read(spark, sf_dir, "events").select(
+        _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    sparse = rasterize_points(pts, z=9, p=8)
+    return contour_segments(sparse, z=9, p=8, threshold=4)
+
+
+def _contour_heatmap_sql() -> str:
+    from activity_files_spark.operators.raster import contour_segments_sql
+
+    gx, gy = tile_xy_sql("lat", "lon", 17)  # zoom 9 + 8-bit pixels
+    body = contour_segments_sql("gpix_counts", threshold=4)
+    return f"""
+    WITH pts AS (
+      SELECT {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon FROM events
+    ),
+    gpix AS (
+      SELECT {gx} AS gx, {gy} AS gy FROM pts
+    ),
+    gpix_counts AS (
+      SELECT gx, gy, COUNT(*) AS n FROM gpix GROUP BY 1, 2
+    ),
+    {body}
+    SELECT CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
+           CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2
+    FROM ms_segments
+    """
+
+
 def raster_pyramid_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster pyramid rollup (the tile-service z-ladder build): events are
     rasterized at zoom 14, then pyramid_rollup aggregates the sparse
@@ -5327,6 +5375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups_docs": simhash_near_dups_docs,
         "rasterize_heatmap_tiles": rasterize_heatmap_tiles,
         "raster_blur_tiles": raster_blur_tiles,
+        "contour_heatmap_events": contour_heatmap_events,
         "raster_components_vectorize": raster_components_vectorize,
         "raster_pyramid_tiles": raster_pyramid_tiles,
         "zonal_stats_polygon": zonal_stats_polygon,
@@ -5420,6 +5469,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups_docs": _simhash_near_dups_sql(),
         "rasterize_heatmap_tiles": _rasterize_heatmap_sql(),
         "raster_blur_tiles": _raster_blur_sql(),
+        "contour_heatmap_events": _contour_heatmap_sql(),
         "raster_components_vectorize": _raster_components_sql(),
         "raster_pyramid_tiles": _raster_pyramid_sql(),
         "zonal_stats_polygon": _zonal_stats_sql(),

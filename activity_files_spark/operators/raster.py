@@ -232,6 +232,151 @@ def pyramid_rollup(sparse: DataFrame, z_from: int, z_to: int, p: int = 8) -> Dat
     )
 
 
+# midpoint marching-squares case table. Corner bits of a cell whose
+# top-left lattice node is (cx, cy): 1=TL(cx,cy) 2=TR(cx+1,cy)
+# 4=BL(cx,cy+1) 8=BR(cx+1,cy+1). Segment endpoints are EDGE MIDPOINTS in
+# DOUBLED coordinates relative to (2cx, 2cy): top=(1,0) left=(0,1)
+# right=(2,1) bottom=(1,2) — doubling keeps every coordinate an exact
+# integer, so the Spark and DuckDB twins hash bit-for-bit. Saddle cells
+# (6 = TR+BL, 9 = TL+BR) take the corners-disconnected convention (each
+# inside corner gets its own segment; no center sampling), which keeps
+# every contour a closed even-degree loop. Endpoints are pre-sorted
+# lexicographically so output segments are canonical without a sort.
+_MS_CASES: list[tuple[int, int, int, int, int]] = [
+    (1, 0, 1, 1, 0),
+    (2, 1, 0, 2, 1),
+    (3, 0, 1, 2, 1),
+    (4, 0, 1, 1, 2),
+    (5, 1, 0, 1, 2),
+    (6, 1, 0, 2, 1), (6, 0, 1, 1, 2),
+    (7, 1, 2, 2, 1),
+    (8, 1, 2, 2, 1),
+    (9, 0, 1, 1, 0), (9, 1, 2, 2, 1),
+    (10, 1, 0, 1, 2),
+    (11, 0, 1, 1, 2),
+    (12, 0, 1, 2, 1),
+    (13, 1, 0, 2, 1),
+    (14, 0, 1, 1, 0),
+]
+
+
+def contour_segments(
+    sparse: DataFrame, z: int, p: int = 8, threshold: int = 1
+) -> DataFrame:
+    """Raster→vector, iso-line direction (the complement of
+    :func:`raster_components`' region extraction): midpoint marching
+    squares over the sparse raster -> one row per contour segment
+    ``(x1, y1, x2, y2)`` in DOUBLED global-pixel integers at pixel-zoom
+    ``z + p`` — the iso-contour of the region ``n >= threshold`` with
+    missing pixels counting as 0. Input is the (tile_id, px, py, n)
+    sparse shape of :func:`rasterize_points`; lattice nodes are pixel
+    coordinates, so contours flow across tile boundaries exactly like
+    :func:`box_blur`.
+
+    Fully relational — no Python kernel at all: each inside node
+    contributes its corner bit to the 4 cells that touch it (a 4-way
+    explode), ONE map-side-combined groupBy(cell) sums bits into the
+    marching-squares case index, and a broadcast join against the 16-case
+    midpoint table emits segments. The shuffle carries at most 4 rows per
+    inside node pre-combine (one per lit cell post-combine), so a 10^12-
+    point heatmap contours with one linear-size shuffle; dense-city skew
+    spreads across distinct cell keys. Doubled integer coordinates make
+    the op exact in every engine — :func:`contour_segments_sql` is the
+    verbatim DuckDB twin."""
+    tmask = (1 << z) - 1
+    inside = (
+        sparse.where(F.col("n") >= threshold)
+        .select(
+            (
+                F.shiftleft(F.shiftright("tile_id", z), p)
+                + F.col("px").cast("long")
+            ).alias("gx"),
+            (
+                F.shiftleft(F.col("tile_id").bitwiseAND(F.lit(tmask)), p)
+                + F.col("py").cast("long")
+            ).alias("gy"),
+        )
+    )
+    corner = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                    F.lit(b).alias("b"),
+                )
+                for dx, dy, b in ((0, 0, 1), (-1, 0, 2), (0, -1, 4), (-1, -1, 8))
+            ]
+        )
+    ).alias("c")
+    cells = (
+        inside.select("gx", "gy", corner)
+        .select(
+            (F.col("gx") + F.col("c.dx")).alias("cx"),
+            (F.col("gy") + F.col("c.dy")).alias("cy"),
+            F.col("c.b").alias("b"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.sum("b").cast("int").alias("cse"))
+        .where(F.col("cse") != 15)
+    )
+    spark = sparse.sparkSession
+    # the 16-case table as pure literals (inline of a literal struct array
+    # -> LocalRelation after constant folding; no Python RDD in the plan)
+    case_df = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("cse"),
+                        F.lit(a).alias("ox1"), F.lit(b).alias("oy1"),
+                        F.lit(x).alias("ox2"), F.lit(y).alias("oy2"),
+                    )
+                    for c, a, b, x, y in _MS_CASES
+                ]
+            )
+        )
+    )
+    two = F.lit(2)
+    return (
+        cells.join(F.broadcast(case_df), "cse")
+        .select(
+            (two * F.col("cx") + F.col("ox1")).alias("x1"),
+            (two * F.col("cy") + F.col("oy1")).alias("y1"),
+            (two * F.col("cx") + F.col("ox2")).alias("x2"),
+            (two * F.col("cy") + F.col("oy2")).alias("y2"),
+        )
+    )
+
+
+def contour_segments_sql(sparse_cte: str, threshold: int = 1) -> str:
+    """DuckDB twin of :func:`contour_segments` over a CTE exposing
+    (gx, gy, n) GLOBAL pixel counts (the same pre-tiling shape
+    :func:`box_blur_sql` binds to). Binds ``ms_cells`` and
+    ``ms_segments``; select (x1, y1, x2, y2) from ``ms_segments``."""
+    cases = ", ".join(f"({c}, {a}, {b}, {x}, {y})" for c, a, b, x, y in _MS_CASES)
+    return f"""
+    ms_inside AS (
+      SELECT gx, gy FROM {sparse_cte} WHERE n >= {threshold}
+    ),
+    ms_corners AS (
+      SELECT gx AS cx, gy AS cy, 1 AS b FROM ms_inside
+      UNION ALL SELECT gx - 1, gy, 2 FROM ms_inside
+      UNION ALL SELECT gx, gy - 1, 4 FROM ms_inside
+      UNION ALL SELECT gx - 1, gy - 1, 8 FROM ms_inside
+    ),
+    ms_cells AS (
+      SELECT cx, cy, CAST(SUM(b) AS INTEGER) AS cse
+      FROM ms_corners GROUP BY 1, 2 HAVING SUM(b) <> 15
+    ),
+    ms_case_table(cse, ox1, oy1, ox2, oy2) AS (VALUES {cases}),
+    ms_segments AS (
+      SELECT 2 * c.cx + t.ox1 AS x1, 2 * c.cy + t.oy1 AS y1,
+             2 * c.cx + t.ox2 AS x2, 2 * c.cy + t.oy2 AS y2
+      FROM ms_cells c JOIN ms_case_table t USING (cse)
+    )
+    """
+
+
 def merc_px_py(lat: float, lon: float, zp: int) -> tuple[float, float]:
     """CONTINUOUS web-mercator pixel coordinates at pixel-zoom ``zp``
     (tile_xy_py without the floor): the coordinate frame polygon

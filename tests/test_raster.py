@@ -343,3 +343,119 @@ def test_box_blur_sql_twin_matches(spark):
         gy = ((row["tile_id"] & ((1 << z) - 1)) << p) | row["py"]
         got[(gx, gy)] = row["n"]
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# marching-squares contour (contour_segments)
+
+
+def _ms_reference(inside_nodes: set, table=None) -> set:
+    """Brute-force midpoint marching squares over a node set — enumerates
+    every touched cell and applies the case table by hand."""
+    from activity_files_spark.operators.raster import _MS_CASES
+
+    lut: dict = {}
+    for c, a, b, x2, y2 in _MS_CASES:
+        lut.setdefault(c, []).append((a, b, x2, y2))
+    cells = {
+        (x + dx, y + dy)
+        for (x, y) in inside_nodes
+        for dx, dy in ((0, 0), (-1, 0), (0, -1), (-1, -1))
+    }
+    segs = set()
+    for cx, cy in cells:
+        cse = (
+            (1 if (cx, cy) in inside_nodes else 0)
+            | (2 if (cx + 1, cy) in inside_nodes else 0)
+            | (4 if (cx, cy + 1) in inside_nodes else 0)
+            | (8 if (cx + 1, cy + 1) in inside_nodes else 0)
+        )
+        if cse in (0, 15):
+            continue
+        for a, b, x2, y2 in lut[cse]:
+            segs.add((2 * cx + a, 2 * cy + b, 2 * cx + x2, 2 * cy + y2))
+    return segs
+
+
+def _sparse_df(spark, pts: dict, z: int, p: int):
+    rows = [
+        (((gx >> p) << z) | (gy >> p), gx & ((1 << p) - 1), gy & ((1 << p) - 1), n)
+        for (gx, gy), n in pts.items()
+    ]
+    return spark.createDataFrame(rows, "tile_id long, px int, py int, n long")
+
+
+def test_contour_single_node_diamond(spark):
+    from activity_files_spark.operators.raster import contour_segments
+
+    z, p = 4, 3
+    sdf = _sparse_df(spark, {(5, 5): 1}, z, p)
+    got = {(r.x1, r.y1, r.x2, r.y2) for r in contour_segments(sdf, z=z, p=p).collect()}
+    assert got == {(10, 11, 11, 10), (9, 10, 10, 11), (10, 9, 11, 10), (9, 10, 10, 9)}
+
+
+def test_contour_fuzz_vs_reference_and_closure(spark):
+    from activity_files_spark.operators.raster import contour_segments
+
+    z, p = 4, 3
+    rng = np.random.default_rng(11)
+    # includes nodes at gx=0 / gy=0 so edge cells (cx = -1) are exercised,
+    # plus duplicated tiles and a sub-threshold pixel
+    pts = {}
+    for x, y in rng.integers(0, 40, size=(60, 2)):
+        pts[(int(x), int(y))] = int(rng.integers(1, 4))
+    pts[(0, 0)] = 2
+    pts[(3, 3)] = 1  # below threshold=2: must count as OUTSIDE
+    sdf = _sparse_df(spark, pts, z, p)
+    got = {
+        (r.x1, r.y1, r.x2, r.y2)
+        for r in contour_segments(sdf, z=z, p=p, threshold=2).collect()
+    }
+    inside = {k for k, n in pts.items() if n >= 2}
+    assert got == _ms_reference(inside)
+    # topology: midpoint marching squares always closes its loops — every
+    # doubled-coordinate vertex has even degree
+    from collections import Counter
+
+    deg: Counter = Counter()
+    for x1, y1, x2, y2 in got:
+        deg[(x1, y1)] += 1
+        deg[(x2, y2)] += 1
+    assert all(d % 2 == 0 for d in deg.values())
+
+
+def test_contour_sql_twin_matches(spark):
+    import duckdb
+
+    from activity_files_spark.operators.raster import (
+        contour_segments,
+        contour_segments_sql,
+    )
+
+    z, p = 4, 3
+    rng = np.random.default_rng(23)
+    pts = {
+        (int(x), int(y)): int(n)
+        for x, y, n in zip(
+            rng.integers(0, 30, 40), rng.integers(0, 30, 40), rng.integers(1, 3, 40)
+        )
+    }
+    gdf = pd.DataFrame(
+        [(gx, gy, n) for (gx, gy), n in pts.items()], columns=["gx", "gy", "n"]
+    )
+    body = contour_segments_sql("g", threshold=2)
+    exp = set(
+        map(
+            tuple,
+            duckdb.sql(
+                f"WITH g AS (SELECT * FROM gdf),\n{body}\n"
+                "SELECT x1, y1, x2, y2 FROM ms_segments"
+            ).fetchall(),
+        )
+    )
+    sdf = _sparse_df(spark, pts, z, p)
+    got = {
+        (r.x1, r.y1, r.x2, r.y2)
+        for r in contour_segments(sdf, z=z, p=p, threshold=2).collect()
+    }
+    assert got == exp
