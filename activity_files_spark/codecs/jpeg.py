@@ -59,6 +59,9 @@ ZIGZAG = np.array(
     ],
     dtype=np.int64,
 )
+# inverse permutation: row-major coefficient index -> zigzag scan position
+INV_ZIGZAG = np.argsort(ZIGZAG)
+INV_ZIGZAG.flags.writeable = False
 
 # Annex K.1 / K.2 base quantization tables (row-major).
 QUANT_LUMA = np.array(
@@ -239,8 +242,10 @@ def _unblockify(blocks: np.ndarray, bh: int, bw: int) -> np.ndarray:
 
 # --------------------------------------------------------------- huffman
 
+@lru_cache(maxsize=64)
 def _canonical_codes(bits, values):
-    """T.81 C.2: (codes uint32[256], lens uint8[256]) indexed by symbol."""
+    """T.81 C.2: (codes uint32[256], lens uint8[256]) indexed by symbol.
+    Cached by the spec tuples (read-only results shared by cache hits)."""
     codes = np.zeros(256, dtype=np.uint32)
     lens = np.zeros(256, dtype=np.uint8)
     code = 0
@@ -253,12 +258,20 @@ def _canonical_codes(bits, values):
             code += 1
             k += 1
         code <<= 1
+    codes.flags.writeable = False
+    lens.flags.writeable = False
     return codes, lens
 
 
-@lru_cache(maxsize=32)
+@lru_cache(maxsize=64)
 def _decode_lut(key: tuple) -> np.ndarray:
-    """16-bit prefix LUT: next16 -> (length << 8) | symbol; 0 = invalid."""
+    """16-bit prefix LUT: next16 -> (length << 8) | symbol; 0 = invalid.
+
+    Cached by the (bits, values) tuples themselves: a corpus encoded with
+    one table set (the common case — every baseline encoder ships the
+    K.3/K.5 defaults) builds each 64K LUT once per process instead of
+    once per image. The returned array is marked read-only because cache
+    hits share it."""
     bits, values = key
     lut = np.zeros(1 << 16, dtype=np.uint16)
     code = 0
@@ -271,6 +284,7 @@ def _decode_lut(key: tuple) -> np.ndarray:
             code += 1
             k += 1
         code <<= 1
+    lut.flags.writeable = False
     return lut
 
 
@@ -289,6 +303,28 @@ def _component_geometry(h: int, w: int, samplings):
     my = -(-h // (8 * vmax))
     geo = [(my * sv, mx * sh, sh, sv) for sh, sv in samplings]
     return geo, my, mx
+
+
+@lru_cache(maxsize=256)
+def _geometry_plan(h: int, w: int, samplings: tuple):
+    """Everything decode_jpeg derives from (h, w, samplings) alone, cached:
+    component geometry, per-component stream→raster permutations, and the
+    per-MCU component plan. A corpus of same-shaped images (every batch
+    pipeline) pays the arange/argsort setup once per shape per process."""
+    geo, my, mx = _component_geometry(h, w, samplings)
+    sidx, blocks_per_mcu = _stream_indices(geo, mx)
+    perms = []
+    for sx in sidx:
+        sx.flags.writeable = False
+        perm = np.argsort(sx, kind="stable")
+        perm.flags.writeable = False
+        perms.append(perm)
+    mcu_plan: list[int] = []
+    for ci, (sh, sv) in enumerate(samplings):
+        mcu_plan.extend([ci] * (sh * sv))
+    mcu_plan_arr = np.asarray(mcu_plan, dtype=np.int32)
+    mcu_plan_arr.flags.writeable = False
+    return geo, my, mx, tuple(sidx), perms, mcu_plan_arr, blocks_per_mcu
 
 
 def _stream_indices(geo, mx):
@@ -429,8 +465,9 @@ def encode_jpeg(
         planes = [y, cb, cr]
         samplings = [(1, 1)] * 3
 
-    geo, my, mx = _component_geometry(h, w, samplings)
-    sidx, blocks_per_mcu = _stream_indices(geo, mx)
+    geo, my, mx, sidx, _perms, _plan, blocks_per_mcu = _geometry_plan(
+        h, w, tuple(samplings)
+    )
     qluma = quant_table(QUANT_LUMA, quality)
     qchroma = quant_table(QUANT_CHROMA, quality)
     qtabs = [qluma, qchroma, qchroma]
@@ -744,6 +781,16 @@ _CHASE_ERRORS = {
 }
 
 
+@lru_cache(maxsize=8)
+def _ptr_types(nc: int):
+    """ctypes pointer + pointer-array types for an nc-component call —
+    building the array TYPE (PU16 * nc) per decode is measurable overhead;
+    the types are pure functions of nc."""
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    pu16 = ctypes.POINTER(ctypes.c_uint16)
+    return p64, pu16, p64 * nc, pu16 * nc
+
+
 def _decode_segment_native(lib, unstuffed, comps, total_bits, luts, zz_arrays,
                            fill_pos):
     """Run one restart segment through the compiled kernel: the C walk
@@ -755,18 +802,17 @@ def _decode_segment_native(lib, unstuffed, comps, total_bits, luts, zz_arrays,
     comps_arr = np.ascontiguousarray(comps, dtype=np.int32)
     fp = np.asarray(fill_pos, dtype=np.int64)
     caps = np.asarray([z.shape[0] for z in zz_arrays], dtype=np.int64)
-    P64 = ctypes.POINTER(ctypes.c_int64)
-    PU16 = ctypes.POINTER(ctypes.c_uint16)
+    P64, PU16, P64_N, PU16_N = _ptr_types(nc)
     rc = lib.afs_decode_seg(
         ctypes.cast(ctypes.c_char_p(bits), ctypes.POINTER(ctypes.c_uint8)),
         total_bits,
         comps_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         len(comps_arr),
-        (PU16 * nc)(*[d.ctypes.data_as(PU16) for d, _ in luts]),
-        (PU16 * nc)(*[a.ctypes.data_as(PU16) for _, a in luts]),
+        PU16_N(*[d.ctypes.data_as(PU16) for d, _ in luts]),
+        PU16_N(*[a.ctypes.data_as(PU16) for _, a in luts]),
         fp.ctypes.data_as(P64),
         caps.ctypes.data_as(P64),
-        (P64 * nc)(*[z.ctypes.data_as(P64) for z in zz_arrays]),
+        P64_N(*[z.ctypes.data_as(P64) for z in zz_arrays]),
     )
     if rc < 0:
         raise _Corrupt(_CHASE_ERRORS[int(rc)])
@@ -830,14 +876,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if nc not in (1, 3):
         raise NotImplementedError(f"{nc}-component JPEG")
     samplings = [(sh, sv) for _, sh, sv, _ in comps]
-    geo, my, mx = _component_geometry(h, w, samplings)
-    sidx, blocks_per_mcu = _stream_indices(geo, mx)
-
-    # scan plan: component index of every block within one MCU, in order
-    mcu_plan: list[int] = []
-    for ci, (sh, sv) in enumerate(samplings):
-        mcu_plan.extend([ci] * (sh * sv))
-    mcu_plan_arr = np.asarray(mcu_plan, dtype=np.int32)
+    geo, my, mx, _sidx, perms, mcu_plan_arr, blocks_per_mcu = _geometry_plan(
+        h, w, tuple(samplings)
+    )
     nmcu = my * mx
 
     luts = []
@@ -883,17 +924,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     hmax = max(sh for sh, _ in samplings)
     vmax = max(sv for _, sv in samplings)
     planes = []
-    for ci, ((bh, bw, sh, sv), zz, sx) in enumerate(zip(geo, zz_arrays, sidx)):
+    for ci, ((bh, bw, sh, sv), zz, perm) in enumerate(zip(geo, zz_arrays, perms)):
         # blocks were filled in stream order; map back to raster order
-        perm = np.argsort(sx, kind="stable")
         raster = np.empty_like(zz)
         raster[perm] = zz[: bh * bw]
         qid = comps[ci][3]
         if qid not in st["qt"]:
             raise _Corrupt("missing quant table")
-        coef = np.zeros((bh * bw, 64), dtype=np.float64)
-        coef[:, ZIGZAG] = raster * st["qt"][qid][ZIGZAG]
-        coef = coef.reshape(-1, 8, 8)
+        # dequantize in zigzag order, then un-zigzag as ONE gather (the
+        # inverse permutation of the scatter coef[:, ZIGZAG] = dq —
+        # identical values, no zero-fill pass)
+        dq = raster * st["qt"][qid][ZIGZAG]
+        coef = dq[:, INV_ZIGZAG].astype(np.float64).reshape(-1, 8, 8)
         spat = _DCT8.T @ coef @ _DCT8
         spat += 128.0
         np.rint(spat, out=spat)
