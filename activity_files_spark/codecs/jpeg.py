@@ -305,7 +305,7 @@ def _component_geometry(h: int, w: int, samplings):
     return geo, my, mx
 
 
-@lru_cache(maxsize=256)
+@lru_cache(maxsize=64)
 def _geometry_plan(h: int, w: int, samplings: tuple):
     """Everything decode_jpeg derives from (h, w, samplings) alone, cached:
     component geometry, per-component stream→raster permutations, and the
