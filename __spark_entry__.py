@@ -723,6 +723,92 @@ def _route_cell_cover_sql() -> str:
     """
 
 
+CROSS_USER_MOD = 10  # route-crossing decile cap: crossings on the synthetic
+# grid are inherently quadratic in routes compared (every trajectory shares
+# the same 0.5-degree box), so the driver query mines one user decile —
+# the same capping discipline as the ANN query collect cap
+
+
+def route_crossings_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Crosses as a corpus join (operators/crossings.py): properly-
+    intersecting segment pairs across different users' trajectories,
+    rolled up per user pair. Endpoints snap to the z14+q8 integer lattice
+    (the supercover transform), the candidate join is cover-cell equi-join
+    with bare ids through the distinct exchange, and the refine is the
+    strict double-straddle orientation predicate in exact BIGINT — the
+    oracle replays the predicate verbatim over brute pairs."""
+    from activity_files_spark.functions.quadkey import tile_xy_col
+    from activity_files_spark.operators.crossings import segment_crossings
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .where((F.col("user_id") % CROSS_USER_MOD) == 0)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            _lat_col().alias("lat"),
+            _lon_col().alias("lon"),
+        )
+    )
+    px, py = tile_xy_col(F.col("lat"), F.col("lon"), COVER_Z + COVER_Q)
+    pts = ev.select("user_id", "event_id", "ts", px.alias("x1"), py.alias("y1"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    segs = pts.select(
+        "user_id",
+        (F.row_number().over(w) - 1).alias("seq"),
+        F.lag("x1").over(w).alias("x0"),
+        F.lag("y1").over(w).alias("y0"),
+        "x1",
+        "y1",
+    ).where(F.col("x0").isNotNull())
+    pairs = segment_crossings(segs, q=COVER_Q, key="user_id", seq="seq")
+    return (
+        pairs.groupBy(
+            F.col("key_a").alias("user_a"), F.col("key_b").alias("user_b")
+        )
+        .agg(
+            F.count("*").alias("n_crossings"),
+            F.sum(F.col("seq_a") + F.col("seq_b")).alias("seq_checksum"),
+        )
+        .orderBy("user_a", "user_b")
+    )
+
+
+def _route_crossings_sql() -> str:
+    from activity_files_spark.functions.quadkey import tile_xy_sql
+    from activity_files_spark.operators.crossings import proper_cross_sql
+
+    x, y = tile_xy_sql("lat", "lon", COVER_Z + COVER_Q)
+    pred = proper_cross_sql(
+        ("a.x0", "a.y0"), ("a.x1", "a.y1"), ("b.x0", "b.y0"), ("b.x1", "b.y1")
+    )
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events WHERE user_id % {CROSS_USER_MOD} = 0
+    ), px AS (
+      SELECT user_id, event_id, ts, {x} AS x1, {y} AS y1 FROM pts
+    ), segs AS (
+      SELECT * FROM (
+        SELECT user_id AS key,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+                 AS seq,
+               LAG(x1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x0,
+               LAG(y1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y0,
+               x1, y1
+        FROM px
+      ) t WHERE x0 IS NOT NULL
+    )
+    SELECT a.key AS user_a, b.key AS user_b,
+           COUNT(*) AS n_crossings,
+           SUM(a.seq + b.seq) AS seq_checksum
+    FROM segs a JOIN segs b ON a.key < b.key AND {pred}
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 SP_Z = 12  # shortest-path cell zoom
 SP_ROUNDS = 14  # >= max node count - 1 at the smallest tier, so settled holds everywhere
 
@@ -5326,6 +5412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_cells": geohash_cells,
         "s2_cells_events": s2_cells_events,
         "route_cell_cover_events": route_cell_cover_events,
+        "route_crossings_pairs": route_crossings_pairs,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -5420,6 +5507,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_cells": _geohash_cells_sql(),
         "s2_cells_events": _s2_cells_sql(),
         "route_cell_cover_events": _route_cell_cover_sql(),
+        "route_crossings_pairs": _route_crossings_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),

@@ -1,0 +1,103 @@
+"""Route-crossing join (operators/crossings.py): cover-join + strict
+integer refine vs the O(n^2) definitional oracle, plus predicate twins."""
+
+import random
+
+import duckdb
+
+from activity_files_spark.operators.crossings import (
+    crossings_brute_py,
+    proper_cross_py,
+    proper_cross_sql,
+    segment_crossings,
+)
+
+Q = 4  # 16 subunits/cell — small cells so covers actually collide
+
+
+def _random_routes(n_routes, pts_per_route, seed, span=120):
+    """Random-walk routes on the integer lattice; returns segment rows
+    (key, seq, x0, y0, x1, y1)."""
+    rng = random.Random(seed)
+    segs = []
+    for k in range(n_routes):
+        x, y = rng.randint(-span, span), rng.randint(-span, span)
+        for s in range(pts_per_route):
+            nx = x + rng.randint(-40, 40)
+            ny = y + rng.randint(-40, 40)
+            segs.append((f"r{k}", s, x, y, nx, ny))
+            x, y = nx, ny
+    return segs
+
+
+def test_predicate_hand_cases():
+    # X crossing
+    assert proper_cross_py((0, 0), (10, 10), (0, 10), (10, 0))
+    # parallel
+    assert not proper_cross_py((0, 0), (10, 0), (0, 5), (10, 5))
+    # T-touch (endpoint ON the other segment) is NOT a proper crossing
+    assert not proper_cross_py((0, 0), (10, 0), (5, 0), (5, 10))
+    # collinear overlap excluded
+    assert not proper_cross_py((0, 0), (10, 0), (5, 0), (15, 0))
+    # shared endpoint excluded
+    assert not proper_cross_py((0, 0), (10, 10), (10, 10), (20, 0))
+    # degenerate zero-length never crosses
+    assert not proper_cross_py((5, 5), (5, 5), (0, 0), (10, 10))
+
+
+def test_sql_predicate_twin_matches_python():
+    rng = random.Random(7)
+    rows = [
+        tuple(rng.randint(-30, 30) for _ in range(8)) for _ in range(4000)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(px BIGINT, py BIGINT, qx BIGINT, qy BIGINT,"
+        " ax BIGINT, ay BIGINT, bx BIGINT, by BIGINT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?,?,?,?)", rows)
+    pred = proper_cross_sql(
+        ("px", "py"), ("qx", "qy"), ("ax", "ay"), ("bx", "by")
+    )
+    got = [r[0] for r in con.execute(f"SELECT {pred} FROM t").fetchall()]
+    want = [
+        proper_cross_py((r[0], r[1]), (r[2], r[3]), (r[4], r[5]), (r[6], r[7]))
+        for r in rows
+    ]
+    assert got == want
+
+
+def test_pipeline_matches_brute(spark):
+    segs = _random_routes(6, 18, seed=11)
+    df = spark.createDataFrame(
+        segs, "key string, seq long, x0 long, y0 long, x1 long, y1 long"
+    )
+    got = {
+        tuple(r)
+        for r in segment_crossings(df, q=Q).collect()
+    }
+    want = crossings_brute_py(segs)
+    assert got == want
+    assert want  # the walk actually produces crossings
+
+
+def test_pipeline_partitioning_invariant(spark):
+    segs = _random_routes(5, 12, seed=23)
+    df = spark.createDataFrame(
+        segs, "key string, seq long, x0 long, y0 long, x1 long, y1 long"
+    )
+    a = sorted(tuple(r) for r in segment_crossings(df, q=Q).collect())
+    b = sorted(
+        tuple(r)
+        for r in segment_crossings(df.repartition(13), q=Q).collect()
+    )
+    assert a == b
+
+
+def test_same_route_pairs_excluded(spark):
+    # a self-intersecting single route yields nothing (cross-route only)
+    segs = [("r0", 0, 0, 0, 10, 10), ("r0", 1, 0, 10, 10, 0)]
+    df = spark.createDataFrame(
+        segs, "key string, seq long, x0 long, y0 long, x1 long, y1 long"
+    )
+    assert segment_crossings(df, q=Q).count() == 0
