@@ -809,6 +809,71 @@ def _route_crossings_sql() -> str:
     """
 
 
+QC_Z0 = 4  # region-coverer start zoom (16x16 world grid)
+QC_ZMAX = 12  # region-coverer finest zoom; rects are cell ranges here
+
+
+def _qc_rects(nation: DataFrame) -> DataFrame:
+    """Deterministic cell-aligned geofence rects derived from nation keys —
+    mixed sizes so the mixed-level cover actually mixes levels."""
+    k = F.col("n_nationkey").cast("long")
+    ax = (k * 937) % 3500
+    ay = (k * 541) % 3500
+    return nation.select(
+        k.alias("region_id"),
+        ax.alias("ax"),
+        ay.alias("ay"),
+        (ax + 17 + (k * 131) % 500).alias("bx"),
+        (ay + 17 + (k * 277) % 500).alias("by"),
+    )
+
+
+def region_cover_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical region coverer (operators/coverer.py): the S2/H3
+    "region cover" primitive — each geofence rect decomposes into the
+    minimal MIXED-level quadtree cell set (coarse cells in the interior,
+    fine cells along the boundary), the range predicates a cell-indexed
+    scan pushes down. Unrolled BFS, one lazy plan, explodes + filters
+    only; the oracle replays the subdivision level by level."""
+    from activity_files_spark.operators.coverer import region_quad_cover
+
+    rects = _qc_rects(_read(spark, sf_dir, "nation"))
+    cover = region_quad_cover(rects, QC_Z0, QC_ZMAX, key="region_id")
+    packed = F.col("cx") * F.lit(1 << QC_ZMAX) + F.col("cy")
+    return (
+        cover.groupBy(F.col("key").alias("region_id"), "level")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(packed).alias("cell_checksum"),
+            F.min(packed).alias("min_cell"),
+        )
+        .orderBy("region_id", "level")
+    )
+
+
+def _region_cover_sql() -> str:
+    from activity_files_spark.operators.coverer import region_quad_cover_sql
+
+    body, final = region_quad_cover_sql("rects", QC_Z0, QC_ZMAX, key="region_id")
+    return f"""
+    WITH rects AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS region_id,
+             (CAST(n_nationkey AS BIGINT) * 937) % 3500 AS ax,
+             (CAST(n_nationkey AS BIGINT) * 541) % 3500 AS ay,
+             (CAST(n_nationkey AS BIGINT) * 937) % 3500
+               + 17 + (CAST(n_nationkey AS BIGINT) * 131) % 500 AS bx,
+             (CAST(n_nationkey AS BIGINT) * 541) % 3500
+               + 17 + (CAST(n_nationkey AS BIGINT) * 277) % 500 AS by
+      FROM nation
+    ),
+    {body}
+    SELECT key AS region_id, level, COUNT(*) AS n_cells,
+           SUM(cx * {1 << QC_ZMAX} + cy) AS cell_checksum,
+           MIN(cx * {1 << QC_ZMAX} + cy) AS min_cell
+    FROM {final} GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
 SP_Z = 12  # shortest-path cell zoom
 SP_ROUNDS = 14  # >= max node count - 1 at the smallest tier, so settled holds everywhere
 
@@ -5413,6 +5478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells_events": s2_cells_events,
         "route_cell_cover_events": route_cell_cover_events,
         "route_crossings_pairs": route_crossings_pairs,
+        "region_cover_cells": region_cover_cells,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -5508,6 +5574,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_cells_events": _s2_cells_sql(),
         "route_cell_cover_events": _route_cell_cover_sql(),
         "route_crossings_pairs": _route_crossings_sql(),
+        "region_cover_cells": _region_cover_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),
