@@ -809,6 +809,80 @@ def _route_crossings_sql() -> str:
     """
 
 
+DENSIFY_K = 256  # densify spacing: 256 subunits = one z14 cell per step
+
+
+def densify_track_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Segmentize (operators/densify.py): per-segment geometric
+    subdivision so no step exceeds one z14 cell. Split counts are pure
+    integers on the mercator lattice (a haversine-derived ceil would flip
+    on a 1-ulp trig divergence); the lerp is the identical IEEE tree in
+    both engines, so interpolated coordinates hash-gate bit-for-bit."""
+    from activity_files_spark.functions.quadkey import tile_xy_col
+    from activity_files_spark.operators.densify import densify_tracks
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    px, py = tile_xy_col(F.col("lat"), F.col("lon"), COVER_Z + COVER_Q)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = ev.select(
+        F.col("user_id").alias("key"),
+        (F.row_number().over(w) - 1).alias("seq"),
+        "lat",
+        "lon",
+        px.alias("x"),
+        py.alias("y"),
+    )
+    dense = densify_tracks(pts, DENSIFY_K, key="key")
+    return (
+        dense.groupBy(F.col("key").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.when(F.col("i") > 0, 1).otherwise(0)).alias("n_inserted"),
+            F.max("n").alias("max_splits"),
+            # NOT round(x,6): the lerp lands on exact .5e-6 ties where
+            # Spark (BigDecimal HALF_UP) and DuckDB (multiply+rint) disagree;
+            # floor of the bit-identical double is a pure function of its bits
+            F.sum(F.floor(F.col("lat") * F.lit(1000000.0)).cast("long")).alias(
+                "lat_sum_u6"
+            ),
+            F.sum(F.floor(F.col("lon") * F.lit(1000000.0)).cast("long")).alias(
+                "lon_sum_u6"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _densify_sql() -> str:
+    from activity_files_spark.functions.quadkey import tile_xy_sql
+    from activity_files_spark.operators.densify import densify_sql
+
+    x, y = tile_xy_sql("lat", "lon", COVER_Z + COVER_Q)
+    body, final = densify_sql("dpts", DENSIFY_K, key="key")
+    return f"""
+    WITH dev AS (
+      SELECT user_id, event_id, ts,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ), dpts AS (
+      SELECT user_id AS key,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS seq,
+             lat, lon, {x} AS x, {y} AS y
+      FROM dev
+    ),
+    {body}
+    SELECT key AS user_id, COUNT(*) AS n_points,
+           SUM(CASE WHEN i > 0 THEN 1 ELSE 0 END) AS n_inserted,
+           MAX(n) AS max_splits,
+           SUM(CAST(FLOOR(lat * 1000000.0) AS BIGINT)) AS lat_sum_u6,
+           SUM(CAST(FLOOR(lon * 1000000.0) AS BIGINT)) AS lon_sum_u6
+    FROM {final} GROUP BY 1 ORDER BY 1
+    """
+
+
 QC_Z0 = 4  # region-coverer start zoom (16x16 world grid)
 QC_ZMAX = 12  # region-coverer finest zoom; rects are cell ranges here
 
@@ -5479,6 +5553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_cell_cover_events": route_cell_cover_events,
         "route_crossings_pairs": route_crossings_pairs,
         "region_cover_cells": region_cover_cells,
+        "densify_track_points": densify_track_points,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -5575,6 +5650,7 @@ def oracle_sql() -> dict[str, str]:
         "route_cell_cover_events": _route_cell_cover_sql(),
         "route_crossings_pairs": _route_crossings_sql(),
         "region_cover_cells": _region_cover_sql(),
+        "densify_track_points": _densify_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),
