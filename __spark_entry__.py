@@ -883,6 +883,49 @@ def _densify_sql() -> str:
     """
 
 
+MORAN_Z = 14  # Moran's I raster zoom: ~23x23 observed cells on the synthetic
+# grid keeps every integer term of the expansion far inside BIGINT
+
+
+def morans_i_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global spatial autocorrelation (operators/autocorr.py): Moran's I
+    over the z14 cell counts — queen contiguity, exact integer expansion
+    (N²P - 2NST + WS²) / (W(N·SS - S²)), one final int→double division,
+    so the statistic itself hash-gates bit-for-bit."""
+    from activity_files_spark.functions.quadkey import tile_xy_col
+    from activity_files_spark.operators.autocorr import morans_i
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    cx, cy = tile_xy_col(F.col("lat"), F.col("lon"), MORAN_Z)
+    cells = (
+        ev.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("x"))
+    )
+    return morans_i(cells)
+
+
+def _morans_i_sql() -> str:
+    from activity_files_spark.functions.quadkey import tile_xy_sql
+    from activity_files_spark.operators.autocorr import morans_i_sql
+
+    x, y = tile_xy_sql("lat", "lon", MORAN_Z)
+    body = morans_i_sql("macells")
+    return f"""
+    WITH maev AS (
+      SELECT event_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ), macells AS (
+      SELECT {x} AS cx, {y} AS cy, COUNT(*) AS x
+      FROM maev GROUP BY 1, 2
+    ),
+    {body}
+    SELECT * FROM morans
+    """
+
+
 QC_Z0 = 4  # region-coverer start zoom (16x16 world grid)
 QC_ZMAX = 12  # region-coverer finest zoom; rects are cell ranges here
 
@@ -5554,6 +5597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_crossings_pairs": route_crossings_pairs,
         "region_cover_cells": region_cover_cells,
         "densify_track_points": densify_track_points,
+        "morans_i_cells": morans_i_cells,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -5651,6 +5695,7 @@ def oracle_sql() -> dict[str, str]:
         "route_crossings_pairs": _route_crossings_sql(),
         "region_cover_cells": _region_cover_sql(),
         "densify_track_points": _densify_sql(),
+        "morans_i_cells": _morans_i_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),

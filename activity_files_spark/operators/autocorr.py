@@ -1,0 +1,164 @@
+"""Global spatial autocorrelation (Moran's I) over a cell raster — the
+"is this hot-spot map clustered or noise" statistic every geospatial
+warehouse ships (PostGIS/GeoDa/esda `Moran`), here as one relational
+pass over the observed cells.
+
+Definition (queen contiguity over OBSERVED cells, the esda default when
+fed a lattice): with x_i the per-cell count, mu = S/N, w_ij = 1 iff cells
+i != j are 8-adjacent AND both observed,
+
+    I = (N / W) * sum_ij w_ij (x_i-mu)(x_j-mu) / sum_i (x_i-mu)^2
+
+Exactness design: expanding the centered products gives
+
+    I = (N^2 P - 2 N S T + W S^2) / (W * (N SS - S^2))
+
+with ONLY integer terms: N cells, W ordered adjacent pairs,
+S = sum x, SS = sum x^2, P = sum_ij w_ij x_i x_j, T = sum_i deg_i x_i.
+Both engines aggregate exact BIGINTs and perform ONE final int->double
+division — no order-dependent float sums anywhere, so the statistic
+hash-gates bit-for-bit.  (BIGINT bounds: N^2 P is the largest term;
+at 2^63 that allows ~10^4 cells with ~10^3 counts — the per-rollup tier
+this query runs on.  A 10^12-point corpus first rolls up to the same
+bounded cell raster, or swaps the arithmetic to DECIMAL(38,0), which
+both engines support with identical integer semantics.)
+
+Scale shape: one groupBy(cell) rollup (map-side combined), one 8-way
+offset explode, one self-equi-join on cell id, two single-row aggregates
+combined on a literal key — no cartesian, no window, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+
+
+def morans_i(cells: DataFrame) -> DataFrame:
+    """One-row Moran's I over ``cells`` = (cx, cy, x) with BIGINT count x.
+
+    Returns (n_cells, w_pairs, num, den, morans_i): exact integer
+    numerator/denominator of the expanded formula plus their quotient.
+    """
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _OFFSETS
+        ]
+    )
+    probes = cells.select(
+        "cx", "cy", F.col("x").alias("xi"), F.explode(offs).alias("o")
+    ).select(
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        "xi",
+    )
+    adj = probes.join(
+        cells.select("cx", "cy", F.col("x").alias("xj")), ["cx", "cy"]
+    )
+    # ONE aggregation over a tagged union — joining two single-row
+    # aggregates instead constant-folds the literal key and plans a
+    # BroadcastNestedLoopJoin, tripping the plan-lint gate
+    tagged = cells.select(
+        F.lit(0).alias("kind"),
+        F.col("x").alias("xi"),
+        F.lit(None).cast("long").alias("xj"),
+    ).unionByName(
+        adj.select(F.lit(1).alias("kind"), "xi", "xj")
+    )
+    is_cell = F.col("kind") == 0
+    is_pair = F.col("kind") == 1
+    j = tagged.agg(
+        F.count(F.when(is_cell, 1)).alias("n_cells"),
+        F.sum(F.when(is_cell, F.col("xi"))).alias("s_sum"),
+        F.sum(F.when(is_cell, F.col("xi") * F.col("xi"))).alias("ss_sum"),
+        F.count(F.when(is_pair, 1)).alias("w_pairs"),
+        F.sum(F.when(is_pair, F.col("xi") * F.col("xj"))).alias("p_sum"),
+        F.sum(F.when(is_pair, F.col("xi"))).alias("t_sum"),
+    )
+    num = (
+        F.col("n_cells") * F.col("n_cells") * F.col("p_sum")
+        - F.lit(2) * F.col("n_cells") * F.col("s_sum") * F.col("t_sum")
+        + F.col("w_pairs") * F.col("s_sum") * F.col("s_sum")
+    )
+    den = F.col("w_pairs") * (
+        F.col("n_cells") * F.col("ss_sum") - F.col("s_sum") * F.col("s_sum")
+    )
+    return j.select(
+        "n_cells",
+        "w_pairs",
+        num.alias("num"),
+        den.alias("den"),
+        (num.cast("double") / den.cast("double")).alias("morans_i"),
+    )
+
+
+def morans_i_py(cells: dict[tuple[int, int], int]) -> dict:
+    """Pure-python twin (tests): same integer expansion."""
+    n = len(cells)
+    s = sum(cells.values())
+    ss = sum(v * v for v in cells.values())
+    w = p = t = 0
+    for (cx, cy), xi in cells.items():
+        for dx, dy in _OFFSETS:
+            xj = cells.get((cx + dx, cy + dy))
+            if xj is not None:
+                w += 1
+                p += xi * xj
+                t += xi
+    num = n * n * p - 2 * n * s * t + w * s * s
+    den = w * (n * ss - s * s)
+    return {
+        "n_cells": n,
+        "w_pairs": w,
+        "num": num,
+        "den": den,
+        "morans_i": num / den if den else None,
+    }
+
+
+def morans_i_definitional_py(cells: dict[tuple[int, int], int]) -> float:
+    """Textbook float definition (tests only): centered double sums."""
+    n = len(cells)
+    mu = sum(cells.values()) / n
+    w = 0
+    cross = 0.0
+    for (cx, cy), xi in cells.items():
+        for dx, dy in _OFFSETS:
+            xj = cells.get((cx + dx, cy + dy))
+            if xj is not None:
+                w += 1
+                cross += (xi - mu) * (xj - mu)
+    d = sum((v - mu) ** 2 for v in cells.values())
+    return (n / w) * cross / d
+
+
+def morans_i_sql(cells_cte: str) -> str:
+    """DuckDB twin over ``cells_cte`` exposing (cx, cy, x)."""
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _OFFSETS)
+    return f"""maoff AS (
+      SELECT * FROM (VALUES {offs}) AS o(dx, dy)
+    ), maprobe AS (
+      SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy, c.x AS xi
+      FROM {cells_cte} c, maoff o
+    ), maadj AS (
+      SELECT p.xi, c.x AS xj
+      FROM maprobe p JOIN {cells_cte} c ON p.cx = c.cx AND p.cy = c.cy
+    ), mapair AS (
+      SELECT COUNT(*) AS w_pairs, SUM(xi * xj) AS p_sum, SUM(xi) AS t_sum
+      FROM maadj
+    ), mabase AS (
+      SELECT COUNT(*) AS n_cells, SUM(x) AS s_sum, SUM(x * x) AS ss_sum
+      FROM {cells_cte}
+    ), morans AS (
+      SELECT n_cells, w_pairs,
+             n_cells*n_cells*p_sum - 2*n_cells*s_sum*t_sum
+               + w_pairs*s_sum*s_sum AS num,
+             w_pairs * (n_cells*ss_sum - s_sum*s_sum) AS den,
+             CAST(n_cells*n_cells*p_sum - 2*n_cells*s_sum*t_sum
+               + w_pairs*s_sum*s_sum AS DOUBLE)
+               / CAST(w_pairs * (n_cells*ss_sum - s_sum*s_sum) AS DOUBLE)
+               AS morans_i
+      FROM mabase, mapair
+    )"""
