@@ -926,6 +926,45 @@ def _morans_i_sql() -> str:
     """
 
 
+def gi_star_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot analysis (operators/autocorr.py): per-z14-cell
+    z-scores of the queen+self neighborhood sum — the LOCAL companion of
+    morans_i_cells. Every term under the sqrt is exact BIGINT; the float
+    tail is one fixed expression tree, so z-scores hash-gate bit-for-bit."""
+    from activity_files_spark.functions.quadkey import tile_xy_col
+    from activity_files_spark.operators.autocorr import getis_ord_gi_star
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    cx, cy = tile_xy_col(F.col("lat"), F.col("lon"), MORAN_Z)
+    cells = (
+        ev.select(cx.alias("cx"), cy.alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("x"))
+    )
+    return getis_ord_gi_star(cells).orderBy("cx", "cy")
+
+
+def _gi_star_sql() -> str:
+    from activity_files_spark.functions.quadkey import tile_xy_sql
+    from activity_files_spark.operators.autocorr import getis_ord_gi_star_sql
+
+    x, y = tile_xy_sql("lat", "lon", MORAN_Z)
+    body = getis_ord_gi_star_sql("macells")
+    return f"""
+    WITH maev AS (
+      SELECT event_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ), macells AS (
+      SELECT {x} AS cx, {y} AS cy, COUNT(*) AS x
+      FROM maev GROUP BY 1, 2
+    ),
+    {body}
+    SELECT * FROM gistar ORDER BY cx, cy
+    """
+
+
 QC_Z0 = 4  # region-coverer start zoom (16x16 world grid)
 QC_ZMAX = 12  # region-coverer finest zoom; rects are cell ranges here
 
@@ -5598,6 +5637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_cover_cells": region_cover_cells,
         "densify_track_points": densify_track_points,
         "morans_i_cells": morans_i_cells,
+        "gi_star_hotspots": gi_star_hotspots,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -5696,6 +5736,7 @@ def oracle_sql() -> dict[str, str]:
         "region_cover_cells": _region_cover_sql(),
         "densify_track_points": _densify_sql(),
         "morans_i_cells": _morans_i_sql(),
+        "gi_star_hotspots": _gi_star_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),

@@ -24,13 +24,15 @@ bounded cell raster, or swaps the arithmetic to DECIMAL(38,0), which
 both engines support with identical integer semantics.)
 
 Scale shape: one groupBy(cell) rollup (map-side combined), one 8-way
-offset explode, one self-equi-join on cell id, two single-row aggregates
-combined on a literal key — no cartesian, no window, no Python.
+offset explode, one self-equi-join on cell id, and ONE aggregation over a
+tagged union for the scalar terms — no cartesian, no Python.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
 
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
 
@@ -92,6 +94,126 @@ def morans_i(cells: DataFrame) -> DataFrame:
         den.alias("den"),
         (num.cast("double") / den.cast("double")).alias("morans_i"),
     )
+
+
+def getis_ord_gi_star(cells: DataFrame) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-scores — the LOCAL companion of
+    :func:`morans_i` (ArcGIS "Hot Spot Analysis", esda ``G_Local``
+    with star=True): per cell, how extreme is the neighborhood sum
+    (queen + self) against the global mean.
+
+    Same exactness discipline: with integer G_i = neighborhood sum,
+    W_i = neighborhood size, N cells, S = sum x, SS = sum x^2,
+
+        z_i = (N*G_i - S*W_i) / sqrt((N*SS - S^2) * (N*W_i - W_i^2) / (N-1))
+
+    — every term under the sqrt is an exact BIGINT, the float tail is the
+    same fixed expression tree in both engines, so the z-scores are
+    bit-identical.  Globals attach via an unpartitioned window (ONE
+    single-partition exchange over the post-rollup raster — bounded
+    cardinality by construction — not a literal-key join, which plans a
+    nested loop).
+
+    Returns (cx, cy, x, g_i, w_i, num, z) per observed cell.
+    """
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _OFFSETS + [(0, 0)]
+        ]
+    )
+    probes = cells.select(
+        "cx", "cy", F.col("x").alias("xi"), F.explode(offs).alias("o")
+    ).select(
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+        "xi",
+    )
+    hood = (
+        probes.join(
+            cells.select(
+                F.col("cx").alias("icx"),
+                F.col("cy").alias("icy"),
+                F.col("x").alias("_x"),
+            ),
+            # probe row (cx,cy) targets neighbor j; flip the join so each
+            # OBSERVED cell i collects the xi of every probe that lands on
+            # it — i.e. sums its own neighborhood
+            (F.col("cx") == F.col("icx")) & (F.col("cy") == F.col("icy")),
+        )
+        .groupBy("icx", "icy", "_x")
+        .agg(F.sum("xi").alias("g_i"), F.count("*").alias("w_i"))
+        .select(
+            F.col("icx").alias("cx"),
+            F.col("icy").alias("cy"),
+            F.col("_x").alias("x"),
+            "g_i",
+            "w_i",
+        )
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    n = F.count("*").over(wall)
+    s = F.sum("x").over(wall)
+    ss = F.sum(F.col("x") * F.col("x")).over(wall)
+    num = n * F.col("g_i") - s * F.col("w_i")
+    a = n * ss - s * s
+    b = n * F.col("w_i") - F.col("w_i") * F.col("w_i")
+    z = num.cast("double") / F.sqrt(
+        a.cast("double") * b.cast("double") / (n - F.lit(1)).cast("double")
+    )
+    return hood.select("cx", "cy", "x", "g_i", "w_i", num.alias("num"), z.alias("z"))
+
+
+def getis_ord_gi_star_py(cells: dict[tuple[int, int], int]) -> dict:
+    """Pure-python twin (tests): {(cx, cy): (x, g_i, w_i, num, z)}."""
+    n = len(cells)
+    s = sum(cells.values())
+    ss = sum(v * v for v in cells.values())
+    a = n * ss - s * s
+    out = {}
+    for (cx, cy), x in cells.items():
+        g = w = 0
+        for dx, dy in _OFFSETS + [(0, 0)]:
+            xj = cells.get((cx + dx, cy + dy))
+            if xj is not None:
+                g += xj
+                w += 1
+        num = n * g - s * w
+        b = n * w - w * w
+        z = float(num) / math.sqrt(float(a) * float(b) / float(n - 1))
+        out[(cx, cy)] = (x, g, w, num, z)
+    return out
+
+
+def getis_ord_gi_star_sql(cells_cte: str) -> str:
+    """DuckDB twin over ``cells_cte`` exposing (cx, cy, x)."""
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx, dy in _OFFSETS + [(0, 0)]
+    )
+    return f"""gioff AS (
+      SELECT * FROM (VALUES {offs}) AS o(dx, dy)
+    ), giprobe AS (
+      SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy, c.x AS xi
+      FROM {cells_cte} c, gioff o
+    ), gihood AS (
+      SELECT c.cx, c.cy, c.x, SUM(p.xi) AS g_i, COUNT(*) AS w_i
+      FROM giprobe p JOIN {cells_cte} c ON p.cx = c.cx AND p.cy = c.cy
+      GROUP BY 1, 2, 3
+    ), gistar AS (
+      SELECT cx, cy, x, g_i, w_i,
+             nn * g_i - s * w_i AS num,
+             CAST(nn * g_i - s * w_i AS DOUBLE)
+               / sqrt(CAST(nn*ss - s*s AS DOUBLE)
+                      * CAST(nn*w_i - w_i*w_i AS DOUBLE)
+                      / CAST(nn - 1 AS DOUBLE)) AS z
+      FROM (
+        SELECT cx, cy, x, g_i, w_i,
+               COUNT(*) OVER () AS nn,
+               SUM(x) OVER () AS s,
+               SUM(x * x) OVER () AS ss
+        FROM gihood
+      ) t
+    )"""
 
 
 def morans_i_py(cells: dict[tuple[int, int], int]) -> dict:

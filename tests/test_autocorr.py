@@ -77,3 +77,48 @@ def test_isolated_cells_have_zero_pairs():
     # cells with no neighbors: W = 0 -> undefined (None), not a crash
     out = morans_i_py({(0, 0): 5, (10, 10): 7})
     assert out["w_pairs"] == 0 and out["morans_i"] is None
+
+
+def test_gi_star_spark_and_sql_match_python(spark):
+    from activity_files_spark.operators.autocorr import (
+        getis_ord_gi_star,
+        getis_ord_gi_star_py,
+        getis_ord_gi_star_sql,
+    )
+
+    cells = _random_raster(101)
+    want = getis_ord_gi_star_py(cells)
+    df = spark.createDataFrame(
+        [(cx, cy, x) for (cx, cy), x in cells.items()],
+        "cx long, cy long, x long",
+    )
+    got = {
+        (r["cx"], r["cy"]): (r["x"], r["g_i"], r["w_i"], r["num"], r["z"])
+        for r in getis_ord_gi_star(df).collect()
+    }
+    assert got == want
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cells(cx BIGINT, cy BIGINT, x BIGINT)")
+    con.executemany(
+        "INSERT INTO cells VALUES (?,?,?)",
+        [(cx, cy, x) for (cx, cy), x in cells.items()],
+    )
+    body = getis_ord_gi_star_sql("cells")
+    rows = con.execute(f"WITH {body} SELECT * FROM gistar").fetchall()
+    got_sql = {(r[0], r[1]): (r[2], r[3], r[4], r[5], r[6]) for r in rows}
+    assert got_sql == want
+
+
+def test_gi_star_hotspot_sign():
+    from activity_files_spark.operators.autocorr import getis_ord_gi_star_py
+
+    # one hot 3x3 blob in a cold field: blob center must be the max z
+    cells = {(cx, cy): 1 for cx in range(10) for cy in range(10)}
+    for cx in range(4, 7):
+        for cy in range(4, 7):
+            cells[(cx, cy)] = 50
+    out = getis_ord_gi_star_py(cells)
+    best = max(out, key=lambda k: out[k][4])
+    assert best == (5, 5)
+    assert out[(5, 5)][4] > 2.0
+    assert out[(0, 0)][4] < 0.0
