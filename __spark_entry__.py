@@ -965,6 +965,94 @@ def _gi_star_sql() -> str:
     """
 
 
+def route_simplicity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_IsSimple as a counting join (operators/crossings.py
+    self_intersections): per user, how many properly-crossing non-adjacent
+    segment pairs its trajectory contains (simple iff zero). Same
+    cover-join + in-stage BIGINT refine as route_crossings_pairs, paired
+    within the route; the oracle replays the predicate over brute
+    same-route pairs."""
+    from activity_files_spark.functions.quadkey import tile_xy_col
+    from activity_files_spark.operators.crossings import self_intersections
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    px, py = tile_xy_col(F.col("lat"), F.col("lon"), COVER_Z + COVER_Q)
+    pts = ev.select("user_id", "event_id", "ts", px.alias("x1"), py.alias("y1"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    segs = pts.select(
+        "user_id",
+        (F.row_number().over(w) - 1).alias("seq"),
+        F.lag("x1").over(w).alias("x0"),
+        F.lag("y1").over(w).alias("y0"),
+        "x1",
+        "y1",
+    ).where(F.col("x0").isNotNull())
+    hits = (
+        self_intersections(segs, q=COVER_Q, key="user_id", seq="seq")
+        .groupBy(F.col("key").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_self_crossings"),
+            F.sum(F.col("seq_a") + F.col("seq_b")).alias("seq_checksum"),
+        )
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        users.join(hits, "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("n_self_crossings", F.lit(0)).alias("n_self_crossings"),
+            F.coalesce("seq_checksum", F.lit(0)).alias("seq_checksum"),
+            (F.coalesce("n_self_crossings", F.lit(0)) == 0).alias("is_simple"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _route_simplicity_sql() -> str:
+    from activity_files_spark.functions.quadkey import tile_xy_sql
+    from activity_files_spark.operators.crossings import proper_cross_sql
+
+    x, y = tile_xy_sql("lat", "lon", COVER_Z + COVER_Q)
+    pred = proper_cross_sql(
+        ("a.x0", "a.y0"), ("a.x1", "a.y1"), ("b.x0", "b.y0"), ("b.x1", "b.y1")
+    )
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ), px AS (
+      SELECT user_id, event_id, ts, {x} AS x1, {y} AS y1 FROM pts
+    ), segs AS (
+      SELECT * FROM (
+        SELECT user_id AS key,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+                 AS seq,
+               LAG(x1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x0,
+               LAG(y1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y0,
+               x1, y1
+        FROM px
+      ) t WHERE x0 IS NOT NULL
+    ), hits AS (
+      SELECT a.key AS user_id,
+             COUNT(*) AS n_self_crossings,
+             SUM(a.seq + b.seq) AS seq_checksum
+      FROM segs a JOIN segs b
+        ON a.key = b.key AND b.seq > a.seq + 1 AND {pred}
+      GROUP BY 1
+    )
+    SELECT u.user_id,
+           COALESCE(h.n_self_crossings, 0) AS n_self_crossings,
+           COALESCE(h.seq_checksum, 0) AS seq_checksum,
+           COALESCE(h.n_self_crossings, 0) = 0 AS is_simple
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN hits h ON u.user_id = h.user_id
+    ORDER BY 1
+    """
+
+
 QC_Z0 = 4  # region-coverer start zoom (16x16 world grid)
 QC_ZMAX = 12  # region-coverer finest zoom; rects are cell ranges here
 
@@ -5638,6 +5726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densify_track_points": densify_track_points,
         "morans_i_cells": morans_i_cells,
         "gi_star_hotspots": gi_star_hotspots,
+        "route_simplicity_users": route_simplicity_users,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -5737,6 +5826,7 @@ def oracle_sql() -> dict[str, str]:
         "densify_track_points": _densify_sql(),
         "morans_i_cells": _morans_i_sql(),
         "gi_star_hotspots": _gi_star_sql(),
+        "route_simplicity_users": _route_simplicity_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),

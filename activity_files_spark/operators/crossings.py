@@ -134,6 +134,87 @@ def segment_crossings(
     )
 
 
+def self_intersections(
+    segments: DataFrame,
+    q: int = 8,
+    key: str = "key",
+    seq: str = "seq",
+) -> DataFrame:
+    """Properly-crossing segment pairs WITHIN each route — the ST_IsSimple
+    test as a counting join (a polyline is simple iff this is empty).
+
+    Same cover-join + in-stage integer refine as
+    :func:`segment_crossings`, but candidates pair a route with itself and
+    ADJACENT segments are excluded (consecutive segments share an endpoint,
+    which the strict predicate already rejects, but ``seq_b > seq_a + 1``
+    also skips their join rows outright).  Returns
+    ``(key, seq_a, seq_b)`` with ``seq_a < seq_b - 1``.
+    """
+    seg = segments.select(
+        F.col(key).alias("key"), F.col(seq).alias("seq"), "x0", "y0", "x1", "y1"
+    )
+    keyed = seg.select(
+        F.struct(F.col("key"), F.col("seq")).alias("key"), "x0", "y0", "x1", "y1"
+    )
+    cover = segment_cell_cover(keyed, q=q, key="key").select(
+        F.col("key.key").alias("k"),
+        F.col("key.seq").alias("s"),
+        "cx",
+        "cy",
+    )
+    cov = cover.join(
+        seg.withColumnRenamed("key", "k").withColumnRenamed("seq", "s"),
+        ["k", "s"],
+    )
+    left = cov.select(
+        F.col("k").alias("key"),
+        F.col("s").alias("seq_a"),
+        "cx",
+        "cy",
+        F.col("x0").alias("pax"),
+        F.col("y0").alias("pay"),
+        F.col("x1").alias("pbx"),
+        F.col("y1").alias("pby"),
+    )
+    right = cov.select(
+        F.col("k").alias("key"),
+        F.col("s").alias("seq_b"),
+        "cx",
+        "cy",
+        F.col("x0").alias("qax"),
+        F.col("y0").alias("qay"),
+        F.col("x1").alias("qbx"),
+        F.col("y1").alias("qby"),
+    )
+    pred = proper_cross_pred(
+        (F.col("pax"), F.col("pay")),
+        (F.col("pbx"), F.col("pby")),
+        (F.col("qax"), F.col("qay")),
+        (F.col("qbx"), F.col("qby")),
+    )
+    return (
+        left.join(right, on=["key", "cx", "cy"], how="inner")
+        .where((F.col("seq_b") > F.col("seq_a") + 1) & pred)
+        .select("key", "seq_a", "seq_b")
+        .dropDuplicates(["key", "seq_a", "seq_b"])
+    )
+
+
+def self_intersections_brute_py(segs: list[tuple]) -> set[tuple]:
+    """O(n^2) definitional oracle (tests only) for the within-route
+    variant; ``segs`` rows are (key, seq, x0, y0, x1, y1)."""
+    out: set[tuple] = set()
+    for i, (ka, sa, ax0, ay0, ax1, ay1) in enumerate(segs):
+        for kb, sb, bx0, by0, bx1, by1 in segs[i + 1 :]:
+            if ka != kb or abs(sa - sb) <= 1:
+                continue
+            if proper_cross_py(
+                (ax0, ay0), (ax1, ay1), (bx0, by0), (bx1, by1)
+            ):
+                out.add((ka, min(sa, sb), max(sa, sb)))
+    return out
+
+
 def proper_cross_py(p, q, a, b) -> bool:
     """Pure-python twin of the strict predicate (tests/oracles)."""
 

@@ -123,6 +123,12 @@ HEADLINE = [
     "speed_percentiles_users",
     "s2_tile_images",
     "stream_cell_cover_events",
+    "route_crossings_pairs",
+    "region_cover_cells",
+    "densify_track_points",
+    "morans_i_cells",
+    "gi_star_hotspots",
+    "route_simplicity_users",
 ]
 
 

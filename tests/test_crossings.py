@@ -101,3 +101,30 @@ def test_same_route_pairs_excluded(spark):
         segs, "key string, seq long, x0 long, y0 long, x1 long, y1 long"
     )
     assert segment_crossings(df, q=Q).count() == 0
+
+
+def test_self_intersections_match_brute(spark):
+    from activity_files_spark.operators.crossings import (
+        self_intersections,
+        self_intersections_brute_py,
+    )
+
+    segs = _random_routes(5, 24, seed=31)
+    df = spark.createDataFrame(
+        segs, "key string, seq long, x0 long, y0 long, x1 long, y1 long"
+    )
+    got = {tuple(r) for r in self_intersections(df, q=Q).collect()}
+    want = self_intersections_brute_py(segs)
+    assert got == want
+    assert want  # random walks do self-cross
+
+
+def test_simple_polyline_has_no_self_intersections(spark):
+    # a monotone staircase is simple
+    segs = [("r", s, s * 10, s * 7, (s + 1) * 10, (s + 1) * 7) for s in range(10)]
+    from activity_files_spark.operators.crossings import self_intersections
+
+    df = spark.createDataFrame(
+        segs, "key string, seq long, x0 long, y0 long, x1 long, y1 long"
+    )
+    assert self_intersections(df, q=Q).count() == 0
