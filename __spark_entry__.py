@@ -1053,6 +1053,62 @@ def _route_simplicity_sql() -> str:
     """
 
 
+LI_FRACS = [(1, 4), (1, 2), (3, 4)]  # quartile points along each route
+
+
+def route_fraction_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_LineInterpolatePoint (operators/densify.py): the vertex at 25/50/
+    75% of each user's route length, parameterized on the integer lattice
+    (L1 per segment) so the running total, target, and bracket search are
+    all exact BIGINT — a haversine cumsum would flip brackets between
+    DuckDB's segment-tree and Spark's sequential window summation. The
+    lerp is the fixed IEEE tail, bit-identical across engines."""
+    from activity_files_spark.functions.quadkey import tile_xy_col
+    from activity_files_spark.operators.densify import line_interpolate_points
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    px, py = tile_xy_col(F.col("lat"), F.col("lon"), COVER_Z + COVER_Q)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = ev.select(
+        F.col("user_id").alias("key"),
+        (F.row_number().over(w) - 1).alias("seq"),
+        "lat",
+        "lon",
+        px.alias("x"),
+        py.alias("y"),
+    )
+    out = line_interpolate_points(pts, LI_FRACS, key="key")
+    return out.select(
+        F.col("key").alias("user_id"), "num", "den", "seq", "lat", "lon"
+    ).orderBy("user_id", "den", "num")
+
+
+def _route_fraction_sql() -> str:
+    from activity_files_spark.functions.quadkey import tile_xy_sql
+    from activity_files_spark.operators.densify import line_interpolate_sql
+
+    x, y = tile_xy_sql("lat", "lon", COVER_Z + COVER_Q)
+    body, final = line_interpolate_sql("lipts", LI_FRACS, key="key")
+    return f"""
+    WITH liev AS (
+      SELECT user_id, event_id, ts,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ), lipts AS (
+      SELECT user_id AS key,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+               AS seq,
+             lat, lon, {x} AS x, {y} AS y
+      FROM liev
+    ),
+    {body}
+    SELECT key AS user_id, num, den, seq, lat, lon
+    FROM {final} ORDER BY 1, den, num
+    """
+
+
 QC_Z0 = 4  # region-coverer start zoom (16x16 world grid)
 QC_ZMAX = 12  # region-coverer finest zoom; rects are cell ranges here
 
@@ -5727,6 +5783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i_cells": morans_i_cells,
         "gi_star_hotspots": gi_star_hotspots,
         "route_simplicity_users": route_simplicity_users,
+        "route_fraction_points": route_fraction_points,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -5827,6 +5884,7 @@ def oracle_sql() -> dict[str, str]:
         "morans_i_cells": _morans_i_sql(),
         "gi_star_hotspots": _gi_star_sql(),
         "route_simplicity_users": _route_simplicity_sql(),
+        "route_fraction_points": _route_fraction_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),

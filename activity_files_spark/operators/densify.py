@@ -111,6 +111,138 @@ def densify_tracks(
     return mid.unionByName(last)
 
 
+def line_interpolate_points(
+    points: DataFrame,
+    fracs: list[tuple[int, int]],
+    key: str = "key",
+) -> DataFrame:
+    """ST_LineInterpolatePoint: the vertex at fraction num/den of each
+    route's length, for every (num, den) in ``fracs``.
+
+    Length is parameterized on the INTEGER lattice (L1 per segment, like
+    :func:`densify_tracks`' chebyshev split counts): the running total,
+    the target ``num * total`` and the bracket search
+    ``den*cum_prev < num*total <= den*cum_i`` are all exact BIGINT — a
+    haversine cumsum would make the bracket flip on DuckDB's segment-tree
+    vs Spark's sequential window summation.  Only the final lerp touches
+    doubles, from exact integer operands, with one fixed expression tree.
+
+    ``points``: (key, seq, lat, lon, x, y) as in :func:`densify_tracks`.
+    Returns (key, num, den, seq, lat, lon): ``seq`` is the bracket
+    segment's end vertex.  Routes with zero total length emit nothing
+    (the fraction of a point is undefined), matching the SQL twin.
+    """
+    w = Window.partitionBy("key").orderBy("seq")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    step = F.abs(F.col("x") - F.lag("x").over(w)) + F.abs(
+        F.col("y") - F.lag("y").over(w)
+    )
+    d = points.select(
+        "key",
+        "seq",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("lat0"),
+        F.lag("lon").over(w).alias("lon0"),
+        F.coalesce(step, F.lit(0)).alias("step"),
+    )
+    d = d.select(
+        "*",
+        F.sum("step").over(wcum).alias("cum"),
+        F.sum("step").over(wall).alias("total"),
+    )
+    fr = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(n).alias("num"), F.lit(dn).alias("den"))
+                for n, dn in fracs
+            ]
+        )
+    )
+    d = d.select("*", fr.alias("f")).select(
+        "*", F.col("f.num").alias("num"), F.col("f.den").alias("den")
+    )
+    bracket = (
+        (F.col("den") * (F.col("cum") - F.col("step")) < F.col("num") * F.col("total"))
+        & (F.col("num") * F.col("total") <= F.col("den") * F.col("cum"))
+        & (F.col("step") > 0)
+    )
+    # t = (num*total/den - cum_prev) / step — as exact-integer operands
+    t = (
+        (F.col("num") * F.col("total") - F.col("den") * (F.col("cum") - F.col("step")))
+        .cast("double")
+        / (F.col("den") * F.col("step")).cast("double")
+    )
+    return d.where(bracket).select(
+        "key",
+        "num",
+        "den",
+        "seq",
+        (F.col("lat0") + (F.col("lat") - F.col("lat0")) * t).alias("lat"),
+        (F.col("lon0") + (F.col("lon") - F.col("lon0")) * t).alias("lon"),
+    )
+
+
+def line_interpolate_sql(
+    pts_cte: str, fracs: list[tuple[int, int]], key: str = "key"
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`line_interpolate_points`."""
+    vals = ", ".join(f"({n}, {d})" for n, d in fracs)
+    body = f"""liseg AS (
+      SELECT {key} AS key, seq, lat, lon,
+             LAG(lat) OVER w AS lat0, LAG(lon) OVER w AS lon0,
+             COALESCE(ABS(x - LAG(x) OVER w) + ABS(y - LAG(y) OVER w), 0)
+               AS step
+      FROM {pts_cte}
+      WINDOW w AS (PARTITION BY {key} ORDER BY seq)
+    ), licum AS (
+      SELECT *,
+             SUM(step) OVER (PARTITION BY key ORDER BY seq
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(step) OVER (PARTITION BY key) AS total
+      FROM liseg
+    ), lifr AS (
+      SELECT * FROM (VALUES {vals}) AS f(num, den)
+    ), libr AS (
+      SELECT key, num, den, seq,
+             lat0 + (lat - lat0) * (CAST(num*total - den*(cum - step) AS DOUBLE)
+                                    / CAST(den*step AS DOUBLE)) AS lat,
+             lon0 + (lon - lon0) * (CAST(num*total - den*(cum - step) AS DOUBLE)
+                                    / CAST(den*step AS DOUBLE)) AS lon
+      FROM licum, lifr
+      WHERE den*(cum - step) < num*total AND num*total <= den*cum
+        AND step > 0
+    )"""
+    return body, "libr"
+
+
+def line_interpolate_py(
+    pts: list[tuple[float, float, int, int]], fracs: list[tuple[int, int]]
+) -> dict[tuple[int, int], tuple[int, float, float]]:
+    """Pure-python twin for one route: {(num, den): (seq, lat, lon)}."""
+    steps = [0] + [
+        abs(b[2] - a[2]) + abs(b[3] - a[3]) for a, b in zip(pts, pts[1:])
+    ]
+    cum = [0]
+    for s in steps[1:]:
+        cum.append(cum[-1] + s)
+    total = cum[-1]
+    out = {}
+    for num, den in fracs:
+        for i in range(1, len(pts)):
+            if (
+                den * cum[i - 1] < num * total <= den * cum[i]
+                and steps[i] > 0
+            ):
+                t = (num * total - den * cum[i - 1]) / (den * steps[i])
+                lat = pts[i - 1][0] + (pts[i][0] - pts[i - 1][0]) * t
+                lon = pts[i - 1][1] + (pts[i][1] - pts[i - 1][1]) * t
+                out[(num, den)] = (i, lat, lon)
+                break
+    return out
+
+
 def densify_py(
     pts: list[tuple[float, float, int, int]], k_units: int
 ) -> list[tuple[float, float]]:

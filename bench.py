@@ -129,6 +129,7 @@ HEADLINE = [
     "morans_i_cells",
     "gi_star_hotspots",
     "route_simplicity_users",
+    "route_fraction_points",
 ]
 
 

@@ -101,3 +101,59 @@ def test_zero_length_segment_keeps_one_vertex(spark):
         (r["seq"], r["i"]) for r in densify_tracks(df, K, key="key").collect()
     )
     assert out == [(0, 0), (1, 0)]
+
+
+def test_line_interpolate_matches_python(spark):
+    from activity_files_spark.operators.densify import (
+        line_interpolate_points,
+        line_interpolate_py,
+        line_interpolate_sql,
+    )
+
+    fracs = [(1, 4), (1, 2), (3, 4)]
+    rows = _routes(5, 10, seed=21)
+    df = spark.createDataFrame(
+        rows, "key string, seq long, lat double, lon double, x long, y long"
+    )
+    got = {
+        (r["key"], r["num"], r["den"]): (r["seq"], r["lat"], r["lon"])
+        for r in line_interpolate_points(df, fracs, key="key").collect()
+    }
+    by_key = {}
+    for k, s, lat, lon, x, y in rows:
+        by_key.setdefault(k, []).append((lat, lon, x, y))
+    want = {}
+    for k, pts in by_key.items():
+        for (num, den), v in line_interpolate_py(pts, fracs).items():
+            want[(k, num, den)] = v
+    assert got == want  # seq and bit-identical lerp
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts(key VARCHAR, seq BIGINT, lat DOUBLE, lon DOUBLE,"
+        " x BIGINT, y BIGINT)"
+    )
+    con.executemany("INSERT INTO pts VALUES (?,?,?,?,?,?)", rows)
+    body, final = line_interpolate_sql("pts", fracs, key="key")
+    sql_got = {
+        (r[0], r[1], r[2]): (r[3], r[4], r[5])
+        for r in con.execute(
+            f"WITH {body} SELECT key, num, den, seq, lat, lon FROM {final}"
+        ).fetchall()
+    }
+    assert sql_got == want
+
+
+def test_line_interpolate_midpoint_of_straight_line(spark):
+    from activity_files_spark.operators.densify import line_interpolate_py
+
+    pts = [(0.0, 0.0, 0, 0), (10.0, 20.0, 100, 200)]
+    out = line_interpolate_py(pts, [(1, 2)])
+    seq, lat, lon = out[(1, 2)]
+    assert (seq, lat, lon) == (1, 5.0, 10.0)
+
+
+def test_line_interpolate_zero_length_route_is_empty():
+    from activity_files_spark.operators.densify import line_interpolate_py
+
+    assert line_interpolate_py([(1.0, 2.0, 5, 5), (1.0, 2.0, 5, 5)], [(1, 2)]) == {}
