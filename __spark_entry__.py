@@ -1109,6 +1109,95 @@ def _route_fraction_sql() -> str:
     """
 
 
+def emerging_hotspots_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging hot-spot analysis (operators/autocorr.py): per-month Gi*
+    z-scores per z14 cell (globals and neighborhoods WITHIN each month),
+    stacked by an exact Mann-Kendall trend over each cell's monthly z
+    series — S is a pure integer of sign comparisons over bit-identical
+    doubles, so the rising/falling classification can never sit on an
+    engine-dependent boundary."""
+    from activity_files_spark.functions.quadkey import tile_xy_col
+    from activity_files_spark.operators.autocorr import (
+        getis_ord_gi_star,
+        mann_kendall_trend,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    cx, cy = tile_xy_col(F.col("lat"), F.col("lon"), MORAN_Z)
+    cells = (
+        ev.select(
+            (F.year("ts") * 100 + F.month("ts")).alias("bucket"),
+            cx.alias("cx"),
+            cy.alias("cy"),
+        )
+        .groupBy("bucket", "cx", "cy")
+        .agg(F.count("*").alias("x"))
+    )
+    scored = getis_ord_gi_star(cells, by=("bucket",)).where(
+        ~F.isnan("z")  # single-cell months have an undefined z (0/0)
+    )
+    mk = mann_kendall_trend(scored, by=("cx", "cy"), t="bucket", v="z")
+    zsum = scored.groupBy("cx", "cy").agg(
+        F.sum(F.floor(F.col("z") * F.lit(1000000.0)).cast("long")).alias(
+            "z_micro_sum"
+        )
+    )
+    trend = (
+        F.when(F.col("mk_s") > 0, F.lit("rising"))
+        .when(F.col("mk_s") < 0, F.lit("falling"))
+        .otherwise(F.lit("flat"))
+    )
+    return (
+        mk.join(zsum, ["cx", "cy"])
+        .select("cx", "cy", "n_buckets", "mk_s", trend.alias("trend"), "z_micro_sum")
+        .orderBy("cx", "cy")
+    )
+
+
+def _emerging_hotspots_sql() -> str:
+    from activity_files_spark.functions.quadkey import tile_xy_sql
+    from activity_files_spark.operators.autocorr import getis_ord_gi_star_sql
+
+    x, y = tile_xy_sql("lat", "lon", MORAN_Z)
+    body = getis_ord_gi_star_sql("ehcells", by=("bucket",))
+    return f"""
+    WITH ehev AS (
+      SELECT event_id, ts, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ), ehcells AS (
+      SELECT CAST(EXTRACT(year FROM ts) * 100 + EXTRACT(month FROM ts)
+                  AS BIGINT) AS bucket,
+             {x} AS cx, {y} AS cy, COUNT(*) AS x
+      FROM ehev GROUP BY 1, 2, 3
+    ),
+    {body}
+    , ehscored AS (
+      SELECT * FROM gistar WHERE NOT isnan(z)
+    ), ehmk AS (
+      SELECT a.cx, a.cy,
+             SUM(CASE WHEN b.z > a.z THEN 1
+                      WHEN b.z < a.z THEN -1 ELSE 0 END) AS mk_s
+      FROM ehscored a JOIN ehscored b
+        ON a.cx = b.cx AND a.cy = b.cy AND a.bucket < b.bucket
+      GROUP BY 1, 2
+    ), ehbase AS (
+      SELECT cx, cy, COUNT(*) AS n_buckets,
+             SUM(CAST(FLOOR(z * 1000000.0) AS BIGINT)) AS z_micro_sum
+      FROM ehscored GROUP BY 1, 2
+    )
+    SELECT c.cx, c.cy, c.n_buckets,
+           COALESCE(m.mk_s, 0) AS mk_s,
+           CASE WHEN COALESCE(m.mk_s, 0) > 0 THEN 'rising'
+                WHEN COALESCE(m.mk_s, 0) < 0 THEN 'falling'
+                ELSE 'flat' END AS trend,
+           c.z_micro_sum
+    FROM ehbase c LEFT JOIN ehmk m ON c.cx = m.cx AND c.cy = m.cy
+    ORDER BY 1, 2
+    """
+
+
 QC_Z0 = 4  # region-coverer start zoom (16x16 world grid)
 QC_ZMAX = 12  # region-coverer finest zoom; rects are cell ranges here
 
@@ -5784,6 +5873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gi_star_hotspots": gi_star_hotspots,
         "route_simplicity_users": route_simplicity_users,
         "route_fraction_points": route_fraction_points,
+        "emerging_hotspots_cells": emerging_hotspots_cells,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -5885,6 +5975,7 @@ def oracle_sql() -> dict[str, str]:
         "gi_star_hotspots": _gi_star_sql(),
         "route_simplicity_users": _route_simplicity_sql(),
         "route_fraction_points": _route_fraction_sql(),
+        "emerging_hotspots_cells": _emerging_hotspots_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),

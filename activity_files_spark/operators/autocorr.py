@@ -37,6 +37,13 @@ from pyspark.sql import DataFrame, Window, functions as F
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
 
 
+def _conj(preds):
+    out = F.lit(True)
+    for p in preds:
+        out = out & p
+    return out
+
+
 def morans_i(cells: DataFrame) -> DataFrame:
     """One-row Moran's I over ``cells`` = (cx, cy, x) with BIGINT count x.
 
@@ -96,7 +103,7 @@ def morans_i(cells: DataFrame) -> DataFrame:
     )
 
 
-def getis_ord_gi_star(cells: DataFrame) -> DataFrame:
+def getis_ord_gi_star(cells: DataFrame, by: tuple[str, ...] = ()) -> DataFrame:
     """Getis-Ord Gi* hot-spot z-scores — the LOCAL companion of
     :func:`morans_i` (ArcGIS "Hot Spot Analysis", esda ``G_Local``
     with star=True): per cell, how extreme is the neighborhood sum
@@ -114,8 +121,15 @@ def getis_ord_gi_star(cells: DataFrame) -> DataFrame:
     cardinality by construction — not a literal-key join, which plans a
     nested loop).
 
-    Returns (cx, cy, x, g_i, w_i, num, z) per observed cell.
+    ``by`` names optional partition columns (e.g. a time bucket): the
+    neighborhood join and the global terms are then computed WITHIN each
+    partition — the per-slice Gi* that emerging-hot-spot analysis stacks.
+    With a real ``by`` the globals window partitions on it (no
+    single-partition exchange at all).
+
+    Returns (*by, cx, cy, x, g_i, w_i, num, z) per observed cell.
     """
+    by = list(by)
     offs = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -123,8 +137,9 @@ def getis_ord_gi_star(cells: DataFrame) -> DataFrame:
         ]
     )
     probes = cells.select(
-        "cx", "cy", F.col("x").alias("xi"), F.explode(offs).alias("o")
+        *by, "cx", "cy", F.col("x").alias("xi"), F.explode(offs).alias("o")
     ).select(
+        *by,
         (F.col("cx") + F.col("o.dx")).alias("cx"),
         (F.col("cy") + F.col("o.dy")).alias("cy"),
         "xi",
@@ -132,18 +147,23 @@ def getis_ord_gi_star(cells: DataFrame) -> DataFrame:
     hood = (
         probes.join(
             cells.select(
+                *[F.col(c).alias(f"i_{c}") for c in by],
                 F.col("cx").alias("icx"),
                 F.col("cy").alias("icy"),
                 F.col("x").alias("_x"),
             ),
             # probe row (cx,cy) targets neighbor j; flip the join so each
             # OBSERVED cell i collects the xi of every probe that lands on
-            # it — i.e. sums its own neighborhood
-            (F.col("cx") == F.col("icx")) & (F.col("cy") == F.col("icy")),
+            # it — i.e. sums its own neighborhood (within its partition)
+            _conj(
+                [F.col("cx") == F.col("icx"), F.col("cy") == F.col("icy")]
+                + [F.col(c) == F.col(f"i_{c}") for c in by]
+            ),
         )
-        .groupBy("icx", "icy", "_x")
+        .groupBy(*[f"i_{c}" for c in by], "icx", "icy", "_x")
         .agg(F.sum("xi").alias("g_i"), F.count("*").alias("w_i"))
         .select(
+            *[F.col(f"i_{c}").alias(c) for c in by],
             F.col("icx").alias("cx"),
             F.col("icy").alias("cy"),
             F.col("_x").alias("x"),
@@ -151,7 +171,9 @@ def getis_ord_gi_star(cells: DataFrame) -> DataFrame:
             "w_i",
         )
     )
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wall = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     n = F.count("*").over(wall)
     s = F.sum("x").over(wall)
     ss = F.sum(F.col("x") * F.col("x")).over(wall)
@@ -161,7 +183,9 @@ def getis_ord_gi_star(cells: DataFrame) -> DataFrame:
     z = num.cast("double") / F.sqrt(
         a.cast("double") * b.cast("double") / (n - F.lit(1)).cast("double")
     )
-    return hood.select("cx", "cy", "x", "g_i", "w_i", num.alias("num"), z.alias("z"))
+    return hood.select(
+        *by, "cx", "cy", "x", "g_i", "w_i", num.alias("num"), z.alias("z")
+    )
 
 
 def getis_ord_gi_star_py(cells: dict[tuple[int, int], int]) -> dict:
@@ -185,32 +209,38 @@ def getis_ord_gi_star_py(cells: dict[tuple[int, int], int]) -> dict:
     return out
 
 
-def getis_ord_gi_star_sql(cells_cte: str) -> str:
-    """DuckDB twin over ``cells_cte`` exposing (cx, cy, x)."""
+def getis_ord_gi_star_sql(cells_cte: str, by: tuple[str, ...] = ()) -> str:
+    """DuckDB twin over ``cells_cte`` exposing (*by, cx, cy, x)."""
     offs = ", ".join(
         f"({dx}, {dy})" for dx, dy in _OFFSETS + [(0, 0)]
     )
+    bysel = "".join(f"c.{c}, " for c in by)
+    byeq = "".join(f" AND p.{c} = c.{c}" for c in by)
+    bycols = "".join(f"{c}, " for c in by)
+    bygrp = ", ".join(str(i + 1) for i in range(len(by) + 3))
+    bypart = ("PARTITION BY " + ", ".join(by)) if by else ""
     return f"""gioff AS (
       SELECT * FROM (VALUES {offs}) AS o(dx, dy)
     ), giprobe AS (
-      SELECT c.cx + o.dx AS cx, c.cy + o.dy AS cy, c.x AS xi
+      SELECT {bysel}c.cx + o.dx AS cx, c.cy + o.dy AS cy, c.x AS xi
       FROM {cells_cte} c, gioff o
     ), gihood AS (
-      SELECT c.cx, c.cy, c.x, SUM(p.xi) AS g_i, COUNT(*) AS w_i
-      FROM giprobe p JOIN {cells_cte} c ON p.cx = c.cx AND p.cy = c.cy
-      GROUP BY 1, 2, 3
+      SELECT {bysel}c.cx, c.cy, c.x, SUM(p.xi) AS g_i, COUNT(*) AS w_i
+      FROM giprobe p JOIN {cells_cte} c
+        ON p.cx = c.cx AND p.cy = c.cy{byeq}
+      GROUP BY {bygrp}
     ), gistar AS (
-      SELECT cx, cy, x, g_i, w_i,
+      SELECT {bycols}cx, cy, x, g_i, w_i,
              nn * g_i - s * w_i AS num,
              CAST(nn * g_i - s * w_i AS DOUBLE)
                / sqrt(CAST(nn*ss - s*s AS DOUBLE)
                       * CAST(nn*w_i - w_i*w_i AS DOUBLE)
                       / CAST(nn - 1 AS DOUBLE)) AS z
       FROM (
-        SELECT cx, cy, x, g_i, w_i,
-               COUNT(*) OVER () AS nn,
-               SUM(x) OVER () AS s,
-               SUM(x * x) OVER () AS ss
+        SELECT {bycols}cx, cy, x, g_i, w_i,
+               COUNT(*) OVER ({bypart}) AS nn,
+               SUM(x) OVER ({bypart}) AS s,
+               SUM(x * x) OVER ({bypart}) AS ss
         FROM gihood
       ) t
     )"""
@@ -284,3 +314,43 @@ def morans_i_sql(cells_cte: str) -> str:
                AS morans_i
       FROM mabase, mapair
     )"""
+
+
+def mann_kendall_trend(scored: DataFrame, by: tuple[str, ...], t: str, v: str) -> DataFrame:
+    """Mann-Kendall trend statistic per key: S = sum over ordered bucket
+    pairs of sign(v_j - v_i), t_i < t_j — the trend half of ArcGIS
+    "Emerging Hot Spot Analysis", stacked on the per-bucket Gi* z-scores.
+
+    S is a pure integer (signs of differences of bit-identical doubles),
+    so the classification thresholds never sit on an engine-dependent
+    boundary.  Per-key pair join; per-key cost is quadratic in BUCKETS
+    (a small constant — weeks/months), not in data.
+
+    Returns (*by, n_buckets, mk_s).
+    """
+    a = scored.select(
+        *by, F.col(t).alias("_ta"), F.col(v).alias("_va")
+    )
+    b = scored.select(
+        *by, F.col(t).alias("_tb"), F.col(v).alias("_vb")
+    )
+    pairs = a.join(b, on=list(by), how="inner").where(F.col("_ta") < F.col("_tb"))
+    sgn = (
+        F.when(F.col("_vb") > F.col("_va"), 1)
+        .when(F.col("_vb") < F.col("_va"), -1)
+        .otherwise(0)
+    )
+    counts = scored.groupBy(*by).agg(F.count("*").alias("n_buckets"))
+    s = pairs.groupBy(*by).agg(F.sum(sgn).alias("mk_s"))
+    return counts.join(s, on=list(by), how="left").select(
+        *by, "n_buckets", F.coalesce("mk_s", F.lit(0)).alias("mk_s")
+    )
+
+
+def mann_kendall_py(series: list[float]) -> int:
+    """Pure-python twin: S over the in-order series."""
+    s = 0
+    for i in range(len(series)):
+        for j in range(i + 1, len(series)):
+            s += (series[j] > series[i]) - (series[j] < series[i])
+    return s

@@ -130,6 +130,7 @@ HEADLINE = [
     "gi_star_hotspots",
     "route_simplicity_users",
     "route_fraction_points",
+    "emerging_hotspots_cells",
 ]
 
 

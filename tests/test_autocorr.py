@@ -122,3 +122,61 @@ def test_gi_star_hotspot_sign():
     assert best == (5, 5)
     assert out[(5, 5)][4] > 2.0
     assert out[(0, 0)][4] < 0.0
+
+
+def test_gi_star_bucketed_equals_per_bucket(spark):
+    from activity_files_spark.operators.autocorr import (
+        getis_ord_gi_star,
+        getis_ord_gi_star_py,
+        getis_ord_gi_star_sql,
+    )
+
+    buckets = {b: _random_raster(200 + b, w=8, h=6) for b in (0, 1, 2)}
+    rows = [
+        (b, cx, cy, x)
+        for b, cells in buckets.items()
+        for (cx, cy), x in cells.items()
+    ]
+    df = spark.createDataFrame(rows, "bucket long, cx long, cy long, x long")
+    got = {
+        (r["bucket"], r["cx"], r["cy"]): (r["x"], r["g_i"], r["w_i"], r["num"], r["z"])
+        for r in getis_ord_gi_star(df, by=("bucket",)).collect()
+    }
+    want = {}
+    for b, cells in buckets.items():
+        for (cx, cy), v in getis_ord_gi_star_py(cells).items():
+            want[(b, cx, cy)] = v
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cells(bucket BIGINT, cx BIGINT, cy BIGINT, x BIGINT)")
+    con.executemany("INSERT INTO cells VALUES (?,?,?,?)", rows)
+    body = getis_ord_gi_star_sql("cells", by=("bucket",))
+    sql_got = {
+        (r[0], r[1], r[2]): (r[3], r[4], r[5], r[6], r[7])
+        for r in con.execute(f"WITH {body} SELECT * FROM gistar").fetchall()
+    }
+    assert sql_got == want
+
+
+def test_mann_kendall(spark):
+    from activity_files_spark.operators.autocorr import (
+        mann_kendall_py,
+        mann_kendall_trend,
+    )
+
+    assert mann_kendall_py([1, 2, 3, 4]) == 6
+    assert mann_kendall_py([4, 3, 2, 1]) == -6
+    assert mann_kendall_py([1, 1, 1]) == 0
+    rng = random.Random(5)
+    series = {k: [rng.uniform(-2, 2) for _ in range(7)] for k in range(6)}
+    rows = [
+        (k, t, v) for k, vs in series.items() for t, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "key long, t long, v double")
+    got = {
+        r["key"]: (r["n_buckets"], r["mk_s"])
+        for r in mann_kendall_trend(df, by=("key",), t="t", v="v").collect()
+    }
+    want = {k: (len(vs), mann_kendall_py(vs)) for k, vs in series.items()}
+    assert got == want
