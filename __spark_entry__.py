@@ -1263,6 +1263,92 @@ def _region_cover_sql() -> str:
     """
 
 
+def region_cover_lookup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cover-driven index lookup: count the points inside each geofence by
+    joining the MIXED-level quadtree cover (region_cover_cells) against
+    each point's ancestor cell per level — at most ONE match per region
+    because the cover is a disjoint partition, so the counts equal direct
+    rect containment. The oracle IS direct containment: two independent
+    algorithms, one hash. This is the scan shape a cell-indexed table
+    serves: the cover rows are the pushed-down range predicates; the
+    9-way ancestor explode stands in for the interleaved-key range scan
+    a real index would do."""
+    from activity_files_spark.functions.quadkey import tile_xy_col
+    from activity_files_spark.operators.coverer import region_quad_cover
+
+    rects = _qc_rects(_read(spark, sf_dir, "nation"))
+    cover = region_quad_cover(rects, QC_Z0, QC_ZMAX, key="region_id").select(
+        F.col("key").alias("region_id"), "level", "cx", "cy"
+    )
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    px, py = tile_xy_col(F.col("lat"), F.col("lon"), QC_ZMAX)
+    # one struct per level with a LITERAL shift (pyspark's shift functions
+    # take int shift amounts only)
+    ladder = F.array(
+        *[
+            F.struct(
+                F.lit(z).alias("level"),
+                F.shiftrightunsigned(F.col("px"), QC_ZMAX - z).alias("cx"),
+                F.shiftrightunsigned(F.col("py"), QC_ZMAX - z).alias("cy"),
+            )
+            for z in range(QC_Z0, QC_ZMAX + 1)
+        ]
+    )
+    anc = ev.select(
+        "event_id", px.alias("px"), py.alias("py")
+    ).select("event_id", F.explode(ladder).alias("a")).select(
+        "event_id",
+        F.col("a.level").alias("level"),
+        F.col("a.cx").alias("cx"),
+        F.col("a.cy").alias("cy"),
+    )
+    hits = (
+        anc.join(F.broadcast(cover), ["level", "cx", "cy"])
+        .groupBy("region_id")
+        .agg(F.count("*").alias("n_points"))
+    )
+    return (
+        rects.select("region_id")
+        .join(hits, "region_id", "left")
+        .select(
+            "region_id", F.coalesce("n_points", F.lit(0)).alias("n_points")
+        )
+        .orderBy("region_id")
+    )
+
+
+def _region_cover_lookup_sql() -> str:
+    """Independent oracle: DIRECT rect containment on the z_max lattice —
+    deliberately NOT a replay of the quadtree cover."""
+    from activity_files_spark.functions.quadkey import tile_xy_sql
+
+    x, y = tile_xy_sql("lat", "lon", QC_ZMAX)
+    return f"""
+    WITH rects AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS region_id,
+             (CAST(n_nationkey AS BIGINT) * 937) % 3500 AS ax,
+             (CAST(n_nationkey AS BIGINT) * 541) % 3500 AS ay,
+             (CAST(n_nationkey AS BIGINT) * 937) % 3500
+               + 17 + (CAST(n_nationkey AS BIGINT) * 131) % 500 AS bx,
+             (CAST(n_nationkey AS BIGINT) * 541) % 3500
+               + 17 + (CAST(n_nationkey AS BIGINT) * 277) % 500 AS by
+      FROM nation
+    ), pv AS (
+      SELECT event_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ), pxy AS (
+      SELECT event_id, {x} AS px, {y} AS py FROM pv
+    )
+    SELECT r.region_id,
+           (SELECT COUNT(*) FROM pxy p
+            WHERE p.px BETWEEN r.ax AND r.bx
+              AND p.py BETWEEN r.ay AND r.by) AS n_points
+    FROM rects r ORDER BY 1
+    """
+
+
 SP_Z = 12  # shortest-path cell zoom
 SP_ROUNDS = 14  # >= max node count - 1 at the smallest tier, so settled holds everywhere
 
@@ -5874,6 +5960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_simplicity_users": route_simplicity_users,
         "route_fraction_points": route_fraction_points,
         "emerging_hotspots_cells": emerging_hotspots_cells,
+        "region_cover_lookup_events": region_cover_lookup_events,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -5976,6 +6063,7 @@ def oracle_sql() -> dict[str, str]:
         "route_simplicity_users": _route_simplicity_sql(),
         "route_fraction_points": _route_fraction_sql(),
         "emerging_hotspots_cells": _emerging_hotspots_sql(),
+        "region_cover_lookup_events": _region_cover_lookup_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),
