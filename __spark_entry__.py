@@ -564,6 +564,60 @@ def _within_radius_sql() -> str:
     """
 
 
+CT_RADIUS_M = 200.0  # contact radius
+CT_WINDOW_S = 900.0  # contact time window
+CT_Z = 16  # tile edge ~470 m >= 2*radius: box spans <=2 tiles/axis
+
+
+def contact_pairs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatiotemporal contact join (contact.contact_join): pairs of events
+    from DISTINCT users within 200 m (haversine, inclusive) AND 900 s
+    (inclusive, integer microseconds) of each other — the close-encounter
+    self-join the spatial-only ST_DWithin can't express. The engine keys
+    both sides on (zoom-16 cell, 900 s bucket) and equi-joins with a
+    provably-complete bbox x +-1-bucket expansion on one side; the oracle
+    is a brute range self-join with no cells at all, so it independently
+    checks the cover's completeness. Per user pair: contact count, exact
+    event-id sum, earliest contact microsecond, and the rounded min
+    distance (round-to-6 absorbs the documented ~1-ulp JVM-vs-libm trig
+    spread, same as the ST_DWithin gate)."""
+    from activity_files_spark.operators.contact import contact_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("t_us"),
+        _lat_col().alias("lat"),
+        _lon_col().alias("lon"),
+    )
+    pairs = contact_join(ev, CT_RADIUS_M, CT_WINDOW_S, z=CT_Z)
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count("*").alias("n_contacts"),
+        F.sum(F.col("id_a") + F.col("id_b")).alias("id_sum"),
+        F.min(F.least("t_us_a", "t_us_b")).alias("first_us"),
+        F.min(F.round("dist_m", 6)).alias("min_dist_m"),
+    )
+
+
+def _contact_pairs_sql() -> str:
+    from activity_files_spark.operators.contact import contact_join_sql
+
+    body = contact_join_sql("pts", CT_RADIUS_M, CT_WINDOW_S)
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ),
+    {body}
+    SELECT user_a, user_b, COUNT(*) AS n_contacts,
+           SUM(id_a + id_b) AS id_sum,
+           MIN(least(t_us_a, t_us_b)) AS first_us,
+           MIN(ROUND(dist_m, 6)) AS min_dist_m
+    FROM ct_pairs GROUP BY 1, 2
+    """
+
+
 def dwell_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofence dwell sessions (windows.dwell_sessions): contiguous
     inside-the-rect runs per user with exact enter/exit/dwell values;
@@ -5961,6 +6015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_fraction_points": route_fraction_points,
         "emerging_hotspots_cells": emerging_hotspots_cells,
         "region_cover_lookup_events": region_cover_lookup_events,
+        "contact_pairs_events": contact_pairs_events,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -6064,6 +6119,7 @@ def oracle_sql() -> dict[str, str]:
         "route_fraction_points": _route_fraction_sql(),
         "emerging_hotspots_cells": _emerging_hotspots_sql(),
         "region_cover_lookup_events": _region_cover_lookup_sql(),
+        "contact_pairs_events": _contact_pairs_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),
