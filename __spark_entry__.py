@@ -618,6 +618,51 @@ def _contact_pairs_sql() -> str:
     """
 
 
+EG_THRESHOLD_M = 5.0  # hysteresis dead band
+# deterministic integer-derived elevation, same discipline as LAT/LON
+ELE_EXPR_SQL = (
+    "1500.0 + CAST((event_id * 31) % 211 AS DOUBLE) * 0.5"
+    " - CAST((event_id * 13) % 157 AS DOUBLE) * 0.3"
+)
+
+
+def _ele_col():
+    return (
+        F.lit(1500.0)
+        + ((F.col("event_id") * 31) % 211).cast("double") * F.lit(0.5)
+        - ((F.col("event_id") * 13) % 157).cast("double") * F.lit(0.3)
+    )
+
+
+def elevation_gain_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis total ascent/descent (elevation.elevation_gain): the
+    barometric-head-unit reckoning — reference elevation + 5 m dead band —
+    re-deriving the FIT session total_ascent the reference only carries
+    verbatim. Sequential per-user walk (applyInPandas keep-chain family);
+    the oracle replays it as a DuckDB RECURSIVE CTE, a different engine
+    over the same left-to-right double sequence, so ascent/descent/ref are
+    bit-identical — no rounding anywhere."""
+    from activity_files_spark.operators.elevation import elevation_gain
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", _ele_col().alias("ele")
+    )
+    return elevation_gain(ev, EG_THRESHOLD_M)
+
+
+def _elevation_gain_sql() -> str:
+    from activity_files_spark.operators.elevation import elevation_gain_sql
+
+    body = elevation_gain_sql("pts", EG_THRESHOLD_M)
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT user_id, event_id, {ELE_EXPR_SQL} AS ele FROM events
+    ),
+    {body}
+    SELECT user_id, n_points, ascent_m, descent_m, final_ref_m FROM eg_out
+    """
+
+
 def dwell_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofence dwell sessions (windows.dwell_sessions): contiguous
     inside-the-rect runs per user with exact enter/exit/dwell values;
@@ -6016,6 +6061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_hotspots_cells": emerging_hotspots_cells,
         "region_cover_lookup_events": region_cover_lookup_events,
         "contact_pairs_events": contact_pairs_events,
+        "elevation_gain_users": elevation_gain_users,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -6120,6 +6166,7 @@ def oracle_sql() -> dict[str, str]:
         "emerging_hotspots_cells": _emerging_hotspots_sql(),
         "region_cover_lookup_events": _region_cover_lookup_sql(),
         "contact_pairs_events": _contact_pairs_sql(),
+        "elevation_gain_users": _elevation_gain_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),
