@@ -1935,6 +1935,62 @@ def _frechet_route_sql() -> str:
     """
 
 
+def dtw_route_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW refinement of the route near-dup candidates
+    (operators/trajectory.py dtw_refine): same candidate miner and 8-point
+    index resample as frechet_route_refine, but the metric is the ELASTIC
+    alignment cost (Sakoe & Chiba) — Fréchet reports the single worst
+    matched pair, DTW sums every matched pair, so it separates 'same route
+    with one detour' from 'parallel road 50 m over'. Each DP cell does one
+    addition on scalar-libm haversine values, so the DuckDB oracle's
+    anti-diagonal replay is bit-identical; round-to-3 on output only."""
+    from activity_files_spark.operators.trajectory import (
+        dtw_refine,
+        index_resample,
+        route_cells,
+        route_pair_jaccard,
+        top_similar_routes,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        _lat_col().alias("lat"), _lon_col().alias("lon"),
+    )
+    cells = route_cells(ev, RT_Z, key="user_id").localCheckpoint(eager=True)
+    pairs = route_pair_jaccard(cells, key="user_id")
+    top = top_similar_routes(pairs, k=1).drop("rank")
+    samples = index_resample(
+        ev, FRECHET_M, key="user_id", order_cols=("ts", "event_id")
+    )
+    ref = dtw_refine(top, samples, key="user_id")
+    return ref.select(
+        F.col("key").alias("user_id"),
+        F.col("other").alias("similar_user_id"),
+        "n_shared",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("dtw_m", 3).alias("dtw_m"),
+    )
+
+
+def _dtw_route_sql() -> str:
+    from activity_files_spark.operators.trajectory import dtw_sql
+
+    body = dtw_sql(
+        "pts", RT_Z, FRECHET_M, key="user_id", order_cols=("ts", "event_id")
+    )
+    return f"""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ),
+    {body}
+    SELECT key AS user_id, other AS similar_user_id, n_shared,
+           ROUND(jaccard, 6) AS jaccard, ROUND(dtw_m, 3) AS dtw_m
+    FROM dt_final
+    """
+
+
 def resample_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4 resample: per-user 6-hour grid (end-inclusive) with linear
     interpolation of the derived lat/lon between bracketing points."""
@@ -6097,6 +6153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mp3_stats": audio_mp3_stats,
         "image_jpeg_stats": image_jpeg_stats,
         "frechet_route_refine": frechet_route_refine,
+        "dtw_route_refine": dtw_route_refine,
         "dbscan_events": dbscan_events,
         "stay_points_events": stay_points_events,
         "convex_hull_routes": convex_hull_routes,
@@ -6202,6 +6259,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_mp3_stats": _audio_mp3_sql(),
         "image_jpeg_stats": _image_jpeg_sql(),
         "frechet_route_refine": _frechet_route_sql(),
+        "dtw_route_refine": _dtw_route_sql(),
         "dbscan_events": _dbscan_sql(),
         "stay_points_events": _stay_points_sql(),
         "convex_hull_routes": _convex_hull_sql(),

@@ -600,6 +600,168 @@ def stay_points_sql(
     """
 
 
+_DTW_INF = 1e308  # sentinel shared with the SQL twin (NOT inf: both engines
+# absorb d + 1e308 -> 1e308 identically, and COALESCE/LEAST stay total)
+
+
+def dtw_distance(pa: list, pb: list, dist, band: int | None = None) -> float:
+    """Dynamic Time Warping cost (Sakoe & Chiba 1978): the CUMULATIVE
+    alignment cost dp[i][j] = d(i,j) + min(dp[i-1][j], dp[i][j-1],
+    dp[i-1][j-1]) — the elastic-matching complement of the Fréchet
+    max/min lattice (Fréchet reports the worst matched pair; DTW sums
+    every matched pair, so it separates 'same route with one detour'
+    from 'parallel road 50 m over' which Fréchet scores identically).
+    ``band``: Sakoe-Chiba radius — cells with |i-j| > band are forbidden
+    (the classic O(m·band) pruning; None = full grid). Each cell performs
+    exactly ONE addition on ``dist`` outputs, in a fixed order, so
+    exactness reduces to exactness of ``dist`` — no reassociation."""
+    na, nb = len(pa), len(pb)
+    dp = [[_DTW_INF] * nb for _ in range(na)]
+    for i in range(na):
+        for j in range(nb):
+            if band is not None and abs(i - j) > band:
+                continue
+            d = dist(pa[i][0], pa[i][1], pb[j][0], pb[j][1])
+            if i == 0 and j == 0:
+                dp[i][j] = d
+                continue
+            best = _DTW_INF
+            if i > 0 and dp[i - 1][j] < best:
+                best = dp[i - 1][j]
+            if j > 0 and dp[i][j - 1] < best:
+                best = dp[i][j - 1]
+            if i > 0 and j > 0 and dp[i - 1][j - 1] < best:
+                best = dp[i - 1][j - 1]
+            dp[i][j] = d + best
+    return dp[na - 1][nb - 1]
+
+
+def dtw_refine(
+    pairs: DataFrame, samples: DataFrame, key: str = "user_id",
+    band: int | None = None,
+) -> DataFrame:
+    """DTW alignment cost (meters) for each (key, other) pair over
+    index-resampled route samples — same plan shape as
+    :func:`frechet_refine` (pack-array groupBy, two equi-joins, O(m²)
+    Arrow kernel per pair with the scalar libm haversine twin).
+    Output: pairs + ``dtw_m``."""
+    import pandas as pd
+
+    from activity_files_spark.functions.geo import haversine_m_exact
+
+    agg = samples.groupBy(key).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("i"), F.col("lat"), F.col("lon")))
+        ).alias("pts")
+    )
+    a = agg.select(F.col(key).alias("key"), F.col("pts").alias("pts_a"))
+    b = agg.select(F.col(key).alias("other"), F.col("pts").alias("pts_b"))
+    joined = pairs.join(a, "key").join(b, "other")
+
+    schema = (
+        f"key {joined.schema['key'].dataType.simpleString()}, "
+        f"other {joined.schema['other'].dataType.simpleString()}, "
+        "n_shared long, jaccard double, dtw_m double"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for row in pdf.itertuples(index=False):
+                pa = [(p["lat"], p["lon"]) for p in row.pts_a]
+                pb = [(p["lat"], p["lon"]) for p in row.pts_b]
+                recs.append({
+                    "key": row.key,
+                    "other": row.other,
+                    "n_shared": row.n_shared,
+                    "jaccard": row.jaccard,
+                    "dtw_m": dtw_distance(pa, pb, haversine_m_exact, band=band),
+                })
+            yield pd.DataFrame(recs)
+
+    return joined.mapInPandas(kernel, schema)
+
+
+def dtw_sql(pts_cte: str, z: int, m: int, key: str = "user_id",
+            order_cols: tuple = ("ts",), band: int | None = None) -> str:
+    """DuckDB oracle body for the DTW pipeline (candidates -> resample ->
+    DTW), same anti-diagonal unroll as :func:`frechet_sql` but with the
+    ADDITIVE recurrence ``d + LEAST(...)`` (one addition per cell, same
+    operand values -> bit-identical) and the optional Sakoe-Chiba band
+    filter on the grid. Binds CTEs dt_* and ``dt_final``."""
+    body = route_similarity_sql(pts_cte, z, k=1, key=key)
+    order = ", ".join(order_cols)
+    hav = haversine_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    band_pred = f" AND ABS(a.i - b.i) <= {int(band)}" if band is not None else ""
+    stages = []
+    prev, prev2 = "dt_dp_0", None
+    for kdiag in range(1, 2 * m - 1):
+        p3 = (
+            f"""LEFT JOIN {prev2} p3 ON p3.key = g.key AND p3.other = g.other
+           AND p3.i = g.i - 1 AND p3.j = g.j - 1"""
+            if prev2
+            else ""
+        )
+        p3val = "COALESCE(p3.val, 1e308)" if prev2 else "1e308"
+        stages.append(f"""
+    dt_dp_{kdiag} AS MATERIALIZED (
+      SELECT g.key, g.other, g.i, g.j,
+             g.d + LEAST(COALESCE(p1.val, 1e308),
+                         COALESCE(p2.val, 1e308), {p3val}) AS val
+      FROM dt_grid g
+      LEFT JOIN {prev} p1 ON p1.key = g.key AND p1.other = g.other
+           AND p1.i = g.i - 1 AND p1.j = g.j
+      LEFT JOIN {prev} p2 ON p2.key = g.key AND p2.other = g.other
+           AND p2.i = g.i AND p2.j = g.j - 1
+      {p3}
+      WHERE g.i + g.j = {kdiag}
+    )""")
+        prev2, prev = prev, f"dt_dp_{kdiag}"
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM dt_dp_{k2}" for k2 in range(2 * m - 1)
+    )
+    return f"""{body},
+    dt_ranked AS MATERIALIZED (
+      SELECT {key} AS key, lat, lon,
+             ROW_NUMBER() OVER (PARTITION BY {key} ORDER BY {order}) AS rn,
+             COUNT(*) OVER (PARTITION BY {key}) AS n
+      FROM {pts_cte}
+    ),
+    dt_samp AS MATERIALIZED (
+      SELECT key, (rn - 1) * {m} // n AS idx, lat, lon, rn FROM dt_ranked
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY key, (rn - 1) * {m} // n ORDER BY rn) = 1
+    ),
+    dt_idx AS MATERIALIZED (
+      SELECT key,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY idx) - 1 AS i,
+             lat, lon
+      FROM dt_samp
+    ),
+    dt_len AS MATERIALIZED (SELECT key, COUNT(*) AS n FROM dt_idx GROUP BY key),
+    dt_grid AS MATERIALIZED (
+      SELECT t.key, t.other, a.i AS i, b.i AS j, {hav} AS d
+      FROM rc_top t
+      JOIN dt_idx a ON a.key = t.key
+      JOIN dt_idx b ON b.key = t.other{band_pred}
+    ),
+    dt_dp_0 AS MATERIALIZED (
+      SELECT key, other, i, j, d AS val FROM dt_grid WHERE i = 0 AND j = 0
+    ),{",".join(stages)},
+    dt_all AS MATERIALIZED (
+      {union}
+    ),
+    dt_final AS MATERIALIZED (
+      SELECT f.key, f.other, t.n_shared, t.jaccard, f.val AS dtw_m
+      FROM dt_all f
+      JOIN dt_len na ON na.key = f.key
+      JOIN dt_len nb ON nb.key = f.other
+      JOIN rc_top t ON t.key = f.key AND t.other = f.other
+      WHERE f.i = na.n - 1 AND f.j = nb.n - 1
+    )
+    """
+
+
 __all__ = [
     "route_cells",
     "route_pair_jaccard",
@@ -611,6 +773,9 @@ __all__ = [
     "frechet_refine",
     "discrete_frechet",
     "frechet_sql",
+    "dtw_distance",
+    "dtw_refine",
+    "dtw_sql",
     "stay_points",
     "stay_points_sql",
 ]

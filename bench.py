@@ -131,6 +131,10 @@ HEADLINE = [
     "route_simplicity_users",
     "route_fraction_points",
     "emerging_hotspots_cells",
+    "region_cover_lookup_events",
+    "contact_pairs_events",
+    "elevation_gain_users",
+    "dtw_route_refine",
 ]
 
 
