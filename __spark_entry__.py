@@ -1448,6 +1448,42 @@ def _region_cover_lookup_sql() -> str:
     """
 
 
+def geofence_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Union + ST_Area over the geofence set (sweep.rect_union_sweep):
+    union measure without double-counting overlaps, by coordinate-
+    compression sweep — strip assignment via two boundary equi-joins (a
+    rect's own edges ARE boundaries), interval-union length as one window
+    pass. All BIGINT on the z_max lattice. The unpartitioned boundary
+    window moves only the 2x|rects| compressed edge table — the same
+    bounded post-rollup trade gi_star documents. The oracle computes
+    y_covered by BRUTE per-cell COUNT(DISTINCT y) per strip — a different
+    algorithm, one hash."""
+    from activity_files_spark.operators.sweep import rect_union_sweep
+
+    rects = _qc_rects(_read(spark, sf_dir, "nation"))
+    return rect_union_sweep(rects).orderBy("x_lo")
+
+
+def _geofence_union_sql() -> str:
+    from activity_files_spark.operators.sweep import rect_union_sweep_sql
+
+    body = rect_union_sweep_sql("rects")
+    return f"""
+    WITH rects AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS region_id,
+             (CAST(n_nationkey AS BIGINT) * 937) % 3500 AS ax,
+             (CAST(n_nationkey AS BIGINT) * 541) % 3500 AS ay,
+             (CAST(n_nationkey AS BIGINT) * 937) % 3500
+               + 17 + (CAST(n_nationkey AS BIGINT) * 131) % 500 AS bx,
+             (CAST(n_nationkey AS BIGINT) * 541) % 3500
+               + 17 + (CAST(n_nationkey AS BIGINT) * 277) % 500 AS by
+      FROM nation
+    ),
+    {body}
+    SELECT x_lo, x_hi, n_rects, y_covered, area FROM ru_out ORDER BY x_lo
+    """
+
+
 SP_Z = 12  # shortest-path cell zoom
 SP_ROUNDS = 14  # >= max node count - 1 at the smallest tier, so settled holds everywhere
 
@@ -6118,6 +6154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_cover_lookup_events": region_cover_lookup_events,
         "contact_pairs_events": contact_pairs_events,
         "elevation_gain_users": elevation_gain_users,
+        "geofence_union_area": geofence_union_area,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -6224,6 +6261,7 @@ def oracle_sql() -> dict[str, str]:
         "region_cover_lookup_events": _region_cover_lookup_sql(),
         "contact_pairs_events": _contact_pairs_sql(),
         "elevation_gain_users": _elevation_gain_sql(),
+        "geofence_union_area": _geofence_union_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),

@@ -135,6 +135,7 @@ HEADLINE = [
     "contact_pairs_events",
     "elevation_gain_users",
     "dtw_route_refine",
+    "geofence_union_area",
 ]
 
 
