@@ -522,6 +522,8 @@ SCALE_TIER_QUERIES = (
     "contour_heatmap_events",
     # per-user window sort (exact order statistics) — flat per row
     "speed_percentiles_users",
+    # sequential dead-band walk per user, one row out per key — flat per row
+    "elevation_gain_users",
 )
 
 
