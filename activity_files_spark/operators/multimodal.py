@@ -1,18 +1,21 @@
 """Multimodal columns: audio/video as opaque binary + typed metadata.
 
-Five REAL codecs are implemented pure-python (the container has no media
-libraries): RIFF/WAVE PCM16, FLAC (codecs/flac.py — a real RFC 9639
-bitstream codec with rice coding and stereo decorrelation), and Ogg-FLAC
+Seven REAL container codecs are implemented pure-python (the sandbox has no
+media libraries): RIFF/WAVE PCM16, FLAC (codecs/flac.py — a real RFC 9639
+bitstream codec with rice coding and stereo decorrelation), Ogg-FLAC
 (codecs/ogg.py — RFC 3533 page framing + the xiph FLAC-to-Ogg mapping
-over the same bitstream codec) for audio; YUV4MPEG2 (Y4M, the format
-ffmpeg/x264/mplayer exchange uncompressed video in) and ISO BMFF MP4
-with QuickTime 'raw ' uncompressed RGB payloads (codecs/mp4.py — real
-box walk + stts/stsc/stsz/stco sample-table demux) for video.
-Remaining compressed codecs (mp3, webm/mkv, ogg-vorbis and avc1/hev1
-payloads) are honestly stubbed with NotImplementedError — they need bindings
-absent from this container — but the Spark-side plumbing (schemas, Arrow
-batch shapes, frame/sample offset math, partitioning) is identical for a
-real libav binding dropped in.
+over the same bitstream codec), and the MP3 frame layer (codecs/mp3.py —
+header/length math, CRC-16, ID3, Xing/VBRI) for audio; YUV4MPEG2 (Y4M,
+the format ffmpeg/x264/mplayer exchange uncompressed video in), ISO BMFF
+MP4 with QuickTime 'raw ' uncompressed RGB payloads (codecs/mp4.py — real
+box walk + stts/stsc/stsz/stco sample-table demux), and Matroska/WebM
+(codecs/mkv.py — real EBML walk with laced I420 blocks) for video.
+The one remaining PCM-decode stub is MP3 Layer III audio synthesis
+(polyphase filterbank + huffman tables — a binding's job); its container
+walk is real, the same container-vs-payload split as MP4 avc1 / MKV V_VP9
+payloads. The Spark-side plumbing (schemas, Arrow batch shapes,
+frame/sample offset math, partitioning) is identical for a real libav
+binding dropped in.
 
 Schemas:
   audio: (clip_id string, bytes binary, sample_rate int, n_samples long,
