@@ -1464,6 +1464,68 @@ def geofence_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rect_union_sweep(rects).orderBy("x_lo")
 
 
+def _overlap_rects(supplier: DataFrame) -> DataFrame:
+    """Denser deterministic geofence rects from supplier keys (100 at
+    sf0.01 on a 2000-lattice -> 162 true overlap pairs), so the overlay
+    join has a real workload; same inclusive cell-rect convention as
+    :func:`_qc_rects`."""
+    k = F.col("s_suppkey").cast("long")
+    ax = (k * 937) % 2000
+    ay = (k * 541) % 2000
+    return supplier.select(
+        k.alias("region_id"),
+        ax.alias("ax"),
+        ay.alias("ay"),
+        (ax + 17 + (k * 131) % 400).alias("bx"),
+        (ay + 17 + (k * 277) % 400).alias("by"),
+    )
+
+
+def geofence_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersects + ST_Intersection measure as a relational overlay
+    join (sweep.rect_overlap_pairs): every overlapping geofence pair with
+    exact BIGINT intersection/union areas and the Jaccard overlap.
+    Candidates come from an EQUI-join on exploded coarse grid cells
+    (complete by construction — a non-empty intersection occupies a
+    coarse cell both rects cover), pair-dedup runs on bare ids, and the
+    inclusive-arithmetic refine happens in the join projection; no
+    nested-loop node anywhere. The oracle is the BRUTE all-pairs overlap
+    join — a different algorithm, one hash. Reference parity: the overlap
+    half of the geofence analytics the reference's GeoJSON polygon
+    validation exercises (lib/src/parsers/geojson_parser.dart polygon
+    handling); areas on the z_max lattice."""
+    from activity_files_spark.operators.sweep import rect_overlap_pairs
+
+    rects = _overlap_rects(_read(spark, sf_dir, "supplier"))
+    out = rect_overlap_pairs(rects, cell=256)
+    return out.select(
+        "region_id_a", "region_id_b", "inter_area", "area_a", "area_b",
+        "union_area", F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("region_id_a", "region_id_b")
+
+
+def _geofence_overlap_sql() -> str:
+    from activity_files_spark.operators.sweep import rect_overlap_pairs_sql
+
+    body = rect_overlap_pairs_sql("go_rects")
+    return f"""
+    WITH go_rects AS (
+      SELECT CAST(s_suppkey AS BIGINT) AS region_id,
+             (CAST(s_suppkey AS BIGINT) * 937) % 2000 AS ax,
+             (CAST(s_suppkey AS BIGINT) * 541) % 2000 AS ay,
+             (CAST(s_suppkey AS BIGINT) * 937) % 2000
+               + 17 + (CAST(s_suppkey AS BIGINT) * 131) % 400 AS bx,
+             (CAST(s_suppkey AS BIGINT) * 541) % 2000
+               + 17 + (CAST(s_suppkey AS BIGINT) * 277) % 400 AS by
+      FROM supplier
+    ),
+    {body}
+    SELECT region_id_a, region_id_b, inter_area, area_a, area_b, union_area,
+           ROUND(jaccard, 6) AS jaccard
+    FROM ro_out ORDER BY region_id_a, region_id_b
+    """
+
+
 def _geofence_union_sql() -> str:
     from activity_files_spark.operators.sweep import rect_union_sweep_sql
 
@@ -6155,6 +6217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contact_pairs_events": contact_pairs_events,
         "elevation_gain_users": elevation_gain_users,
         "geofence_union_area": geofence_union_area,
+        "geofence_overlap_pairs": geofence_overlap_pairs,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -6262,6 +6325,7 @@ def oracle_sql() -> dict[str, str]:
         "contact_pairs_events": _contact_pairs_sql(),
         "elevation_gain_users": _elevation_gain_sql(),
         "geofence_union_area": _geofence_union_sql(),
+        "geofence_overlap_pairs": _geofence_overlap_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),

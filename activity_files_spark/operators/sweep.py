@@ -120,4 +120,131 @@ def rect_union_sweep_sql(rects_cte: str) -> str:
     """
 
 
-__all__ = ["rect_union_sweep", "rect_union_sweep_sql"]
+def rect_overlap_pairs(
+    rects: DataFrame, cell: int = 256, key: str = "region_id"
+) -> DataFrame:
+    """ST_Intersects + ST_Intersection-measure as a JOIN: every ordered
+    pair of overlapping rects with the exact intersection area, union
+    area, and Jaccard overlap (inclusive integer cell rects ax/ay/bx/by
+    on the z_max lattice — the repo's geofence representation).
+
+    Plan shape (100 TB discipline)
+    ------------------------------
+    A rect-rect range join is a BroadcastNestedLoopJoin — banned by the
+    plan-lint gate and quadratic at corpus scale. Instead each rect
+    explodes into the coarse ``cell``-sized grid cells it touches
+    (``sequence(ax/cell, bx/cell) x sequence(ay/cell, by/cell)`` — a few
+    cells per rect when ``cell`` is sized near the rect scale), candidate
+    pairs come from an EQUI-join on the packed coarse cell id, and the
+    exact inclusive-arithmetic refine runs inside the join projection:
+    ``iw = least(bx_a, bx_b) - greatest(ax_a, ax_b) + 1`` (same for iy),
+    overlap iff both positive. Completeness is by construction: a
+    non-empty intersection occupies at least one coarse cell, and that
+    cell is covered by BOTH rects, so every true pair collides. The
+    multi-cell dedup runs on bare id pairs (``dropDuplicates`` before the
+    corner columns re-attach via the refine) — the same vector-free
+    exchange discipline the ANN joins use. Shuffles: one hash exchange on
+    coarse cell, one on the pair key. Skewed dense cells split under AQE.
+
+    Returns one row per overlapping pair (``key_a < key_b``):
+    ``inter_area``, ``area_a``, ``area_b``, ``union_area`` (all BIGINT)
+    and ``jaccard`` (DOUBLE, inter/union).
+    """
+    if cell <= 0:
+        raise ValueError(f"cell must be positive (got {cell})")
+    tagged = rects.select(
+        F.col(key).alias("rid"),
+        "ax", "ay", "bx", "by",
+        ((F.col("bx") - F.col("ax") + 1) * (F.col("by") - F.col("ay") + 1)).alias("area"),
+    )
+    covered = tagged.select(
+        "rid", "ax", "ay", "bx", "by", "area",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("ax") / cell).cast("long"),
+                F.floor(F.col("bx") / cell).cast("long"),
+            )
+        ).alias("gx"),
+    ).select(
+        "rid", "ax", "ay", "bx", "by", "area", "gx",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("ay") / cell).cast("long"),
+                F.floor(F.col("by") / cell).cast("long"),
+            )
+        ).alias("gy"),
+    ).select(
+        "rid", "ax", "ay", "bx", "by", "area",
+        (F.col("gx") * F.lit(1 << 31) + F.col("gy")).alias("gcell"),
+    )
+    a = covered.select(F.col("rid").alias("rid_a"), F.col("gcell").alias("gcell"))
+    b = covered.select(F.col("rid").alias("rid_b"), F.col("gcell").alias("gcell"))
+    cand = (
+        a.join(b, "gcell")
+        .where(F.col("rid_a") < F.col("rid_b"))
+        .select("rid_a", "rid_b")
+        .dropDuplicates(["rid_a", "rid_b"])
+    )
+    ca = tagged.select(
+        F.col("rid").alias("rid_a"), F.col("ax").alias("ax_a"), F.col("ay").alias("ay_a"),
+        F.col("bx").alias("bx_a"), F.col("by").alias("by_a"), F.col("area").alias("area_a"),
+    )
+    cb = tagged.select(
+        F.col("rid").alias("rid_b"), F.col("ax").alias("ax_b"), F.col("ay").alias("ay_b"),
+        F.col("bx").alias("bx_b"), F.col("by").alias("by_b"), F.col("area").alias("area_b"),
+    )
+    iw = F.least("bx_a", "bx_b") - F.greatest("ax_a", "ax_b") + 1
+    ih = F.least("by_a", "by_b") - F.greatest("ay_a", "ay_b") + 1
+    return (
+        cand.join(ca, "rid_a").join(cb, "rid_b")
+        .withColumn("inter_area", F.greatest(iw, F.lit(0)) * F.greatest(ih, F.lit(0)))
+        .where(F.col("inter_area") > 0)
+        .select(
+            F.col("rid_a").alias(f"{key}_a"),
+            F.col("rid_b").alias(f"{key}_b"),
+            "inter_area", "area_a", "area_b",
+            (F.col("area_a") + F.col("area_b") - F.col("inter_area")).alias("union_area"),
+            (
+                F.col("inter_area").cast("double")
+                / (F.col("area_a") + F.col("area_b") - F.col("inter_area"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def rect_overlap_pairs_sql(rects_cte: str, key: str = "region_id") -> str:
+    """DuckDB oracle twin for :func:`rect_overlap_pairs` — a DIFFERENT
+    algorithm: the brute all-pairs join with the inclusive-arithmetic
+    overlap test directly in the predicate (no cells, no dedup). Binds
+    ``ro_out``; select from it. Exact integer arithmetic both sides, so
+    the only float (jaccard) is one division of identical BIGINTs."""
+    return f"""
+    ro_out AS (
+      SELECT a.{key} AS {key}_a, b.{key} AS {key}_b,
+             (LEAST(a.bx, b.bx) - GREATEST(a.ax, b.ax) + 1)
+               * (LEAST(a.by, b.by) - GREATEST(a.ay, b.ay) + 1) AS inter_area,
+             (a.bx - a.ax + 1) * (a.by - a.ay + 1) AS area_a,
+             (b.bx - b.ax + 1) * (b.by - b.ay + 1) AS area_b,
+             (a.bx - a.ax + 1) * (a.by - a.ay + 1)
+               + (b.bx - b.ax + 1) * (b.by - b.ay + 1)
+               - (LEAST(a.bx, b.bx) - GREATEST(a.ax, b.ax) + 1)
+                 * (LEAST(a.by, b.by) - GREATEST(a.ay, b.ay) + 1) AS union_area,
+             CAST((LEAST(a.bx, b.bx) - GREATEST(a.ax, b.ax) + 1)
+                  * (LEAST(a.by, b.by) - GREATEST(a.ay, b.ay) + 1) AS DOUBLE)
+               / ((a.bx - a.ax + 1) * (a.by - a.ay + 1)
+                  + (b.bx - b.ax + 1) * (b.by - b.ay + 1)
+                  - (LEAST(a.bx, b.bx) - GREATEST(a.ax, b.ax) + 1)
+                    * (LEAST(a.by, b.by) - GREATEST(a.ay, b.ay) + 1)) AS jaccard
+      FROM {rects_cte} a JOIN {rects_cte} b ON a.{key} < b.{key}
+      WHERE LEAST(a.bx, b.bx) - GREATEST(a.ax, b.ax) + 1 > 0
+        AND LEAST(a.by, b.by) - GREATEST(a.ay, b.ay) + 1 > 0
+    )
+    """
+
+
+__all__ = [
+    "rect_union_sweep",
+    "rect_union_sweep_sql",
+    "rect_overlap_pairs",
+    "rect_overlap_pairs_sql",
+]
