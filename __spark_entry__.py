@@ -3399,6 +3399,47 @@ def _image_histogram_sql() -> str:
     """
 
 
+def image_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GIF89a codec (codecs/gif.py — real CompuServe container: LZW
+    dictionary stream, variable 9->12-bit codes, sub-block framing,
+    gray palette) driven end-to-end: synthesize the deterministic gray
+    sawtooth per row, encode (even rows dictionary-LZW, odd rows the
+    vectorized all-literal fast path), decode the container back, and pin
+    exact value + POSITION aggregates of the decoded pixels. The formula
+    is modular arithmetic, so the DuckDB oracle replays every aggregate
+    closed-form with no decoder at all; ``lossless`` must be uniformly
+    TRUE (palette-indexed gray is exact by construction)."""
+    from activity_files_spark.operators.tiling import gif_roundtrip_stats
+
+    ids = spark.range(0, N_IMAGES_CORRECTNESS, 1, 8).select(F.col("id").alias("i"))
+    out = gif_roundtrip_stats(ids)
+    return out.select(
+        "image_id", "w", "h", "n_px", "val_sum", "moment", "lossless"
+    ).orderBy("image_id")
+
+
+def _image_gif_sql() -> str:
+    n = N_IMAGES_CORRECTNESS
+    return f"""
+    WITH imgs AS (
+      SELECT i, 24 + (i % 5) * 8 AS w, 16 + (i % 3) * 16 AS h
+      FROM range({n}) t(i)
+    ), pix AS (
+      SELECT i, w, h, ((3 * x + 5 * y + 7 * i) % 256) AS val,
+             (y * w + x + 1) AS pos
+      FROM imgs, range(48) ty(y), range(56) tx(x)
+      WHERE x < w AND y < h
+    )
+    SELECT printf('gif_%06d', i) AS image_id,
+           CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(val) AS BIGINT) AS val_sum,
+           CAST(SUM(val * pos) AS BIGINT) AS moment,
+           TRUE AS lossless
+    FROM pix GROUP BY i, w, h ORDER BY image_id
+    """
+
+
 def image_invariants_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-replayable half of validate_images, hash-gated: the
     validator kernel's caption-equality verdicts plus dimension and
@@ -6262,6 +6303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix_trips": od_matrix_trips,
         "image_invariants_summary": image_invariants_summary,
         "image_histogram_stats": image_histogram_stats,
+        "image_gif_stats": image_gif_stats,
         "stream_tile_rollup_cells": stream_tile_rollup_cells,
         "hamming_near_dups_docs": hamming_near_dups_docs,
         "dedup_clusters_docs": dedup_clusters_docs,
@@ -6370,6 +6412,7 @@ def oracle_sql() -> dict[str, str]:
         "od_matrix_trips": _od_matrix_sql(),
         "image_invariants_summary": _image_invariants_sql(),
         "image_histogram_stats": _image_histogram_sql(),
+        "image_gif_stats": _image_gif_sql(),
         "stream_tile_rollup_cells": _stream_tile_rollup_sql(),
         "hamming_near_dups_docs": _hamming_near_dups_sql(),
         "dedup_clusters_docs": _dedup_clusters_sql(),

@@ -7,6 +7,10 @@ No image libraries exist in this container (no PIL/cv2), so:
   4-byte row padding) — lossless, readable by any standard tool.
 - **png**: real 8-bit RGB PNG (zlib, filter 0) — lossless, standards-valid
   (checked against the PNG spec CRC/chunk layout).
+- **gif**: real GIF89a (dictionary LZW, sub-block framing — see
+  :mod:`activity_files_spark.codecs.gif`) for the gray-palette tier,
+  where palette indexing is exact; color input raises rather than
+  quantizing.
 - **jpeg**: REAL baseline JPEG (ITU T.81 SOF0, Annex-K tables — see
   :mod:`activity_files_spark.codecs.jpeg`) at quality 98 / 4:4:4, which
   holds the pipeline's PSNR >= 40 dB lossy invariant even on the
@@ -189,6 +193,10 @@ def encode(px: np.ndarray, fmt: str) -> bytes:
         return encode_png(px)
     if fmt == "jpeg":
         return encode_jpeg(px)
+    if fmt == "gif":
+        from activity_files_spark.codecs.gif import encode_gif
+
+        return encode_gif(px)  # grayscale tier; color raises (no quantizer)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -199,10 +207,15 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return decode_png(data)
     if fmt == "jpeg":
         return decode_jpeg(data)
+    if fmt == "gif":
+        from activity_files_spark.codecs.gif import decode_gif
+
+        return decode_gif(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
-LOSSLESS_FMTS = {"png", "bmp"}
+# gif is lossless for the gray-palette tier the encoder accepts
+LOSSLESS_FMTS = {"png", "bmp", "gif"}
 
 
 # ------------------------------------------------------------------ metrics

@@ -207,6 +207,71 @@ def image_channel_stats(images: DataFrame) -> DataFrame:
     return images.mapInPandas(kernel, schema)
 
 
+def gif_roundtrip_stats(ids: DataFrame, id_col: str = "i") -> DataFrame:
+    """Drive the GIF89a codec (codecs/gif.py) end-to-end per row index
+    ``i``: synthesize the deterministic gray sawtooth
+    ``gray(x, y) = (3x + 5y + 7i) mod 256`` at ``w = 24 + (i%5)*8``,
+    ``h = 16 + (i%3)*16``, encode it as a REAL GIF bitstream (even rows
+    through the dictionary-LZW path, odd rows through the vectorized
+    all-literal path — both valid GIF LZW), decode the container back,
+    and emit exact pixel aggregates from the DECODED array:
+
+    - ``val_sum``   = Σ gray                      (pins values)
+    - ``moment``    = Σ gray * (y*w + x + 1)      (pins POSITIONS — any
+      transpose/reorder/off-by-one in the LZW or sub-block walk shifts it)
+    - ``lossless``  = decoded == synthesized, bit-for-bit
+
+    The formula is exact modular arithmetic, so a SQL twin replays every
+    aggregate with no decoder at all (the same closed-form discipline as
+    image_channel_stats); ``lossless`` must come back uniformly TRUE.
+    Pure map over Arrow batches — no shuffle, scan-bound at corpus scale.
+    """
+    from activity_files_spark.codecs.gif import decode_gif, encode_gif
+
+    schema = (
+        "image_id string, w int, h int, n_px long, val_sum long, "
+        "moment long, n_bytes long, lossless boolean"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for i in pdf[id_col].astype("int64"):
+                i = int(i)
+                w = 24 + (i % 5) * 8
+                h = 16 + (i % 3) * 16
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                gray = ((3 * x + 5 * y + 7 * i) % 256).astype(np.uint8)
+                data = encode_gif(gray, compress=(i % 2 == 0))
+                dec = decode_gif(data)
+                g2 = dec[:, :, 0]
+                ok = bool(
+                    np.array_equal(g2, gray)
+                    and np.array_equal(dec[:, :, 1], gray)
+                    and np.array_equal(dec[:, :, 2], gray)
+                )
+                pos = (y * w + x + 1).astype(np.int64)
+                recs.append(
+                    {
+                        "image_id": f"gif_{i:06d}",
+                        "w": w,
+                        "h": h,
+                        "n_px": int(w * h),
+                        "val_sum": int(g2.astype(np.int64).sum()),
+                        "moment": int((g2.astype(np.int64) * pos).sum()),
+                        "n_bytes": len(data),
+                        "lossless": ok,
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[
+                "image_id", "w", "h", "n_px", "val_sum", "moment",
+                "n_bytes", "lossless",
+            ])
+
+    return ids.mapInPandas(kernel, schema)
+
+
 def salted_repartition(
     df: DataFrame, key: str, salt_buckets: int, unique_col: str, n_partitions: int | None = None
 ) -> DataFrame:

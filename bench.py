@@ -119,6 +119,7 @@ HEADLINE = [
     "raster_blur_tiles",
     "contour_heatmap_events",
     "image_histogram_stats",
+    "image_gif_stats",
     "within_radius_events",
     "speed_percentiles_users",
     "s2_tile_images",
@@ -136,6 +137,7 @@ HEADLINE = [
     "elevation_gain_users",
     "dtw_route_refine",
     "geofence_union_area",
+    "geofence_overlap_pairs",
 ]
 
 
