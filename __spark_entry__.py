@@ -1481,6 +1481,64 @@ def _overlap_rects(supplier: DataFrame) -> DataFrame:
     )
 
 
+def hll_distinct_users_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT(DISTINCT) per z12 cell via the relational
+    HyperLogLog sketch (operators/sketch.py) — the distinct-cardinality
+    primitive a 10^12-row corpus needs (exact distinct shuffles every
+    distinct key; the sketch ships 256 small integers per cell and merges
+    associatively). Every op is integer arithmetic both engines share
+    (Mersenne-prime mixing, smear+bit_count ranks, one BIGINT register
+    sum), and the float estimate is one division/ln of identical
+    operands, so the DuckDB oracle replays the sketch BIT-FOR-BIT — the
+    exact distinct count is computed alongside for honesty (the estimate
+    lands within HLL's 1.04/sqrt(256) error band of it)."""
+    from activity_files_spark.functions.quadkey import cell_id_col
+    from activity_files_spark.operators.sketch import hll_distinct
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        _lat_col().alias("lat"), _lon_col().alias("lon"),
+    )
+    pts = ev.select(
+        cell_id_col(F.col("lat"), F.col("lon"), 12).alias("cell"), "user_id"
+    )
+    sk = hll_distinct(pts, ["cell"], "user_id")
+    exact = pts.groupBy("cell").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        sk.join(exact, "cell")
+        .select(
+            "cell", "n_rows", "n_exact", "n_buckets_hit", "reg_sum",
+            F.round("hll_est", 6).alias("hll_est"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _hll_distinct_sql() -> str:
+    from activity_files_spark.functions.quadkey import cell_id_sql
+    from activity_files_spark.operators.sketch import hll_distinct_sql
+
+    cell = cell_id_sql("lat", "lon", 12)
+    body = hll_distinct_sql("hq_pts", ["cell"], "user_id")
+    return f"""
+    WITH hq_pts AS (
+      SELECT {cell} AS cell, CAST(user_id AS BIGINT) AS user_id
+      FROM (SELECT user_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+            FROM events) t
+    ),
+    {body},
+    hq_exact AS (
+      SELECT cell, COUNT(DISTINCT user_id) AS n_exact FROM hq_pts GROUP BY cell
+    )
+    SELECT h.cell, h.n_rows, e.n_exact, h.n_buckets_hit, h.reg_sum,
+           ROUND(h.hll_est, 6) AS hll_est
+    FROM hll_out h JOIN hq_exact e USING (cell)
+    ORDER BY h.cell
+    """
+
+
 def geofence_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Intersects + ST_Intersection measure as a relational overlay
     join (sweep.rect_overlap_pairs): every overlapping geofence pair with
@@ -6259,6 +6317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elevation_gain_users": elevation_gain_users,
         "geofence_union_area": geofence_union_area,
         "geofence_overlap_pairs": geofence_overlap_pairs,
+        "hll_distinct_users_cells": hll_distinct_users_cells,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -6368,6 +6427,7 @@ def oracle_sql() -> dict[str, str]:
         "elevation_gain_users": _elevation_gain_sql(),
         "geofence_union_area": _geofence_union_sql(),
         "geofence_overlap_pairs": _geofence_overlap_sql(),
+        "hll_distinct_users_cells": _hll_distinct_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),

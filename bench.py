@@ -138,6 +138,7 @@ HEADLINE = [
     "dtw_route_refine",
     "geofence_union_area",
     "geofence_overlap_pairs",
+    "hll_distinct_users_cells",
 ]
 
 

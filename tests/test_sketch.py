@@ -1,0 +1,111 @@
+"""HyperLogLog sketch: cross-engine hash parity, accuracy within the
+theoretical error band, merge associativity, and edge cases."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from activity_files_spark.operators.sketch import (
+    _MAX_RANK,
+    _M_REG,
+    _mix_sql,
+    hll_distinct,
+    hll_distinct_sql,
+    hll_estimate_py,
+    hll_mix_py,
+)
+
+
+def test_mix_duckdb_matches_scalar():
+    ids = [0, 1, 2, 7, 12345, 2**31 - 1, 2**31, 2**40 + 123, 999999999999, 2**61]
+    con = duckdb.connect()
+    got = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {_mix_sql('CAST(x AS BIGINT)')} AS h "
+            f"FROM (SELECT unnest({ids}) AS x)"
+        ).fetchall()
+    ]
+    assert got == [hll_mix_py(x) for x in ids]
+
+
+def test_mix_stays_in_61_bits_and_spreads():
+    hs = [hll_mix_py(i * 7 + 3) for i in range(4096)]
+    assert all(0 <= h < (1 << 61) for h in hs)
+    # buckets spread: no bucket takes more than 4x its fair share
+    buckets = [0] * _M_REG
+    for h in hs:
+        buckets[h % _M_REG] += 1
+    assert max(buckets) <= 4 * (4096 // _M_REG)
+
+
+@pytest.mark.parametrize("n", [50, 137, 5000, 60000])
+def test_scalar_accuracy_within_band(n):
+    est = hll_estimate_py([i * 13 + 5 for i in range(n)])
+    # 1.04/sqrt(256) = 6.5% standard error; allow 3 sigma
+    assert abs(est - n) / n < 3 * 1.04 / math.sqrt(_M_REG)
+
+
+def test_scalar_linear_counting_small_n():
+    # tiny cardinalities take the linear-counting branch and are near-exact
+    for n in (1, 5, 20):
+        est = hll_estimate_py(range(n))
+        assert abs(est - n) <= max(1.0, 0.1 * n)
+
+
+def test_merge_associativity():
+    # max-of-maxes: sketching A ∪ B equals merging sketches of A and B —
+    # replayed at the register level with the scalar twin
+    from activity_files_spark.operators.sketch import hll_mix_py as mix
+
+    def regs(ids):
+        r = [0] * _M_REG
+        for x in ids:
+            h = mix(int(x))
+            v = h // _M_REG
+            r[h % _M_REG] = max(r[h % _M_REG], _MAX_RANK - (v.bit_length() if v else 0))
+        return r
+
+    a = [i * 3 for i in range(2000)]
+    b = [i * 5 + 1 for i in range(3000)]
+    merged = [max(x, y) for x, y in zip(regs(a), regs(b))]
+    assert merged == regs(a + b)
+
+
+def test_spark_matches_scalar_and_duckdb(spark):
+    df = spark.range(30000).select(
+        (F.col("id") % 2).alias("g"),
+        ((F.col("id") * 11) % 7919).alias("uid"),
+    )
+    rows = {r.g: r for r in hll_distinct(df, ["g"], "uid").collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE src AS SELECT (i % 2) AS g, (i * 11) % 7919 AS uid "
+        "FROM range(30000) t(i)"
+    )
+    body = hll_distinct_sql("src", ["g"], "uid")
+    for g, n_rows, hit, reg_sum, est in con.sql(
+        f"WITH {body} SELECT * FROM hll_out"
+    ).fetchall():
+        r = rows[g]
+        assert (r.n_rows, r.n_buckets_hit, r.reg_sum) == (n_rows, hit, reg_sum)
+        assert r.hll_est == est  # bit-equal float across engines
+    # and against the scalar twin
+    ids = {0: set(), 1: set()}
+    for i in range(30000):
+        ids[i % 2].add((i * 11) % 7919)
+    for g, r in rows.items():
+        assert r.hll_est == hll_estimate_py(ids[g])
+
+
+def test_spark_register_sum_bounds(spark):
+    df = spark.range(1000).select(F.lit(0).alias("g"), F.col("id").alias("uid"))
+    r = hll_distinct(df, ["g"], "uid").collect()[0]
+    # register sum is bounded by [256 (all ranks max) .. 256 * 2^54]
+    assert _M_REG <= r.reg_sum <= _M_REG * (1 << _MAX_RANK)
+    assert 1 <= r.n_buckets_hit <= _M_REG
+    assert r.n_rows == 1000
