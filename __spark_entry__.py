@@ -1481,6 +1481,57 @@ def _overlap_rects(supplier: DataFrame) -> DataFrame:
     )
 
 
+def theil_sen_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen trend slope per z12 cell (operators/autocorr.py
+    theil_sen_slope): the MAGNITUDE companion to emerging_hotspots'
+    Mann-Kendall direction — median pairwise slope of the cell's DAILY
+    event counts over a linear day index (days since epoch; the test
+    corpus spans one month, so days give ~30 buckets per cell where
+    months would give one), robust to single outlier days. Every slope
+    is one double division of exact integer-derived operands and the
+    median is a rank selection plus one (lo+hi)/2 average, so the DuckDB
+    oracle hash-matches the slopes bit-for-bit."""
+    from activity_files_spark.functions.quadkey import cell_id_col
+    from activity_files_spark.operators.autocorr import theil_sen_slope
+
+    ev = _read(spark, sf_dir, "events").select(
+        "ts", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    counts = (
+        ev.select(
+            cell_id_col(F.col("lat"), F.col("lon"), 12).alias("cell"),
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("t"),
+        )
+        .groupBy("cell", "t")
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    out = theil_sen_slope(counts, by=("cell",), t="t", v="v")
+    return out.select(
+        "cell", "n_buckets", "n_pairs", F.round("ts_slope", 6).alias("ts_slope")
+    ).orderBy("cell")
+
+
+def _theil_sen_sql() -> str:
+    from activity_files_spark.functions.quadkey import cell_id_sql
+    from activity_files_spark.operators.autocorr import theil_sen_sql
+
+    cell = cell_id_sql("lat", "lon", 12)
+    body = theil_sen_sql("tsc_counts", ("cell",), "t", "v")
+    return f"""
+    WITH tsc_counts AS (
+      SELECT cell, t, CAST(COUNT(*) AS DOUBLE) AS v FROM (
+        SELECT {cell} AS cell,
+               DATEDIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t
+        FROM (SELECT ts, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+              FROM events) p
+      ) q GROUP BY cell, t
+    ),
+    {body}
+    SELECT cell, n_buckets, n_pairs, ROUND(ts_slope, 6) AS ts_slope
+    FROM ts_out ORDER BY cell
+    """
+
+
 def hll_distinct_users_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate COUNT(DISTINCT) per z12 cell via the relational
     HyperLogLog sketch (operators/sketch.py) — the distinct-cardinality
@@ -6318,6 +6369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofence_union_area": geofence_union_area,
         "geofence_overlap_pairs": geofence_overlap_pairs,
         "hll_distinct_users_cells": hll_distinct_users_cells,
+        "theil_sen_cells": theil_sen_cells,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -6428,6 +6480,7 @@ def oracle_sql() -> dict[str, str]:
         "geofence_union_area": _geofence_union_sql(),
         "geofence_overlap_pairs": _geofence_overlap_sql(),
         "hll_distinct_users_cells": _hll_distinct_sql(),
+        "theil_sen_cells": _theil_sen_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),

@@ -354,3 +354,120 @@ def mann_kendall_py(series: list[float]) -> int:
         for j in range(i + 1, len(series)):
             s += (series[j] > series[i]) - (series[j] < series[i])
     return s
+
+
+def theil_sen_slope(
+    scored: DataFrame, by: tuple[str, ...], t: str, v: str
+) -> DataFrame:
+    """Theil-Sen slope estimator per key — the MAGNITUDE companion to
+    Mann-Kendall's direction (ArcGIS Emerging Hot Spot reports both): the
+    median over all bucket pairs t_i < t_j of (v_j - v_i) / (t_j - t_i),
+    robust to outlier buckets where least squares is not.
+
+    Median convention (deterministic in both engines): with the n_pairs
+    slopes sorted ascending, take ranks floor((n+1)/2) and ceil((n+1)/2)
+    and average them — the classic textbook median for both parities.
+    Each slope is one double division of exact integer-derived operands
+    and the average is (lo + hi) / 2 of identical doubles, so the result
+    is bit-equal cross-engine. Equal slopes make rank selection
+    order-independent (the value AT a rank is unique even if row order
+    under ties is not).
+
+    Per-key pair join, quadratic in BUCKETS (weeks/months — a small
+    constant), linear in keys; one hash exchange on the key.
+
+    Returns (*by, n_buckets, n_pairs, ts_slope) — keys with < 2 buckets
+    get n_pairs = 0 and NULL slope.
+    """
+    a = scored.select(*by, F.col(t).alias("_ta"), F.col(v).alias("_va"))
+    b = scored.select(*by, F.col(t).alias("_tb"), F.col(v).alias("_vb"))
+    pairs = (
+        a.join(b, on=list(by), how="inner")
+        .where(F.col("_ta") < F.col("_tb"))
+        .select(
+            *by,
+            (
+                (F.col("_vb") - F.col("_va")).cast("double")
+                / (F.col("_tb") - F.col("_ta")).cast("double")
+            ).alias("_slope"),
+        )
+    )
+    w = Window.partitionBy(*by).orderBy("_slope")
+    ranked = pairs.select(
+        *by, "_slope",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(Window.partitionBy(*by)).alias("_n"),
+    )
+    picked = ranked.where(
+        (F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        | (F.col("_rn") == F.ceil((F.col("_n") + 1) / 2))
+    )
+    med = picked.groupBy(*by).agg(
+        F.max("_n").alias("n_pairs"),
+        ((F.min("_slope") + F.max("_slope")) / F.lit(2.0)).alias("_med0"),
+    )
+    # odd n: one picked row -> min==max -> average is the row itself;
+    # even n: two picked rows -> (lo+hi)/2
+    keys = scored.groupBy(*by).agg(F.count("*").alias("n_buckets"))
+    out = keys.join(med, on=list(by), how="left").select(
+        *by,
+        "n_buckets",
+        F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+        F.col("_med0").alias("ts_slope"),
+    )
+    return out
+
+
+def theil_sen_py(points: list[tuple[int, float]]) -> float | None:
+    """Scalar twin over (t, v) points (in any order)."""
+    slopes = []
+    for i in range(len(points)):
+        for j in range(len(points)):
+            if points[i][0] < points[j][0]:
+                slopes.append(
+                    (points[j][1] - points[i][1]) / float(points[j][0] - points[i][0])
+                )
+    if not slopes:
+        return None
+    slopes.sort()
+    n = len(slopes)
+    lo = (n + 1) // 2
+    hi = (n + 2) // 2
+    return (slopes[lo - 1] + slopes[hi - 1]) / 2.0
+
+
+def theil_sen_sql(scored_cte: str, by: tuple[str, ...], t: str, v: str) -> str:
+    """DuckDB twin of :func:`theil_sen_slope`: binds ``ts_out`` with
+    columns (*by, n_pairs, ts_slope); select from it."""
+    gc = ", ".join(by)
+    on = " AND ".join(f"a.{c} = b.{c}" for c in by)
+    sel = ", ".join(f"a.{c} AS {c}" for c in by)
+    return f"""
+    ts_pairs AS (
+      SELECT {sel},
+             CAST(b.{v} - a.{v} AS DOUBLE)
+               / CAST(b.{t} - a.{t} AS DOUBLE) AS slope
+      FROM {scored_cte} a JOIN {scored_cte} b ON {on} AND a.{t} < b.{t}
+    ),
+    ts_ranked AS (
+      SELECT {gc}, slope,
+             ROW_NUMBER() OVER (PARTITION BY {gc} ORDER BY slope) AS rn,
+             COUNT(*) OVER (PARTITION BY {gc}) AS n
+      FROM ts_pairs
+    ),
+    ts_med AS (
+      SELECT {gc}, MAX(n) AS n_pairs,
+             (MIN(slope) + MAX(slope)) / 2.0 AS ts_slope
+      FROM ts_ranked
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY {gc}
+    ),
+    ts_keys AS (
+      SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n_buckets
+      FROM {scored_cte} GROUP BY {gc}
+    ),
+    ts_out AS (
+      SELECT k.*, COALESCE(m.n_pairs, 0) AS n_pairs, m.ts_slope
+      FROM ts_keys k LEFT JOIN ts_med m USING ({gc})
+    )
+    """

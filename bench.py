@@ -139,6 +139,7 @@ HEADLINE = [
     "geofence_union_area",
     "geofence_overlap_pairs",
     "hll_distinct_users_cells",
+    "theil_sen_cells",
 ]
 
 

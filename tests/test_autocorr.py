@@ -180,3 +180,64 @@ def test_mann_kendall(spark):
     }
     want = {k: (len(vs), mann_kendall_py(vs)) for k, vs in series.items()}
     assert got == want
+
+
+def test_theil_sen_scalar_known_values():
+    from activity_files_spark.operators.autocorr import theil_sen_py
+
+    # perfect line: slope exactly 2
+    assert theil_sen_py([(0, 1.0), (1, 3.0), (2, 5.0), (3, 7.0)]) == 2.0
+    # one outlier: median slope stays at 1 (robustness — OLS would not)
+    assert theil_sen_py([(0, 0.0), (1, 1.0), (2, 2.0), (3, 100.0), (4, 4.0)]) == 1.0
+    # fewer than 2 points: no slope
+    assert theil_sen_py([(0, 5.0)]) is None
+    assert theil_sen_py([]) is None
+    # odd pair count picks the middle slope exactly
+    assert theil_sen_py([(0, 0.0), (1, 2.0), (2, 2.0)]) == 1.0
+    # even pair count (n=4 -> 6 slopes) averages the two middle slopes
+    pts = [(0, 0.0), (1, 3.0), (2, 4.0), (3, 4.5)]
+    slopes = sorted(
+        (pts[j][1] - pts[i][1]) / (pts[j][0] - pts[i][0])
+        for i in range(4)
+        for j in range(i + 1, 4)
+    )
+    assert theil_sen_py(pts) == (slopes[2] + slopes[3]) / 2.0
+
+
+def test_theil_sen_spark_and_duckdb_match_scalar(spark):
+    from activity_files_spark.operators.autocorr import (
+        theil_sen_py,
+        theil_sen_slope,
+        theil_sen_sql,
+    )
+
+    rng = random.Random(11)
+    series = {}
+    for k in range(8):
+        n = rng.choice([1, 2, 5, 8, 9])
+        ts = sorted(rng.sample(range(30), n))
+        series[k] = [(t, rng.uniform(-5, 5)) for t in ts]
+    rows = [(k, t, v) for k, pts in series.items() for t, v in pts]
+    df = spark.createDataFrame(rows, "key long, t long, v double")
+    got = {
+        r["key"]: (r["n_buckets"], r["n_pairs"], r["ts_slope"])
+        for r in theil_sen_slope(df, by=("key",), t="t", v="v").collect()
+    }
+    want = {
+        k: (
+            len(pts),
+            len(pts) * (len(pts) - 1) // 2,
+            theil_sen_py(pts),
+        )
+        for k, pts in series.items()
+    }
+    assert got == want
+    con = duckdb.connect()
+    con.execute("CREATE TABLE scored (key BIGINT, t BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO scored VALUES (?,?,?)", rows)
+    body = theil_sen_sql("scored", ("key",), "t", "v")
+    sql_got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(f"WITH {body} SELECT * FROM ts_out").fetchall()
+    }
+    assert sql_got == want
