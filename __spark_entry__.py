@@ -1481,6 +1481,69 @@ def _overlap_rects(supplier: DataFrame) -> DataFrame:
     )
 
 
+def route_buffer_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Buffer over each user's route in raster space
+    (raster.dilate_cells): Chebyshev-2 dilation of the distinct z15 route
+    cells — the proximity corridor a "within ~2 cells of the route" scan
+    reads. Spark runs the SEPARABLE two-pass dilation (x-explode +
+    distinct, then y), the oracle the one-shot (2r+1)^2 square expansion,
+    so the hash gate checks the separability argument itself. Cell-id
+    sums pin the exact buffered cell SET, not just counts."""
+    from activity_files_spark.functions.quadkey import tile_xy_col
+    from activity_files_spark.operators.raster import dilate_cells
+
+    z, r = 15, 2
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    x, y = tile_xy_col(F.col("lat"), F.col("lon"), z)
+    core = ev.select("user_id", x.alias("cx"), y.alias("cy")).distinct()
+    buf = dilate_cells(core, z, r=r, key="user_id")
+    core_agg = core.groupBy("user_id").agg(
+        F.count("*").alias("n_core"),
+        F.sum(F.shiftleft("cx", z) + F.col("cy")).alias("core_sum"),
+    )
+    buf_agg = buf.groupBy("user_id").agg(
+        F.count("*").alias("n_buffer"),
+        F.sum(F.shiftleft("cx", z) + F.col("cy")).alias("buffer_sum"),
+    )
+    return (
+        core_agg.join(buf_agg, "user_id")
+        .select("user_id", "n_core", "n_buffer", "core_sum", "buffer_sum")
+        .orderBy("user_id")
+    )
+
+
+def _route_buffer_sql() -> str:
+    from activity_files_spark.functions.quadkey import tile_xy_sql
+    from activity_files_spark.operators.raster import dilate_cells_sql
+
+    z, r = 15, 2
+    cx, cy = tile_xy_sql("lat", "lon", z)
+    body = dilate_cells_sql("rb_core", z, r=r, key="user_id")
+    return f"""
+    WITH rb_core AS (
+      SELECT DISTINCT user_id, {cx} AS cx, {cy} AS cy
+      FROM (SELECT user_id, {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+            FROM events) p
+    ),
+    {body},
+    rb_core_agg AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_core,
+             CAST(SUM((cx << {z}) + cy) AS BIGINT) AS core_sum
+      FROM rb_core GROUP BY user_id
+    ),
+    rb_buf_agg AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_buffer,
+             CAST(SUM((cx << {z}) + cy) AS BIGINT) AS buffer_sum
+      FROM dc_out GROUP BY user_id
+    )
+    SELECT user_id, n_core, n_buffer, core_sum, buffer_sum
+    FROM rb_core_agg JOIN rb_buf_agg USING (user_id)
+    ORDER BY user_id
+    """
+
+
 def theil_sen_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen trend slope per z12 cell (operators/autocorr.py
     theil_sen_slope): the MAGNITUDE companion to emerging_hotspots'
@@ -6370,6 +6433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofence_overlap_pairs": geofence_overlap_pairs,
         "hll_distinct_users_cells": hll_distinct_users_cells,
         "theil_sen_cells": theil_sen_cells,
+        "route_buffer_cells": route_buffer_cells,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -6481,6 +6545,7 @@ def oracle_sql() -> dict[str, str]:
         "geofence_overlap_pairs": _geofence_overlap_sql(),
         "hll_distinct_users_cells": _hll_distinct_sql(),
         "theil_sen_cells": _theil_sen_sql(),
+        "route_buffer_cells": _route_buffer_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),

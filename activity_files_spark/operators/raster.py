@@ -135,6 +135,60 @@ def box_blur(sparse: DataFrame, z: int, p: int = 8, r: int = 1) -> DataFrame:
     )
 
 
+def dilate_cells(
+    cells: DataFrame, z: int, r: int = 1, key: str = "user_id"
+) -> DataFrame:
+    """ST_Buffer in raster space: per-key Chebyshev-``r`` morphological
+    dilation of a distinct cell set (key, cx, cy) at zoom ``z`` — the
+    buffer polygon a geofence/route proximity query scans instead of
+    re-ray-casting geometry (cf. ST_Buffer + ST_Intersects idiom).
+
+    SEPARABLE like :func:`box_blur`: one x-explode + distinct, one
+    y-explode + distinct — explode factor 2(2r+1) instead of (2r+1)², and
+    the intermediate distinct caps the blowup at the x-dilated support.
+    Dilation with a square structuring element commutes with per-axis
+    clipping (the world bounds are axis-independent), so clipping inside
+    each pass is exact. Both passes are map-side-combined dedups; the
+    shuffle carries one row per dilated cell, not per (cell, offset).
+
+    The SQL twin is the DIFFERENT composition — one-shot (2r+1)² square
+    expansion + DISTINCT — so a hash match checks the separability
+    argument itself, not just the arithmetic.
+    """
+    if r < 0:
+        raise ValueError(f"negative radius {r}")
+    side = 1 << z
+    off = F.explode(F.sequence(F.lit(-r), F.lit(r))).alias("d")
+    xpass = (
+        cells.select(key, "cx", "cy", off)
+        .select(key, (F.col("cx") + F.col("d")).alias("cx"), "cy")
+        .where((F.col("cx") >= 0) & (F.col("cx") < side))
+        .distinct()
+    )
+    return (
+        xpass.select(key, "cx", "cy", off)
+        .select(key, "cx", (F.col("cy") + F.col("d")).alias("cy"))
+        .where((F.col("cy") >= 0) & (F.col("cy") < side))
+        .distinct()
+    )
+
+
+def dilate_cells_sql(cells_cte: str, z: int, r: int = 1, key: str = "user_id") -> str:
+    """DuckDB twin of :func:`dilate_cells` by direct square expansion
+    (no separability, no intermediate distinct). Binds ``dc_out``."""
+    side = 1 << z
+    return f"""
+    dc_out AS (
+      SELECT DISTINCT {key}, cx + dx AS cx, cy + dy AS cy
+      FROM (SELECT {key}, cx, cy, UNNEST(range(-{r}, {r + 1})) AS dx
+            FROM {cells_cte}) a
+      CROSS JOIN (SELECT UNNEST(range(-{r}, {r + 1})) AS dy) b
+      WHERE cx + dx >= 0 AND cx + dx < {side}
+        AND cy + dy >= 0 AND cy + dy < {side}
+    )
+    """
+
+
 def box_blur_sql(sparse_cte: str, z: int, p: int = 8, r: int = 1) -> str:
     """DuckDB twin over a CTE exposing (gx, gy, n) GLOBAL pixel counts
     (the pre-tiling shape — callers typically have it anyway). Binds

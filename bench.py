@@ -140,6 +140,7 @@ HEADLINE = [
     "geofence_overlap_pairs",
     "hll_distinct_users_cells",
     "theil_sen_cells",
+    "route_buffer_cells",
 ]
 
 
@@ -528,6 +529,12 @@ SCALE_TIER_QUERIES = (
     "speed_percentiles_users",
     # sequential dead-band walk per user, one row out per key — flat per row
     "elevation_gain_users",
+    # relational HLL: codegen'd hash + two map-side-combined groupBys;
+    # the shuffle is bounded at 256 x cells regardless of rows — per-row
+    # cost should IMPROVE at 10x
+    "hll_distinct_users_cells",
+    # per-cell pair join quadratic in DAYS (constant), linear in rows
+    "theil_sen_cells",
 )
 
 

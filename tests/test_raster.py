@@ -459,3 +459,71 @@ def test_contour_sql_twin_matches(spark):
         for r in contour_segments(sdf, z=z, p=p, threshold=2).collect()
     }
     assert got == exp
+
+
+def _brute_dilate(cells, z, r):
+    side = 1 << z
+    out = set()
+    for k, cx, cy in cells:
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                nx, ny = cx + dx, cy + dy
+                if 0 <= nx < side and 0 <= ny < side:
+                    out.add((k, nx, ny))
+    return out
+
+
+@pytest.mark.parametrize("r", [0, 1, 2, 3])
+def test_dilate_cells_vs_brute(spark, r):
+    from activity_files_spark.operators.raster import dilate_cells
+
+    z = 4  # small world: forces real boundary clipping
+    cells = [
+        (1, 0, 0), (1, 1, 0), (1, 15, 15),  # corners clip
+        (2, 8, 8), (2, 8, 9), (2, 9, 8),    # overlapping dilations dedup
+        (3, 0, 15),
+    ]
+    df = spark.createDataFrame(cells, "user_id long, cx long, cy long")
+    got = {
+        (row.user_id, row.cx, row.cy)
+        for row in dilate_cells(df, z, r=r, key="user_id").collect()
+    }
+    assert got == _brute_dilate(cells, z, r)
+
+
+def test_dilate_cells_sql_twin_matches(spark):
+    import duckdb
+
+    from activity_files_spark.operators.raster import dilate_cells, dilate_cells_sql
+
+    z, r = 5, 2
+    rng = np.random.default_rng(9)
+    cells = [
+        (int(k), int(x), int(y))
+        for k, x, y in zip(
+            rng.integers(0, 4, 60), rng.integers(0, 32, 60), rng.integers(0, 32, 60)
+        )
+    ]
+    cells = list(dict.fromkeys(cells))
+    df = spark.createDataFrame(cells, "user_id long, cx long, cy long")
+    got = {
+        (row.user_id, row.cx, row.cy)
+        for row in dilate_cells(df, z, r=r, key="user_id").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cells (user_id BIGINT, cx BIGINT, cy BIGINT)")
+    con.executemany("INSERT INTO cells VALUES (?,?,?)", cells)
+    body = dilate_cells_sql("cells", z, r=r, key="user_id")
+    sql_got = {
+        tuple(r)
+        for r in con.execute(f"WITH {body} SELECT * FROM dc_out").fetchall()
+    }
+    assert got == sql_got == _brute_dilate(cells, z, r)
+
+
+def test_dilate_cells_negative_radius_raises(spark):
+    from activity_files_spark.operators.raster import dilate_cells
+
+    df = spark.createDataFrame([(1, 0, 0)], "user_id long, cx long, cy long")
+    with pytest.raises(ValueError):
+        dilate_cells(df, 4, r=-1)
