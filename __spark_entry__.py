@@ -1481,6 +1481,77 @@ def _overlap_rects(supplier: DataFrame) -> DataFrame:
     )
 
 
+def sample_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-user sample (operators/sampling.py): the k=5
+    events whose mixed ids rank smallest per user — the reproducible
+    downsample a training pipeline takes of a 10^12-row corpus (stable
+    under re-runs, retries, partitioning, cluster size; none of which
+    holds for df.sample). Row-level gate: the oracle replays the hash and
+    must select the SAME rows in the SAME order."""
+    from activity_files_spark.operators.sampling import deterministic_sample
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_id")
+    out = deterministic_sample(ev, key="user_id", id_col="event_id", k=5)
+    return out.select("user_id", "sample_rank", "event_id").orderBy(
+        "user_id", "sample_rank"
+    )
+
+
+def _sample_events_sql() -> str:
+    from activity_files_spark.operators.sampling import deterministic_sample_sql
+
+    body = deterministic_sample_sql(
+        "se_src", key="user_id", id_col="event_id", k=5,
+        cols="user_id, event_id",
+    )
+    return f"""
+    WITH se_src AS (
+      SELECT user_id, event_id FROM events
+    ),
+    {body}
+    SELECT user_id, sample_rank, event_id FROM ds_out
+    ORDER BY user_id, sample_rank
+    """
+
+
+def dataset_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free train/val/test split of the documents table
+    (operators/sampling.py dataset_split): 80/10/10 by the doc id's mix
+    hash mod 10,000 — a pure function of the id, so the same document
+    lands in the same split on every run and every table that joins on
+    doc_id (the leak-free property per-table random sampling lacks).
+    Gated per (lang, split) with id sums, so the oracle pins the exact
+    membership AND shows the split is stratification-balanced across
+    languages without ever being told about them."""
+    from activity_files_spark.operators.sampling import dataset_split
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = dataset_split(docs, "doc_id")
+    return (
+        out.groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+def _dataset_split_sql() -> str:
+    from activity_files_spark.operators.sampling import dataset_split_sql
+
+    body = dataset_split_sql("dsp_src", "doc_id", cols="doc_id, lang")
+    return f"""
+    WITH dsp_src AS (
+      SELECT doc_id, lang FROM documents
+    ),
+    {body}
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM sp_out GROUP BY lang, split ORDER BY lang, split
+    """
+
+
 def route_buffer_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Buffer over each user's route in raster space
     (raster.dilate_cells): Chebyshev-2 dilation of the distinct z15 route
@@ -6434,6 +6505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users_cells": hll_distinct_users_cells,
         "theil_sen_cells": theil_sen_cells,
         "route_buffer_cells": route_buffer_cells,
+        "sample_events_per_user": sample_events_per_user,
+        "dataset_split_documents": dataset_split_documents,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
         "map_match_events": map_match_events,
@@ -6546,6 +6619,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users_cells": _hll_distinct_sql(),
         "theil_sen_cells": _theil_sen_sql(),
         "route_buffer_cells": _route_buffer_sql(),
+        "sample_events_per_user": _sample_events_sql(),
+        "dataset_split_documents": _dataset_split_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),
         "map_match_events": _map_match_sql(),

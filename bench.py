@@ -141,6 +141,8 @@ HEADLINE = [
     "hll_distinct_users_cells",
     "theil_sen_cells",
     "route_buffer_cells",
+    "sample_events_per_user",
+    "dataset_split_documents",
 ]
 
 
