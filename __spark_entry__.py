@@ -1481,6 +1481,81 @@ def _overlap_rects(supplier: DataFrame) -> DataFrame:
     )
 
 
+def bloom_semijoin_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (operators/sketch.py bloom_*): the
+    runtime-filter idiom a distributed engine uses to prune a big probe
+    side before the real exchange (Spark's own bloom join, Trino dynamic
+    filters). Members = custkeys with URGENT orders (bit_or-aggregated
+    into one 4 KB filter — no distinct needed, the OR is idempotent);
+    probe = every customer, broadcast-checked. The gate pins per-segment
+    customer counts, exact members, bloom passes, FALSE POSITIVES (the
+    bounded cost) and FALSE NEGATIVES (must be zero — the property that
+    makes pruning sound); the oracle replays the filter bit-for-bit."""
+    from activity_files_spark.operators.sketch import bloom_build, bloom_probe
+
+    urgent = (
+        _read(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    filt = bloom_build(urgent, "c_custkey")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    probed = bloom_probe(cust, filt, "c_custkey")
+    members = urgent.distinct().withColumn("is_member", F.lit(1))
+    flagged = probed.join(members, "c_custkey", "left").select(
+        "c_mktsegment",
+        F.coalesce("is_member", F.lit(0)).alias("m"),
+        F.col("might_contain").cast("int").alias("p"),
+    )
+    return (
+        flagged.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("m").alias("n_exact_members"),
+            F.sum("p").alias("n_bloom_pass"),
+            F.sum(F.when((F.col("p") == 1) & (F.col("m") == 0), 1).otherwise(0)).alias(
+                "n_false_pos"
+            ),
+            F.sum(F.when((F.col("p") == 0) & (F.col("m") == 1), 1).otherwise(0)).alias(
+                "n_false_neg"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _bloom_semijoin_sql() -> str:
+    from activity_files_spark.operators.sketch import bloom_sql
+
+    body = bloom_sql("bs_members", "bs_probe", "k", "c_custkey")
+    return f"""
+    WITH bs_members AS (
+      SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    bs_probe AS (
+      SELECT c_custkey FROM customer
+    ),
+    {body},
+    bs_exact AS (
+      SELECT DISTINCT k AS c_custkey FROM bs_members
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN e.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_members,
+           CAST(SUM(CASE WHEN v.might_contain THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(SUM(CASE WHEN v.might_contain AND e.c_custkey IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN NOT v.might_contain AND e.c_custkey IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+    FROM customer c
+    JOIN bl_verdict v USING (c_custkey)
+    LEFT JOIN bs_exact e USING (c_custkey)
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """
+
+
 def sample_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-user sample (operators/sampling.py): the k=5
     events whose mixed ids rank smallest per user — the reproducible
@@ -6506,6 +6581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_cells": theil_sen_cells,
         "route_buffer_cells": route_buffer_cells,
         "sample_events_per_user": sample_events_per_user,
+        "bloom_semijoin_customers": bloom_semijoin_customers,
         "dataset_split_documents": dataset_split_documents,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
@@ -6620,6 +6696,7 @@ def oracle_sql() -> dict[str, str]:
         "theil_sen_cells": _theil_sen_sql(),
         "route_buffer_cells": _route_buffer_sql(),
         "sample_events_per_user": _sample_events_sql(),
+        "bloom_semijoin_customers": _bloom_semijoin_sql(),
         "dataset_split_documents": _dataset_split_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),

@@ -25,23 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from activity_files_spark.operators.sketch import _H, _M, _ROUNDS, _SHIFTS, _mix_sql
-
-
-def _mix_chain(df: DataFrame, keep: list[str], id_col: str, out: str) -> DataFrame:
-    """The staged per-round Project chain from sketch.hll_distinct (one
-    fused tree trips the Janino nested-class codegen bug; see there)."""
-    cur = df.select(*keep, F.col(id_col).cast("long").alias("_h"))
-    for (mul_lo, mul_hi), sh in zip(_ROUNDS, _SHIFTS):
-        m = (
-            F.col("_h").bitwiseAND(F.lit(_H - 1)) * mul_lo
-            + F.shiftrightunsigned("_h", 31) * mul_hi
-        ) % _M
-        cur = cur.select(*keep, m.alias("_m")).select(
-            *keep,
-            F.col("_m").bitwiseXOR(F.shiftrightunsigned("_m", sh)).alias("_h"),
-        )
-    return cur.withColumnRenamed("_h", out)
+from activity_files_spark.operators.sketch import _mix_sql, mix_chain as _mix_chain
 
 
 def deterministic_sample(

@@ -75,6 +75,26 @@ def _mix_sql(x: str) -> str:
     return h
 
 
+def mix_chain(df: DataFrame, keep: list[str], id_col: str, out: str) -> DataFrame:
+    """Append the 61-bit mix hash of ``id_col`` as column ``out``, with
+    each round its own Project whose output is a NAMED column referenced
+    several times — CollapseProject keeps the rounds separate, so no
+    whole-stage-codegen method inlines the fully-expanded hash tree (one
+    fused tree blows past the method-split limit and trips a Janino
+    nested-class IllegalAccessError inside partial hash aggregates)."""
+    cur = df.select(*keep, F.col(id_col).cast("long").alias("_h"))
+    for (mul_lo, mul_hi), sh in zip(_ROUNDS, _SHIFTS):
+        m = (
+            F.col("_h").bitwiseAND(F.lit(_H - 1)) * mul_lo
+            + F.shiftrightunsigned("_h", 31) * mul_hi
+        ) % _M
+        cur = cur.select(*keep, m.alias("_m")).select(
+            *keep,
+            F.col("_m").bitwiseXOR(F.shiftrightunsigned("_m", sh)).alias("_h"),
+        )
+    return cur.withColumnRenamed("_h", out)
+
+
 def _smear_rank_col(v: Column) -> Column:
     """rank = 54 - floor_log2(v) - 1 ... unified: 54 - popcount(smear(v)).
 
@@ -102,23 +122,7 @@ def hll_distinct(
     BIGINT ids). Returns one row per group: ``n_rows``, ``n_buckets_hit``,
     ``reg_sum`` (the exact-integer register sum — the hash gate) and
     ``hll_est`` (DOUBLE, corrected estimate)."""
-    # Each mix round is its own Project whose output feeds the next round
-    # through a NAMED column referenced several times — CollapseProject
-    # keeps them separate, so no stage carries the fully-inlined hash tree
-    # (one fused tree blows whole-stage codegen past the method-split
-    # limit and trips a Janino nested-class IllegalAccessError inside the
-    # partial hashAgg; the chain compiles small methods AND keeps the
-    # map-side combine fused after the last round).
-    cur = df.select(*group_cols, F.col(id_col).cast("long").alias("_h"))
-    for (mul_lo, mul_hi), sh in zip(_ROUNDS, _SHIFTS):
-        m = (
-            F.col("_h").bitwiseAND(F.lit(_H - 1)) * mul_lo
-            + F.shiftrightunsigned("_h", 31) * mul_hi
-        ) % _M
-        cur = cur.select(*group_cols, m.alias("_m")).select(
-            *group_cols,
-            F.col("_m").bitwiseXOR(F.shiftrightunsigned("_m", sh)).alias("_h"),
-        )
+    cur = mix_chain(df, list(group_cols), id_col, "_h")
     ranked = cur.select(
         *group_cols,
         F.col("_h").bitwiseAND(F.lit(_M_REG - 1)).alias("_bucket"),
@@ -214,9 +218,120 @@ def hll_estimate_py(ids) -> float:
     return raw
 
 
+_BLOOM_K = 3  # hash functions (Kirsch-Mitzenmacher double hashing)
+
+
+_BLOOM_WORD = 63  # bits per word: shifts stay <= 62, so `1 << bit` never
+# overflows BIGINT — DuckDB raises on 1 << 63 where Spark wraps silently,
+# and the filter must be bit-identical across engines
+
+
+def _bloom_positions(df: DataFrame, keep: list[str], id_col: str, n_words: int) -> DataFrame:
+    """Explode each id into its _BLOOM_K (word, mask) bit positions.
+
+    Double hashing over the 61-bit mix: h1 = h mod m, h2 = 1 + (h >> 13)
+    mod (m - 1); position_j = (h1 + j*h2) mod m. All non-negative BIGINT
+    arithmetic, identical in the SQL twin."""
+    m_bits = n_words * _BLOOM_WORD
+    mixed = mix_chain(df, keep, id_col, "_bh")
+    h1 = F.col("_bh") % m_bits
+    h2 = F.lit(1) + F.shiftrightunsigned("_bh", 13) % (m_bits - 1)
+    j = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("_j")
+    pos = (h1 + F.col("_j") * h2) % m_bits
+    return (
+        mixed.select(*keep, "_bh", j)
+        .select(*keep, pos.alias("_pos"))
+        .select(
+            *keep,
+            (F.col("_pos") / _BLOOM_WORD).cast("long").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(_pos % {_BLOOM_WORD} AS INT))"
+            ).alias("mask"),
+        )
+    )
+
+
+def bloom_build(df: DataFrame, id_col: str, n_words: int = 512) -> DataFrame:
+    """Build ONE Bloom filter over ``id_col`` as ``n_words`` 63-bit words:
+    (word_idx, word) rows, ``word`` the bit_or of every member's masks —
+    an order-independent aggregate, so the filter is partition-invariant
+    and two partial filters merge by bit_or exactly like any built-in agg.
+    At 10^12 rows the shuffle carries one row per (partition, word) —
+    bounded at ``n_words`` x partitions — and the result (a few KB)
+    broadcasts to prune the probe side of a semi-join before the real
+    exchange (the runtime-filter idiom Spark's own bloom-join uses).
+    Absent words mean zero; size for ~10 bits/member (m/n >= 10 keeps the
+    k=3 false-positive rate under ~1 %)."""
+    pos = _bloom_positions(df, [], id_col, n_words)
+    return pos.groupBy("word_idx").agg(F.expr("bit_or(mask)").alias("word"))
+
+
+def bloom_probe(
+    probe: DataFrame, filt: DataFrame, id_col: str, n_words: int = 512
+) -> DataFrame:
+    """Test every probe row against the filter: appends ``might_contain``
+    (TRUE iff all _BLOOM_K bits are set — no false negatives, bounded
+    false positives). The filter side joins broadcast on word_idx; the
+    verdict is one count-of-matched-bits == k per id."""
+    pos = _bloom_positions(probe, [id_col], id_col, n_words)
+    joined = pos.join(F.broadcast(filt), "word_idx", "left").select(
+        id_col,
+        (
+            F.col("word").isNotNull()
+            & (F.col("word").bitwiseAND(F.col("mask")) == F.col("mask"))
+        ).cast("int").alias("_hit"),
+    )
+    verdict = joined.groupBy(id_col).agg(
+        (F.sum("_hit") == F.lit(_BLOOM_K)).alias("might_contain")
+    )
+    return probe.join(verdict, id_col)
+
+
+def bloom_sql(
+    members_cte: str, probe_cte: str, id_col: str, probe_id: str,
+    n_words: int = 512,
+) -> str:
+    """DuckDB twin: builds the filter from ``members_cte.{id_col}``,
+    probes ``probe_cte.{probe_id}``; binds ``bl_verdict`` with
+    (``{probe_id}``, might_contain)."""
+    m_bits = n_words * _BLOOM_WORD
+    def positions(cte: str, col: str) -> str:
+        h = _mix_sql(f"CAST({col} AS BIGINT)")
+        return f"""(
+      SELECT {col} AS id,
+             ((h % {m_bits}) + j * (1 + (h >> 13) % {m_bits - 1})) % {m_bits} AS pos
+      FROM (SELECT {col}, {h} AS h FROM {cte}) t
+      CROSS JOIN (SELECT UNNEST(range(0, {_BLOOM_K})) AS j) js
+    )"""
+    return f"""
+    bl_words AS (
+      SELECT pos // {_BLOOM_WORD} AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INTEGER)) AS word
+      FROM {positions(members_cte, id_col)} mp GROUP BY 1
+    ),
+    bl_probe_pos AS (
+      SELECT id AS {probe_id}, pos // {_BLOOM_WORD} AS word_idx,
+             CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD} AS INTEGER) AS mask
+      FROM {positions(probe_cte, probe_id)} pp
+    ),
+    bl_verdict AS (
+      SELECT {probe_id},
+             (SUM(CASE WHEN w.word IS NOT NULL
+                        AND (w.word & p.mask) = p.mask
+                       THEN 1 ELSE 0 END) = {_BLOOM_K}) AS might_contain
+      FROM bl_probe_pos p LEFT JOIN bl_words w USING (word_idx)
+      GROUP BY {probe_id}
+    )
+    """
+
+
 __all__ = [
     "hll_distinct",
     "hll_distinct_sql",
     "hll_mix_py",
     "hll_estimate_py",
+    "mix_chain",
+    "bloom_build",
+    "bloom_probe",
+    "bloom_sql",
 ]

@@ -143,6 +143,7 @@ HEADLINE = [
     "route_buffer_cells",
     "sample_events_per_user",
     "dataset_split_documents",
+    "bloom_semijoin_customers",
 ]
 
 

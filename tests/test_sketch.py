@@ -109,3 +109,60 @@ def test_spark_register_sum_bounds(spark):
     assert _M_REG <= r.reg_sum <= _M_REG * (1 << _MAX_RANK)
     assert 1 <= r.n_buckets_hit <= _M_REG
     assert r.n_rows == 1000
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    from activity_files_spark.operators.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame(
+        [(i * 7 + 3,) for i in range(2000)], "id long"
+    )
+    probe = spark.createDataFrame([(i,) for i in range(30000)], "id long")
+    filt = bloom_build(members, "id")
+    got = {r.id: r.might_contain for r in bloom_probe(probe, filt, "id").collect()}
+    member_set = {i * 7 + 3 for i in range(2000)}
+    fps = 0
+    for i in range(30000):
+        if i in member_set:
+            assert got[i], f"false negative at {i}"
+        elif got[i]:
+            fps += 1
+    # m/n = 512*63/2000 ≈ 16 bits/member, k=3 -> fp ≈ 0.5%; allow 2%
+    assert fps / (30000 - len([i for i in range(30000) if i in member_set])) < 0.02
+
+
+def test_bloom_merge_is_bitor(spark):
+    from pyspark.sql import functions as F
+
+    from activity_files_spark.operators.sketch import bloom_build
+
+    a = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    b = spark.createDataFrame([(i,) for i in range(400, 900)], "id long")
+    u = spark.createDataFrame([(i,) for i in range(900)], "id long")
+    fa = {r.word_idx: r.word for r in bloom_build(a, "id").collect()}
+    fb = {r.word_idx: r.word for r in bloom_build(b, "id").collect()}
+    fu = {r.word_idx: r.word for r in bloom_build(u, "id").collect()}
+    merged = {}
+    for w, v in list(fa.items()) + list(fb.items()):
+        merged[w] = merged.get(w, 0) | v
+    assert merged == fu
+
+
+def test_bloom_duckdb_twin_filter_is_bit_identical(spark):
+    import duckdb
+
+    from activity_files_spark.operators.sketch import bloom_build, bloom_sql
+
+    rows = [(i * 13 + 1,) for i in range(1500)]
+    members = spark.createDataFrame(rows, "id long")
+    got = {r.word_idx: r.word for r in bloom_build(members, "id").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m (id BIGINT)")
+    con.executemany("INSERT INTO m VALUES (?)", rows)
+    con.execute("CREATE TABLE p (id BIGINT)")  # unused probe
+    con.execute("INSERT INTO p VALUES (1)")
+    body = bloom_sql("m", "p", "id", "id")
+    sql_got = dict(
+        con.execute(f"WITH {body} SELECT word_idx, word FROM bl_words").fetchall()
+    )
+    assert got == sql_got
