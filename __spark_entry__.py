@@ -1556,6 +1556,55 @@ def _bloom_semijoin_sql() -> str:
     """
 
 
+def cms_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimation (operators/sketch.py cms_*) over
+    the z16 cell-id stream: the heavy-hitter primitive that answers "how
+    hot is this cell" without shuffling a skewed key — the sketch is d*w
+    counters built by ONE bounded groupBy, estimates are a broadcast
+    lookup. Gated per cell against the exact count with the one-sided
+    error pinned: ``overcount = cms_est - n_exact`` must be >= 0 row by
+    row, and the oracle replays every counter exactly."""
+    from activity_files_spark.functions.quadkey import cell_id_col
+    from activity_files_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = _read(spark, sf_dir, "events").select(
+        _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    stream = ev.select(cell_id_col(F.col("lat"), F.col("lon"), 16).alias("cell"))
+    sketch = cms_build(stream, "cell")
+    exact = stream.groupBy("cell").agg(F.count("*").alias("n_exact"))
+    est = cms_estimate(exact, sketch, "cell")
+    return est.select(
+        "cell", "n_exact", "cms_est",
+        (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
+    ).orderBy("cell")
+
+
+def _cms_cell_sql() -> str:
+    from activity_files_spark.functions.quadkey import cell_id_sql
+    from activity_files_spark.operators.sketch import cms_sql
+
+    cell = cell_id_sql("lat", "lon", 16)
+    body = cms_sql("cm_stream", "cm_keys", "cell", "cell")
+    return f"""
+    WITH cm_stream AS (
+      SELECT {cell} AS cell
+      FROM (SELECT {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon FROM events) p
+    ),
+    cm_keys AS (
+      SELECT DISTINCT cell FROM cm_stream
+    ),
+    {body},
+    cm_exact AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM cm_stream GROUP BY cell
+    )
+    SELECT cell, n_exact, cms_est, cms_est - n_exact AS overcount
+    FROM cm_exact JOIN cm_est USING (cell)
+    ORDER BY cell
+    """
+
+
 def sample_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-user sample (operators/sampling.py): the k=5
     events whose mixed ids rank smallest per user — the reproducible
@@ -6582,6 +6631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_buffer_cells": route_buffer_cells,
         "sample_events_per_user": sample_events_per_user,
         "bloom_semijoin_customers": bloom_semijoin_customers,
+        "cms_cell_counts": cms_cell_counts,
         "dataset_split_documents": dataset_split_documents,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
@@ -6697,6 +6747,7 @@ def oracle_sql() -> dict[str, str]:
         "route_buffer_cells": _route_buffer_sql(),
         "sample_events_per_user": _sample_events_sql(),
         "bloom_semijoin_customers": _bloom_semijoin_sql(),
+        "cms_cell_counts": _cms_cell_sql(),
         "dataset_split_documents": _dataset_split_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),

@@ -325,6 +325,79 @@ def bloom_sql(
     """
 
 
+_CMS_D = 4  # count-min depth (rows)
+
+
+def _cms_positions(df: DataFrame, keep: list[str], id_col: str, w: int) -> DataFrame:
+    """Explode each id into its _CMS_D (row, pos) counter coordinates —
+    the same Kirsch-Mitzenmacher double hashing the Bloom filter uses,
+    one derived hash per sketch row."""
+    mixed = mix_chain(df, keep, id_col, "_ch")
+    h1 = F.col("_ch") % w
+    h2 = F.lit(1) + F.shiftrightunsigned("_ch", 13) % (w - 1)
+    r = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("row")
+    return (
+        mixed.select(*keep, "_ch", r)
+        .select(*keep, "row", ((h1 + F.col("row") * h2) % w).alias("pos"))
+    )
+
+
+def cms_build(df: DataFrame, id_col: str, w: int = 1024) -> DataFrame:
+    """Count-Min sketch of the ``id_col`` stream: d=4 rows of ``w``
+    counters as sparse (row, pos, cnt) — each occurrence increments one
+    counter per row, so the build is ONE map-side-combined groupBy whose
+    shuffle is bounded at d*w rows regardless of stream size, and two
+    sketches MERGE by adding counters (a plain sum aggregate). The
+    estimate for any id is min over rows of its counter — an upper bound
+    that never undercounts (one-sided error: E[overcount] <= stream/w
+    per row, and the min over d independent rows drives it down). The
+    heavy-hitter / frequency primitive at 10^12 rows, where exact
+    per-key counts of a hot-key-skewed stream are the thing you're
+    trying to avoid shuffling."""
+    pos = _cms_positions(df, [], id_col, w)
+    return pos.groupBy("row", "pos").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    keys: DataFrame, sketch: DataFrame, id_col: str, w: int = 1024
+) -> DataFrame:
+    """Estimate each key's stream frequency from the sketch: appends
+    ``cms_est`` = min over the d rows of the key's counter (0 via
+    coalesce when a counter was never touched — only possible for keys
+    absent from the stream). Broadcast equi-join on (row, pos)."""
+    pos = _cms_positions(keys, [id_col], id_col, w)
+    joined = pos.join(F.broadcast(sketch), ["row", "pos"], "left").select(
+        id_col, F.coalesce("cnt", F.lit(0).cast("long")).alias("_c")
+    )
+    est = joined.groupBy(id_col).agg(F.min("_c").alias("cms_est"))
+    return keys.join(est, id_col)
+
+
+def cms_sql(stream_cte: str, keys_cte: str, id_col: str, key_id: str, w: int = 1024) -> str:
+    """DuckDB twin: sketch from ``stream_cte.{id_col}``, estimates for
+    ``keys_cte.{key_id}``; binds ``cm_est`` (``{key_id}``, cms_est)."""
+    def positions(cte: str, col: str) -> str:
+        h = _mix_sql(f"CAST({col} AS BIGINT)")
+        return f"""(
+      SELECT {col} AS id, r AS row,
+             ((h % {w}) + r * (1 + (h >> 13) % {w - 1})) % {w} AS pos
+      FROM (SELECT {col}, {h} AS h FROM {cte}) t
+      CROSS JOIN (SELECT UNNEST(range(0, {_CMS_D})) AS r) rs
+    )"""
+    return f"""
+    cm_sketch AS (
+      SELECT row, pos, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {positions(stream_cte, id_col)} sp GROUP BY row, pos
+    ),
+    cm_est AS (
+      SELECT id AS {key_id}, MIN(COALESCE(s.cnt, 0)) AS cms_est
+      FROM {positions(keys_cte, key_id)} kp
+      LEFT JOIN cm_sketch s USING (row, pos)
+      GROUP BY id
+    )
+    """
+
+
 __all__ = [
     "hll_distinct",
     "hll_distinct_sql",
@@ -334,4 +407,7 @@ __all__ = [
     "bloom_build",
     "bloom_probe",
     "bloom_sql",
+    "cms_build",
+    "cms_estimate",
+    "cms_sql",
 ]

@@ -144,6 +144,7 @@ HEADLINE = [
     "sample_events_per_user",
     "dataset_split_documents",
     "bloom_semijoin_customers",
+    "cms_cell_counts",
 ]
 
 

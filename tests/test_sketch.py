@@ -166,3 +166,74 @@ def test_bloom_duckdb_twin_filter_is_bit_identical(spark):
         con.execute(f"WITH {body} SELECT word_idx, word FROM bl_words").fetchall()
     )
     assert got == sql_got
+
+
+def test_cms_never_undercounts_and_is_tight(spark):
+    from collections import Counter
+
+    from activity_files_spark.operators.sketch import cms_build, cms_estimate
+
+    # zipf-ish stream: key i appears ~3000/(i+1) times
+    stream_rows = [(i,) for i in range(60) for _ in range(3000 // (i + 1))]
+    truth = Counter(i for (i,) in stream_rows)
+    stream = spark.createDataFrame(stream_rows, "id long")
+    sketch = cms_build(stream, "id")
+    keys = spark.createDataFrame([(i,) for i in range(60)], "id long")
+    got = {r.id: r.cms_est for r in cms_estimate(keys, sketch, "id").collect()}
+    n = len(stream_rows)
+    for i in range(60):
+        assert got[i] >= truth[i], f"undercount at {i}"
+        # classic CMS bound: overcount <= 2n/w with prob 1-2^-d; be generous
+        assert got[i] - truth[i] <= 8 * n / 1024
+
+
+def test_cms_absent_key_estimates_low(spark):
+    from activity_files_spark.operators.sketch import cms_build, cms_estimate
+
+    stream = spark.createDataFrame([(i % 10,) for i in range(1000)], "id long")
+    sketch = cms_build(stream, "id")
+    keys = spark.createDataFrame([(999999,)], "id long")
+    est = cms_estimate(keys, sketch, "id").collect()[0].cms_est
+    assert 0 <= est <= 8  # absent keys only collide
+
+
+def test_cms_merge_is_addition(spark):
+    from activity_files_spark.operators.sketch import cms_build
+
+    a = spark.createDataFrame([(i % 7,) for i in range(300)], "id long")
+    b = spark.createDataFrame([(i % 5,) for i in range(200)], "id long")
+    u = spark.createDataFrame(
+        [(i % 7,) for i in range(300)] + [(i % 5,) for i in range(200)], "id long"
+    )
+    fa = {(r.row, r.pos): r.cnt for r in cms_build(a, "id").collect()}
+    fb = {(r.row, r.pos): r.cnt for r in cms_build(b, "id").collect()}
+    fu = {(r.row, r.pos): r.cnt for r in cms_build(u, "id").collect()}
+    merged = dict(fa)
+    for k, v in fb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == fu
+
+
+def test_cms_duckdb_twin_sketch_and_estimates(spark):
+    import duckdb
+
+    from activity_files_spark.operators.sketch import cms_build, cms_estimate, cms_sql
+
+    rows = [(i % 13 * 3,) for i in range(700)]
+    stream = spark.createDataFrame(rows, "id long")
+    keys = spark.createDataFrame([(i,) for i in range(0, 40)], "id long")
+    sketch = cms_build(stream, "id")
+    got = sorted(
+        (r.id, r.cms_est) for r in cms_estimate(keys, sketch, "id").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (id BIGINT)")
+    con.executemany("INSERT INTO s VALUES (?)", rows)
+    con.execute("CREATE TABLE k (id BIGINT)")
+    con.executemany("INSERT INTO k VALUES (?)", [(i,) for i in range(0, 40)])
+    body = cms_sql("s", "k", "id", "id")
+    sql_got = sorted(
+        tuple(r)
+        for r in con.execute(f"WITH {body} SELECT id, cms_est FROM cm_est").fetchall()
+    )
+    assert got == sql_got
