@@ -908,6 +908,98 @@ def _route_crossings_sql() -> str:
     """
 
 
+XPT_USER_MOD = CROSS_USER_MOD * 2  # half the crossing decile: geometry output is per-crossing
+
+
+def crossing_points_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersection geometry for the ST_Crosses pairs
+    (crossings.segment_crossings with_points=True): the EXACT rational
+    intersection point of every properly-crossing cross-user segment
+    pair, as DECIMAL(38,0) numerators over a canonical positive BIGINT
+    denominator on the z14+q8 lattice — no float enters at any stage, so
+    the oracle (brute pair join, same expansion) hash-matches the
+    geometry itself, not a rounding of it. Runs on half the
+    route_crossings user decile (XPT_USER_MOD): per-crossing geometry
+    output is ~20x the per-pair rollup's, and the gate needs thousands
+    of exact points, not millions."""
+    from activity_files_spark.functions.quadkey import tile_xy_col
+    from activity_files_spark.operators.crossings import segment_crossings
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .where((F.col("user_id") % XPT_USER_MOD) == 0)
+        .select(
+            "user_id", "event_id", "ts",
+            _lat_col().alias("lat"), _lon_col().alias("lon"),
+        )
+    )
+    px, py = tile_xy_col(F.col("lat"), F.col("lon"), COVER_Z + COVER_Q)
+    pts = ev.select("user_id", "event_id", "ts", px.alias("x1"), py.alias("y1"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    segs = pts.select(
+        "user_id",
+        (F.row_number().over(w) - 1).alias("seq"),
+        F.lag("x1").over(w).alias("x0"),
+        F.lag("y1").over(w).alias("y0"),
+        "x1",
+        "y1",
+    ).where(F.col("x0").isNotNull())
+    out = segment_crossings(
+        segs, q=COVER_Q, key="user_id", seq="seq", with_points=True
+    )
+    return out.select(
+        F.col("key_a").alias("user_a"), "seq_a",
+        F.col("key_b").alias("user_b"), "seq_b",
+        "px_num", "py_num", "den",
+    ).orderBy("user_a", "seq_a", "user_b", "seq_b")
+
+
+def _crossing_points_sql() -> str:
+    from activity_files_spark.functions.quadkey import tile_xy_sql
+    from activity_files_spark.operators.crossings import proper_cross_sql
+
+    x, y = tile_xy_sql("lat", "lon", COVER_Z + COVER_Q)
+    pred = proper_cross_sql(
+        ("a.x0", "a.y0"), ("a.x1", "a.y1"), ("b.x0", "b.y0"), ("b.x1", "b.y1")
+    )
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events WHERE user_id % {XPT_USER_MOD} = 0
+    ), px AS (
+      SELECT user_id, event_id, ts, {x} AS x1, {y} AS y1 FROM pts
+    ), segs AS (
+      SELECT * FROM (
+        SELECT user_id AS key,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+                 AS seq,
+               LAG(x1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x0,
+               LAG(y1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y0,
+               x1, y1
+        FROM px
+      ) t WHERE x0 IS NOT NULL
+    ), raw AS (
+      SELECT a.key AS user_a, a.seq AS seq_a, b.key AS user_b, b.seq AS seq_b,
+             a.x0 AS pax, a.y0 AS pay, (a.x1 - a.x0) AS d1x, (a.y1 - a.y0) AS d1y,
+             (a.x1 - a.x0) * (b.y1 - b.y0) - (a.y1 - a.y0) * (b.x1 - b.x0) AS den0,
+             (b.x0 - a.x0) * (b.y1 - b.y0) - (b.y0 - a.y0) * (b.x1 - b.x0) AS t0
+      FROM segs a JOIN segs b ON a.key < b.key AND {pred}
+    ), sg AS (
+      SELECT *, CASE WHEN den0 < 0 THEN -1 ELSE 1 END AS sgn FROM raw
+    )
+    SELECT user_a, seq_a, user_b, seq_b,
+           CAST(pax AS DECIMAL(38,0)) * CAST(den0 * sgn AS DECIMAL(38,0))
+             + CAST(t0 * sgn AS DECIMAL(38,0)) * CAST(d1x AS DECIMAL(38,0))
+             AS px_num,
+           CAST(pay AS DECIMAL(38,0)) * CAST(den0 * sgn AS DECIMAL(38,0))
+             + CAST(t0 * sgn AS DECIMAL(38,0)) * CAST(d1y AS DECIMAL(38,0))
+             AS py_num,
+           den0 * sgn AS den
+    FROM sg ORDER BY user_a, seq_a, user_b, seq_b
+    """
+
+
 DENSIFY_K = 256  # densify spacing: 256 subunits = one z14 cell per step
 
 
@@ -6632,6 +6724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_events_per_user": sample_events_per_user,
         "bloom_semijoin_customers": bloom_semijoin_customers,
         "cms_cell_counts": cms_cell_counts,
+        "crossing_points_users": crossing_points_users,
         "dataset_split_documents": dataset_split_documents,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
@@ -6748,6 +6841,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_events_per_user": _sample_events_sql(),
         "bloom_semijoin_customers": _bloom_semijoin_sql(),
         "cms_cell_counts": _cms_cell_sql(),
+        "crossing_points_users": _crossing_points_sql(),
         "dataset_split_documents": _dataset_split_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),

@@ -63,6 +63,7 @@ def segment_crossings(
     q: int = 8,
     key: str = "key",
     seq: str = "seq",
+    with_points: bool = False,
 ) -> DataFrame:
     """Properly-crossing segment pairs across DIFFERENT keys.
 
@@ -73,6 +74,17 @@ def segment_crossings(
 
     Returns one row per unordered crossing pair, ``key_a < key_b``:
     ``key_a, seq_a, key_b, seq_b``.
+
+    ``with_points=True`` additionally returns the EXACT intersection
+    point as a rational on the lattice — the ST_Intersection geometry for
+    the ST_Crosses pairs: ``px_num, py_num, den`` (DECIMAL(38,0)
+    numerators, BIGINT denominator, canonical ``den > 0``) with
+    point = (px_num/den, py_num/den). With P = p_a + t·d1, Q = q_a + u·d2,
+    a proper crossing has t = cross(q_a − p_a, d2) / cross(d1, d2) in
+    (0, 1); the numerators expand to p_a·den + t_num·d1 — at 26-bit
+    coordinates that is ≤ ~2^79, exact in DECIMAL(38,0) in BOTH engines
+    (BIGINT would overflow; Spark ANSI and DuckDB both check rather than
+    wrap, so the widening is semantic, not cosmetic).
     """
     seg = segments.select(
         F.col(key).alias("key"), F.col(seq).alias("seq"), "x0", "y0", "x1", "y1"
@@ -126,12 +138,28 @@ def segment_crossings(
         (F.col("qax"), F.col("qay")),
         (F.col("qbx"), F.col("qby")),
     )
-    return (
-        left.join(right, on=["cx", "cy"], how="inner")
-        .where((F.col("key_a") < F.col("key_b")) & pred)
-        .select("key_a", "seq_a", "key_b", "seq_b")
-        .dropDuplicates(["key_a", "seq_a", "key_b", "seq_b"])
+    joined = left.join(right, on=["cx", "cy"], how="inner").where(
+        (F.col("key_a") < F.col("key_b")) & pred
     )
+    if not with_points:
+        return joined.select("key_a", "seq_a", "key_b", "seq_b").dropDuplicates(
+            ["key_a", "seq_a", "key_b", "seq_b"]
+        )
+    d1x = F.col("pbx") - F.col("pax")
+    d1y = F.col("pby") - F.col("pay")
+    d2x = F.col("qbx") - F.col("qax")
+    d2y = F.col("qby") - F.col("qay")
+    den0 = d1x * d2y - d1y * d2x  # nonzero for proper crossings
+    t0 = (F.col("qax") - F.col("pax")) * d2y - (F.col("qay") - F.col("pay")) * d2x
+    sgn = F.when(den0 < 0, F.lit(-1)).otherwise(F.lit(1))
+    den = (den0 * sgn).alias("den")
+    t_num = (t0 * sgn).cast("decimal(38,0)")
+    dec = lambda c: c.cast("decimal(38,0)")
+    px_num = (dec(F.col("pax")) * dec(den0 * sgn) + t_num * dec(d1x)).alias("px_num")
+    py_num = (dec(F.col("pay")) * dec(den0 * sgn) + t_num * dec(d1y)).alias("py_num")
+    return joined.select(
+        "key_a", "seq_a", "key_b", "seq_b", px_num, py_num, den
+    ).dropDuplicates(["key_a", "seq_a", "key_b", "seq_b"])
 
 
 def self_intersections(

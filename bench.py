@@ -145,6 +145,7 @@ HEADLINE = [
     "dataset_split_documents",
     "bloom_semijoin_customers",
     "cms_cell_counts",
+    "crossing_points_users",
 ]
 
 

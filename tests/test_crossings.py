@@ -128,3 +128,52 @@ def test_simple_polyline_has_no_self_intersections(spark):
         segs, "key string, seq long, x0 long, y0 long, x1 long, y1 long"
     )
     assert self_intersections(df, q=Q).count() == 0
+
+
+def _point_py(a, b):
+    """Exact rational intersection of proper crossing (fractions twin)."""
+    from fractions import Fraction
+
+    (pax, pay, pbx, pby) = a
+    (qax, qay, qbx, qby) = b
+    d1x, d1y = pbx - pax, pby - pay
+    d2x, d2y = qbx - qax, qby - qay
+    den = d1x * d2y - d1y * d2x
+    t = Fraction((qax - pax) * d2y - (qay - pay) * d2x, den)
+    return (pax + t * d1x, pay + t * d1y)
+
+
+def test_crossing_points_known_case(spark):
+    segs = [
+        ("a", 0, 0, 0, 10, 10),   # (0,0)->(10,10)
+        ("b", 0, 0, 10, 10, 0),   # (0,10)->(10,0) : crosses at (5,5)
+    ]
+    df = spark.createDataFrame(
+        segs, "key string, seq long, x0 long, y0 long, x1 long, y1 long"
+    )
+    rows = segment_crossings(df, q=Q, with_points=True).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.den > 0
+    assert int(r.px_num) / r.den == 5.0 and int(r.py_num) / r.den == 5.0
+
+
+def test_crossing_points_match_fraction_twin(spark):
+    from fractions import Fraction
+
+    segs = _random_routes(6, 18, seed=23)
+    df = spark.createDataFrame(
+        segs, "key string, seq long, x0 long, y0 long, x1 long, y1 long"
+    )
+    rows = segment_crossings(df, q=Q, with_points=True).collect()
+    assert rows
+    by_seg = {(k, s): (x0, y0, x1, y1) for k, s, x0, y0, x1, y1 in segs}
+    for r in rows:
+        a = by_seg[(r.key_a, r.seq_a)]
+        b = by_seg[(r.key_b, r.seq_b)]
+        X, Y = _point_py(a, b)
+        assert Fraction(int(r.px_num), r.den) == X
+        assert Fraction(int(r.py_num), r.den) == Y
+        assert r.den > 0
+        # properness: strictly interior on both segments
+        assert min(a[0], a[2]) <= X <= max(a[0], a[2])
