@@ -908,6 +908,71 @@ def _route_crossings_sql() -> str:
     """
 
 
+def project_points_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Project (functions/geo.py project_cols): the forward spherical
+    geodesic — each event projected 250 m along its initial bearing to
+    the next point (dead-reckoning / look-ahead prediction, the inverse
+    companion of the ST_Azimuth analytics). Both the bearing and the
+    destination point are the identical scalar-libm IEEE trees in both
+    engines up to the ~13% 1-ulp JVM-vs-libm atan2 spread (measured —
+    glibc and DuckDB agree bit-for-bit; the JVM intrinsic drifts), which
+    round-6 absorbs with ~7 orders of magnitude of margin, the same
+    discipline cumdist's round-3 meters use."""
+    from activity_files_spark.functions.geo import bearing_deg, project_cols
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        _lat_col().alias("lat"), _lon_col().alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        "user_id", "event_id", "lat", "lon",
+        F.lead("lat").over(w).alias("nlat"),
+        F.lead("lon").over(w).alias("nlon"),
+    ).where(F.col("nlat").isNotNull())
+    brg = bearing_deg(
+        F.col("lat"), F.col("lon"), F.col("nlat"), F.col("nlon")
+    ).alias("brg")
+    staged = nxt.select("user_id", "event_id", "lat", "lon", brg)
+    lat2, lon2 = project_cols(
+        F.col("lat"), F.col("lon"), F.col("brg"), F.lit(250.0)
+    )
+    return staged.select(
+        "user_id", "event_id",
+        F.round("brg", 6).alias("bearing"),
+        F.round(lat2, 6).alias("lat2"),
+        F.round(lon2, 6).alias("lon2"),
+    ).orderBy("user_id", "event_id")
+
+
+def _project_points_sql() -> str:
+    from activity_files_spark.functions.geo import bearing_sql, project_sql
+
+    brg = bearing_sql("lat", "lon", "nlat", "nlon")
+    lat2, lon2 = project_sql("lat", "lon", "brg", "250.0")
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, ts,
+             {LAT_EXPR_SQL} AS lat, {LON_EXPR_SQL} AS lon
+      FROM events
+    ), nxt AS (
+      SELECT * FROM (
+        SELECT user_id, event_id, lat, lon,
+               LEAD(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nlat,
+               LEAD(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nlon
+        FROM pts
+      ) t WHERE nlat IS NOT NULL
+    ), staged AS (
+      SELECT user_id, event_id, lat, lon, {brg} AS brg FROM nxt
+    )
+    SELECT user_id, event_id,
+           ROUND(brg, 6) AS bearing,
+           ROUND({lat2}, 6) AS lat2,
+           ROUND({lon2}, 6) AS lon2
+    FROM staged ORDER BY user_id, event_id
+    """
+
+
 XPT_USER_MOD = CROSS_USER_MOD * 2  # half the crossing decile: geometry output is per-crossing
 
 
@@ -6725,6 +6790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin_customers": bloom_semijoin_customers,
         "cms_cell_counts": cms_cell_counts,
         "crossing_points_users": crossing_points_users,
+        "project_points_track": project_points_track,
         "dataset_split_documents": dataset_split_documents,
         "stream_cell_cover_events": stream_cell_cover_events,
         "shortest_path_cells": shortest_path_cells,
@@ -6842,6 +6908,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semijoin_customers": _bloom_semijoin_sql(),
         "cms_cell_counts": _cms_cell_sql(),
         "crossing_points_users": _crossing_points_sql(),
+        "project_points_track": _project_points_sql(),
         "dataset_split_documents": _dataset_split_sql(),
         "stream_cell_cover_events": _route_cell_cover_sql(),
         "shortest_path_cells": _shortest_path_cells_sql(),

@@ -151,6 +151,73 @@ def bearing_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     return f"CASE WHEN {deg} < 0 THEN {deg} + 360.0 ELSE {deg} END"
 
 
+def project_cols(
+    lat: Column, lon: Column, bearing: Column, dist_m: Column
+) -> tuple[Column, Column]:
+    """ST_Project: spherical destination point ``dist_m`` meters along
+    initial ``bearing`` (degrees) — the forward geodesic, the inverse
+    companion of :func:`bearing_deg`. Returns (lat2, lon2) in degrees.
+
+    φ2 = asin(sin φ1 cos δ + cos φ1 sin δ cos θ), δ = d/R;
+    λ2 = λ1 + atan2(sin θ sin δ cos φ1, cos δ − sin φ1 sin φ2), with
+    sin φ2 reused literally so both engines evaluate the SAME IEEE tree
+    (:func:`project_sql` is the twin; no radians(), no pow()). λ2 is NOT
+    wrapped to [−180, 180] — the caller wraps if the use case can cross
+    the antimeridian (a branch here would double the twin surface).
+    """
+    d2r = F.lit(math.pi) / F.lit(180.0)
+    phi1 = lat * d2r
+    theta = bearing * d2r
+    delta = dist_m / F.lit(EARTH_RADIUS_M)
+    sinphi2 = F.sin(phi1) * F.cos(delta) + F.cos(phi1) * F.sin(delta) * F.cos(theta)
+    # asin via atan2+sqrt: DuckDB's asin drifts 1 ulp from libm on ~12% of
+    # inputs (measured), while atan2/sqrt are bit-stable across engines —
+    # the same reason haversine uses atan2 instead of asin
+    lat2 = F.atan2(sinphi2, F.sqrt(F.lit(1.0) - sinphi2 * sinphi2)) * (
+        F.lit(180.0) / F.lit(math.pi)
+    )
+    lon2 = lon + F.atan2(
+        F.sin(theta) * F.sin(delta) * F.cos(phi1),
+        F.cos(delta) - F.sin(phi1) * sinphi2,
+    ) * (F.lit(180.0) / F.lit(math.pi))
+    return lat2, lon2
+
+
+def project_sql(lat: str, lon: str, bearing: str, dist_m: str) -> tuple[str, str]:
+    """ANSI-SQL twin of :func:`project_cols` (same IEEE sequence)."""
+    d2r = "(pi() / 180.0)"
+    phi1 = f"(({lat}) * {d2r})"
+    theta = f"(({bearing}) * {d2r})"
+    delta = f"(({dist_m}) / {EARTH_RADIUS_M})"
+    sinphi2 = (
+        f"(sin({phi1}) * cos({delta}) + cos({phi1}) * sin({delta}) * cos({theta}))"
+    )
+    lat2 = f"(atan2({sinphi2}, sqrt(1.0 - {sinphi2} * {sinphi2})) * (180.0 / pi()))"
+    lon2 = (
+        f"(({lon}) + atan2(sin({theta}) * sin({delta}) * cos({phi1}), "
+        f"cos({delta}) - sin({phi1}) * {sinphi2}) * (180.0 / pi()))"
+    )
+    return lat2, lon2
+
+
+def project_py(lat: float, lon: float, bearing: float, dist_m: float) -> tuple[float, float]:
+    """Scalar twin of :func:`project_cols`."""
+    d2r = math.pi / 180.0
+    phi1 = lat * d2r
+    theta = bearing * d2r
+    delta = dist_m / EARTH_RADIUS_M
+    sinphi2 = (
+        math.sin(phi1) * math.cos(delta)
+        + math.cos(phi1) * math.sin(delta) * math.cos(theta)
+    )
+    lat2 = math.atan2(sinphi2, math.sqrt(1.0 - sinphi2 * sinphi2)) * (180.0 / math.pi)
+    lon2 = lon + math.atan2(
+        math.sin(theta) * math.sin(delta) * math.cos(phi1),
+        math.cos(delta) - math.sin(phi1) * sinphi2,
+    ) * (180.0 / math.pi)
+    return lat2, lon2
+
+
 def turn_angle_deg(b1: Column, b2: Column) -> Column:
     """Absolute turn angle in [0, 180] between two bearings in degrees."""
     d = F.abs(b2 - b1)

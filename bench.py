@@ -146,6 +146,7 @@ HEADLINE = [
     "bloom_semijoin_customers",
     "cms_cell_counts",
     "crossing_points_users",
+    "project_points_track",
 ]
 
 

@@ -166,3 +166,73 @@ def test_bearing_and_turn_angle(spark):
         f"SELECT {turn_angle_sql('b1', 'b2')} AS t FROM (VALUES (350.0, 10.0), (10.0, 190.0), (90.0, 90.0)) t(b1, b2)"
     ).fetchall()]
     assert t_duck == t_got
+
+
+def test_project_inverse_of_bearing_and_haversine():
+    import math
+
+    from activity_files_spark.functions.geo import haversine_m_py, project_py
+
+    def bearing_scalar(lat1, lon1, lat2, lon2):
+        d2r = math.pi / 180.0
+        y = math.sin((lon2 - lon1) * d2r) * math.cos(lat2 * d2r)
+        x = math.cos(lat1 * d2r) * math.sin(lat2 * d2r) - math.sin(
+            lat1 * d2r
+        ) * math.cos(lat2 * d2r) * math.cos((lon2 - lon1) * d2r)
+        deg = math.atan2(y, x) * 180.0 / math.pi
+        return deg + 360.0 if deg < 0 else deg
+
+    cases = [
+        (40.0, -105.0, 0.0, 1000.0),
+        (40.0, -105.0, 90.0, 5000.0),
+        (40.0, -105.0, 222.5, 12345.0),
+        (-33.9, 18.4, 135.0, 800.0),
+        (0.0, 0.0, 45.0, 10000.0),
+    ]
+    for lat, lon, brg, d in cases:
+        lat2, lon2 = project_py(lat, lon, brg, d)
+        # round trip: distance back ≈ d, initial bearing ≈ brg
+        assert abs(haversine_m_py(lat, lon, lat2, lon2) - d) < 1e-6 * d + 1e-6
+        got_b = bearing_scalar(lat, lon, lat2, lon2)
+        db = abs(got_b - brg)
+        assert min(db, 360.0 - db) < 1e-6
+
+
+def test_project_zero_distance_is_identity():
+    from activity_files_spark.functions.geo import project_py
+
+    lat2, lon2 = project_py(47.1, 8.2, 123.0, 0.0)
+    assert abs(lat2 - 47.1) < 1e-12 and abs(lon2 - 8.2) < 1e-12
+
+
+def test_project_spark_duckdb_scalar_three_way(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from activity_files_spark.functions.geo import project_cols, project_py, project_sql
+
+    rows = [
+        (i, 40.0 + i * 0.013, -105.0 - i * 0.017, (i * 37.3) % 360.0, 100.0 + i * 93.0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "i long, lat double, lon double, brg double, d double")
+    lat2, lon2 = project_cols(F.col("lat"), F.col("lon"), F.col("brg"), F.col("d"))
+    got = {r.i: (r.a, r.b) for r in df.select("i", lat2.alias("a"), lon2.alias("b")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, lat DOUBLE, lon DOUBLE, brg DOUBLE, d DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", rows)
+    sa, sb = project_sql("lat", "lon", "brg", "d")
+    by_i = {r[0]: r[1:] for r in rows}
+    n_ulp_drift = 0
+    for i, a, b in con.execute(f"SELECT i, {sa}, {sb} FROM t").fetchall():
+        # DuckDB == scalar libm bit-for-bit (both bind glibc)
+        pa, pb = project_py(*by_i[i])
+        assert (pa, pb) == (a, b)
+        # the JVM atan2 intrinsic drifts 1 ulp from libm on ~13% of
+        # operands (measured); Spark must agree within that spread —
+        # the driver gate absorbs it with round-6 (7 orders of margin)
+        assert abs(got[i][0] - a) <= 4 * abs(a) * 2.3e-16
+        assert abs(got[i][1] - b) <= 4 * abs(b) * 2.3e-16
+        if got[i] != (a, b):
+            n_ulp_drift += 1
+    assert n_ulp_drift < len(rows) // 2  # drift is the exception, not the rule
