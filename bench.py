@@ -541,6 +541,11 @@ SCALE_TIER_QUERIES = (
     "hll_distinct_users_cells",
     # per-cell pair join quadratic in DAYS (constant), linear in rows
     "theil_sen_cells",
+    # count-min: codegen'd hash + one d*w-bounded groupBy — per-row cost
+    # should IMPROVE at 10x (the sketch size is constant)
+    "cms_cell_counts",
+    # hash chain + one per-key ranking window — flat per row
+    "sample_events_per_user",
 )
 
 
