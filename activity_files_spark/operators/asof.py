@@ -28,6 +28,7 @@ from activity_files_spark.functions.time import ts_seconds
 from activity_files_spark.functions.geo import haversine_m, lerp
 
 DEFAULT_TOLERANCE_S = 5.0  # encoder_options.dart:22
+from activity_files_spark.operators.grouped import grouped_apply
 
 
 def asof_join(
@@ -143,7 +144,7 @@ def asof_join_pandas(
         res[out] = np.where(best_d <= tolerance_s, best_v, np.nan)
         return res
 
-    return merged.groupBy(key).applyInPandas(kernel, schema=out_schema)
+    return grouped_apply(merged, key, kernel, out_schema)
 
 
 def asof_channels_wide(
@@ -382,7 +383,7 @@ def map_channels_wide_kernel(
             res[ch] = np.where(best_d <= tol.get(ch, DEFAULT_TOLERANCE_S), best_v, np.nan)
         return res
 
-    return merged.groupBy(key).applyInPandas(lambda _k, pdf: kernel(pdf), out_schema)
+    return grouped_apply(merged, key, kernel, out_schema)
 
 
 def snap_channels_to_points(

@@ -77,11 +77,15 @@ def kmeans_relational(
             .groupBy("id", "cluster")
             .agg(F.sum(term.cast(DEC)).alias("_dist"))
         )
-        wa = Window.partitionBy("id").orderBy(F.col("_dist").asc(), F.col("cluster").asc())
+        # argmin with cluster-id tie-break as a MIN over (dist, cluster)
+        # structs — struct ordering is field-by-field, so this is the same
+        # row the (dist asc, cluster asc) row_number window picked, but as
+        # a map-side-combinable hash aggregate instead of a per-id sort
+        # (one Exchange+Sort fewer per round, r06)
         assigned = (
-            dist.withColumn("_rn", F.row_number().over(wa))
-            .filter(F.col("_rn") == 1)
-            .select("id", "cluster")
+            dist.groupBy("id")
+            .agg(F.min(F.struct(F.col("_dist"), F.col("cluster"))).alias("_m"))
+            .select("id", F.col("_m.cluster").alias("cluster"))
         )
         cent = (
             assigned.join(pts, "id")

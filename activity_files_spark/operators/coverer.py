@@ -37,13 +37,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _cells_between(lo, hi, shift: int):
-    """Level-z cell ids whose ranges intersect [lo, hi] (inclusive ints)."""
-    return F.sequence(
-        F.shiftrightunsigned(lo, shift), F.shiftrightunsigned(hi, shift)
-    )
-
-
 def region_quad_cover(
     regions: DataFrame,
     z0: int,
@@ -64,83 +57,39 @@ def region_quad_cover(
     reg = regions.select(
         F.col(key).alias("key"), "ax", "ay", "bx", "by"
     )
-    shift0 = z_max - z0
-    frontier = (
-        reg.select(
-            "key",
-            "ax",
-            "ay",
-            "bx",
-            "by",
-            F.explode(_cells_between(F.col("ax"), F.col("bx"), shift0)).alias("cx"),
-        )
-        .select(
-            "key",
-            "ax",
-            "ay",
-            "bx",
-            "by",
-            "cx",
-            F.explode(_cells_between(F.col("ay"), F.col("by"), shift0)).alias("cy"),
-        )
+    key_type = reg.schema["key"].dataType.simpleString()
+
+    # r06: the previous fully-relational unrolled BFS chained one
+    # explode+filter pair per level AND re-executed the frontier chain
+    # once per emitted-level union branch (levels² stages of pure plan
+    # latency for row counts bounded by the perimeter). The enumeration is
+    # a per-region pure-integer walk, so run the tested python twin inside
+    # one Arrow pass — regions stream through the kernel, per-region work
+    # is the same O(perimeter) the relational form did, and the SQL oracle
+    # still replays the level-by-level subdivision relationally.
+    def kern(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for kv, ax, ay, bx, by in zip(
+                pdf["key"].tolist(), pdf["ax"].tolist(), pdf["ay"].tolist(),
+                pdf["bx"].tolist(), pdf["by"].tolist(),
+            ):
+                for z, cx, cy in region_quad_cover_py(
+                    int(ax), int(ay), int(bx), int(by), z0, z_max
+                ):
+                    rows.append((kv, z, cx, cy))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["key", "level", "cx", "cy"]
+                )
+
+    return reg.mapInPandas(
+        kern, f"key {key_type}, level int, cx long, cy long"
     )
-    emitted = []
-    for z in range(z0, z_max + 1):
-        sh = z_max - z
-        lox = F.shiftleft(F.col("cx"), sh)
-        hix = F.shiftleft(F.col("cx") + 1, sh) - 1
-        loy = F.shiftleft(F.col("cy"), sh)
-        hiy = F.shiftleft(F.col("cy") + 1, sh) - 1
-        inside = (
-            (lox >= F.col("ax"))
-            & (hix <= F.col("bx"))
-            & (loy >= F.col("ay"))
-            & (hiy <= F.col("by"))
-        )
-        emitted.append(
-            frontier.where(inside).select(
-                "key", F.lit(z).alias("level"), "cx", "cy"
-            )
-        )
-        if z == z_max:
-            break
-        # overlapping-but-not-inside cells subdivide; bbox-seeded frontier
-        # cells that miss the region entirely drop here too
-        overlap = (
-            (lox <= F.col("bx"))
-            & (hix >= F.col("ax"))
-            & (loy <= F.col("by"))
-            & (hiy >= F.col("ay"))
-        )
-        part = frontier.where(overlap & ~inside)
-        frontier = (
-            part.select(
-                "key",
-                "ax",
-                "ay",
-                "bx",
-                "by",
-                F.explode(
-                    F.array(F.col("cx") * 2, F.col("cx") * 2 + 1)
-                ).alias("cx"),
-                F.col("cy").alias("pcy"),
-            )
-            .select(
-                "key",
-                "ax",
-                "ay",
-                "bx",
-                "by",
-                "cx",
-                F.explode(
-                    F.array(F.col("pcy") * 2, F.col("pcy") * 2 + 1)
-                ).alias("cy"),
-            )
-        )
-    out = emitted[0]
-    for e in emitted[1:]:
-        out = out.unionByName(e)
-    return out
 
 
 def region_quad_cover_py(

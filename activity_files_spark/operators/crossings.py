@@ -26,12 +26,14 @@ segments, so the cell whose closed box contains P is in BOTH segments'
 closed supercovers (operators/supercover.py emits exactly the closed-box
 intersection set) — every crossing pair shares >= 1 cover cell.
 
-Scale shape: per-route lag window -> supercover explode (the cover IS the
-tiling index a route corpus materializes anyway) -> cell equi-join with
-bare integer ids only (no coordinates through the exchange), distinct on
-the segment-pair id, then one compact join back to the segment table for
-the refine.  No cross join anywhere; skewed mega-cells are handled by the
-same AQE + salt discipline as the tile rollups.
+Scale shape (r06): per-route lag window -> one Arrow-kernel supercover
+pass (segment endpoints carried on every cover row) -> cell equi-join
+with the BIGINT refine evaluated inside the join stage, then distinct on
+the segment-pair id and the rollup.  No cross join anywhere, no join-back
+to the segment table, no cover-dedup exchange; the cover join is
+explicitly repartitioned by cell so its cost (candidate pairs, not bytes)
+parallelizes; skewed mega-cells are handled by the same AQE + salt
+discipline as the tile rollups.
 """
 
 from __future__ import annotations
@@ -39,7 +41,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from activity_files_spark.operators.supercover import segment_cell_cover
+from activity_files_spark.operators.supercover import segment_cover_rows
+
+
+def _cell_partitions(df: DataFrame) -> int:
+    """Partition count for the compute-heavy candidate join: the session's
+    configured shuffle width (the per-deployment scale knob), NOT a local
+    constant — AQE's byte-based coalescing would otherwise serialize a
+    join whose cost is candidate pairs, not bytes."""
+    spark = df.sparkSession
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001
+        return spark.sparkContext.defaultParallelism
 
 
 def _orient(px, py, qx, qy, ax, ay) -> Column:
@@ -89,29 +103,26 @@ def segment_crossings(
     seg = segments.select(
         F.col(key).alias("key"), F.col(seq).alias("seq"), "x0", "y0", "x1", "y1"
     )
-    # cover keyed by (route, segment): dedup inside segment_cell_cover is
-    # per composite key, so each segment's cell set is distinct already
-    keyed = seg.select(
-        F.struct(F.col("key"), F.col("seq")).alias("key"), "x0", "y0", "x1", "y1"
-    )
-    cover = segment_cell_cover(keyed, q=q, key="key").select(
-        F.col("key.key").alias("k"),
-        F.col("key.seq").alias("s"),
-        "cx",
-        "cy",
-    )
-    # Carry the four endpoint ints on each cover row so the refine runs
-    # INSIDE the cell-join stage (whole-stage codegen, pre-exchange): on
-    # overlapping corpora the candidate multiset is ~20x the crossing set,
-    # and a distinct over bare ids first — the fat-vector discipline used
-    # by the ANN joins — would shuffle all of it. Deduping after the
-    # integer refine shuffles only true crossings (x their shared-cell
-    # multiplicity, bounded by the 2 cells a generic crossing point
-    # touches; lattice-corner crossings touch 4).
-    cov = cover.join(
-        seg.withColumnRenamed("key", "k").withColumnRenamed("seq", "s"),
-        ["k", "s"],
-    )
+    # Per-segment cover in ONE Arrow pass (segment_cover_rows dedups per
+    # input row = the per-(key,seq) dedup the old per-key cover exchange
+    # did), with the four endpoint ints carried on each cover row so the
+    # refine runs INSIDE the cell-join stage (whole-stage codegen,
+    # pre-exchange): on overlapping corpora the candidate multiset is ~20x
+    # the crossing set, and a distinct over bare ids first — the
+    # fat-vector discipline used by the ANN joins — would shuffle all of
+    # it. Deduping after the integer refine shuffles only true crossings
+    # (x their shared-cell multiplicity, bounded by the 2 cells a generic
+    # crossing point touches; lattice-corner crossings touch 4). One
+    # window + one kernel pass, no join-back, no cover-dedup exchange
+    # (r06 plan restructure).
+    cov = segment_cover_rows(
+        seg.select(
+            F.col("key").alias("k"), F.col("seq").alias("s"),
+            "x0", "y0", "x1", "y1",
+        ),
+        q,
+        ["k", "s", "x0", "y0", "x1", "y1"],
+    ).repartition(_cell_partitions(segments), "cx", "cy")
     left = cov.select(
         F.col("k").alias("key_a"),
         F.col("s").alias("seq_a"),
@@ -145,6 +156,14 @@ def segment_crossings(
         return joined.select("key_a", "seq_a", "key_b", "seq_b").dropDuplicates(
             ["key_a", "seq_a", "key_b", "seq_b"]
         )
+    # dedup FIRST on the pair ids (the endpoints are functions of the ids,
+    # so carrying them through the dedup is exact), THEN build the
+    # DECIMAL(38,0) rational point on the ~3x smaller distinct-pair set —
+    # BigDecimal math per refined candidate row was the r05 hot spot (r06)
+    distinct = joined.select(
+        "key_a", "seq_a", "key_b", "seq_b",
+        "pax", "pay", "pbx", "pby", "qax", "qay", "qbx", "qby",
+    ).dropDuplicates(["key_a", "seq_a", "key_b", "seq_b"])
     d1x = F.col("pbx") - F.col("pax")
     d1y = F.col("pby") - F.col("pay")
     d2x = F.col("qbx") - F.col("qax")
@@ -157,9 +176,9 @@ def segment_crossings(
     dec = lambda c: c.cast("decimal(38,0)")
     px_num = (dec(F.col("pax")) * dec(den0 * sgn) + t_num * dec(d1x)).alias("px_num")
     py_num = (dec(F.col("pay")) * dec(den0 * sgn) + t_num * dec(d1y)).alias("py_num")
-    return joined.select(
+    return distinct.select(
         "key_a", "seq_a", "key_b", "seq_b", px_num, py_num, den
-    ).dropDuplicates(["key_a", "seq_a", "key_b", "seq_b"])
+    )
 
 
 def self_intersections(
@@ -181,19 +200,15 @@ def self_intersections(
     seg = segments.select(
         F.col(key).alias("key"), F.col(seq).alias("seq"), "x0", "y0", "x1", "y1"
     )
-    keyed = seg.select(
-        F.struct(F.col("key"), F.col("seq")).alias("key"), "x0", "y0", "x1", "y1"
-    )
-    cover = segment_cell_cover(keyed, q=q, key="key").select(
-        F.col("key.key").alias("k"),
-        F.col("key.seq").alias("s"),
-        "cx",
-        "cy",
-    )
-    cov = cover.join(
-        seg.withColumnRenamed("key", "k").withColumnRenamed("seq", "s"),
-        ["k", "s"],
-    )
+    # same single-pass Arrow-kernel cover as segment_crossings (r06)
+    cov = segment_cover_rows(
+        seg.select(
+            F.col("key").alias("k"), F.col("seq").alias("s"),
+            "x0", "y0", "x1", "y1",
+        ),
+        q,
+        ["k", "s", "x0", "y0", "x1", "y1"],
+    ).repartition(_cell_partitions(segments), "k", "cx", "cy")
     left = cov.select(
         F.col("k").alias("key"),
         F.col("s").alias("seq_a"),

@@ -143,7 +143,13 @@ def near_dup_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """MinHash -> banded LSH -> exact-Jaccard verify (>= threshold)."""
-    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    # lazy checkpoint (r06): the distinct shingle set feeds the signature
+    # build AND three arms of the Jaccard verify — without it the full
+    # tokenize+md5 shingling re-executes per reference (4 scans in the r05
+    # plan). Computed once on first use, nothing runs at plan-build time.
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col).localCheckpoint(
+        eager=False
+    )
     sig = minhash_signature(sh, k=bands * rows_per_band, id_col=id_col)
     cand = lsh_candidate_pairs(sig, bands, rows_per_band, id_col=id_col)
     return jaccard_pairs(cand, sh, id_col=id_col).filter(F.col("jaccard") >= threshold)

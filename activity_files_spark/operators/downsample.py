@@ -12,6 +12,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from activity_files_spark.functions.geo import haversine_m_py
+from activity_files_spark.operators.grouped import grouped_apply
 
 
 def _keep_by_time(ts_s: np.ndarray, step_s: float) -> np.ndarray:
@@ -69,7 +70,7 @@ def downsample_time(
         t = pdf[ts].values.astype("datetime64[us]").astype("int64") / 1e6
         return pdf[_keep_by_time(t, step_s)]
 
-    return points.groupBy(key).applyInPandas(lambda _k, pdf: kernel(pdf), schema)
+    return grouped_apply(points, key, kernel, schema)
 
 
 def downsample_distance(
@@ -88,7 +89,7 @@ def downsample_distance(
         pdf = pdf.sort_values(order, kind="stable")
         return pdf[_keep_by_distance(pdf["lat"].values, pdf["lon"].values, meters)]
 
-    return points.groupBy(key).applyInPandas(lambda _k, pdf: kernel(pdf), schema)
+    return grouped_apply(points, key, kernel, schema)
 
 
 # -------------------------------------------------- channel grid snapping

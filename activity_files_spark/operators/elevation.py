@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from activity_files_spark.operators.grouped import grouped_apply
 
 
 def _walk(ele: np.ndarray, threshold: float) -> tuple[float, float, float]:
@@ -75,7 +76,7 @@ def elevation_gain(
             }
         )
 
-    return points.groupBy(key).applyInPandas(lambda _k, p: kernel(p), schema)
+    return grouped_apply(points, key, kernel, schema)
 
 
 def elevation_gain_sql(

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from activity_files_spark.operators.grouped import grouped_apply
 
 
 def _cross(ax, ay, bx, by, cx, cy):
@@ -97,7 +98,7 @@ def convex_hull(
              "hull_order": list(range(len(tags)))}
         )
 
-    return pts.groupBy(key).applyInPandas(kernel, out_schema)
+    return grouped_apply(pts, key, kernel, out_schema)
 
 
 def convex_hull_sql(

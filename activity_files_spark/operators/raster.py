@@ -43,6 +43,7 @@ from activity_files_spark.functions.quadkey import (
     quadkey_from_cell_id_col,
     tile_xy_col,
 )
+from activity_files_spark.operators.grouped import grouped_apply
 
 
 def rasterize_points(
@@ -233,7 +234,8 @@ def assemble_tiles(sparse: DataFrame, z: int, p: int = 8) -> DataFrame:
             "raster": grid.tobytes(),
         }])
 
-    dense = sparse.groupBy("tile_id").applyInPandas(
+    dense = grouped_apply(
+        sparse, "tile_id",
         pack,
         "tile_id long, n_points long, nonzero_px long, max_count long, "
         "checksum long, raster binary",

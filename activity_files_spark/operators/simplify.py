@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from activity_files_spark.operators.spatial import planar_scales
+from activity_files_spark.operators.grouped import grouped_apply
 
 
 def _dp_keep_mask(
@@ -101,7 +102,7 @@ def simplify_tracks(
         )
         return pdf.loc[mask]
 
-    return points.groupBy(key).applyInPandas(kern, schema)
+    return grouped_apply(points, key, kern, schema)
 
 
 def simplify_sql(

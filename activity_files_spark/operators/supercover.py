@@ -39,11 +39,12 @@ denominators; a zero-extent axis contributes no crossings.  Tests pin the
 enumeration against a brute closed-box / segment intersection oracle in
 exact integer arithmetic.
 
-Scale shape: one lag window per route (the shuffle every per-track op
-pays), then ``F.sequence`` explodes one row per crossed grid line —
-output cardinality is the cover itself (bounded by the segment's length
-in cells, the quantity any tiling writer must materialize anyway), no
-joins, groupBy rollups map-side combined.
+Scale shape (r06): one lag window per route (the shuffle every per-track
+op pays), then ONE vectorized int64 Arrow pass (``segment_cover_rows``)
+emits the whole enumeration — output cardinality is the cover itself
+(bounded by the segment's length in cells, the quantity any tiling
+writer must materialize anyway), no joins, no per-branch re-scans,
+groupBy rollups map-side combined.
 
 The reference engine has no spatial indexing at all (per-file track
 parser, SURVEY §2); this operator is north-rule spatial core built fresh.
@@ -73,75 +74,134 @@ def _fdiv_sql(a: str, b: str) -> str:
     return f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}))"
 
 
-def _axis_crossings(
-    seg: DataFrame, q: int, swap: bool
+def _cover_cells_np(x0, y0, x1, y1, q: int):
+    """Vectorized (numpy int64) supercover enumeration for a batch of
+    segments — the exact integer walk of :func:`segment_cell_cover_py`,
+    batched: returns ``(idx, cx, cy)`` where ``idx`` indexes the input
+    segment each cell belongs to, deduped per segment.
+
+    Everything is int64: numpy ``//``/``%`` are floor-division twins of the
+    ``_fdiv`` discipline (floor toward -inf, remainder with the divisor's
+    sign), and the crossing numerators are products of two <=26-bit
+    coordinates — exact with headroom."""
+    import numpy as np
+
+    s = np.int64(1 << q)
+    n = len(x0)
+    idx_all, cx_all, cy_all = [], [], []
+    base = np.arange(n, dtype=np.int64)
+
+    def emit(i, a, b):
+        idx_all.append(i)
+        cx_all.append(a)
+        cy_all.append(b)
+
+    # endpoint cells: floor cell, plus the closed boxes on the other side
+    # of any boundary the endpoint lies on (4 at a lattice corner)
+    for x, y in ((x0, y0), (x1, y1)):
+        ex = x // s
+        ey = y // s
+        bx = (x % s) == 0
+        by = (y % s) == 0
+        emit(base, ex, ey)
+        if bx.any():
+            emit(base[bx], ex[bx] - 1, ey[bx])
+        if by.any():
+            emit(base[by], ex[by], ey[by] - 1)
+        both = bx & by
+        if both.any():
+            emit(base[both], ex[both] - 1, ey[both] - 1)
+
+    def axis(a0x, a0y, a1x, a1y, swap: bool) -> None:
+        # canonicalize so the crossing axis increases
+        fwd = a0x <= a1x
+        px = np.where(fwd, a0x, a1x)
+        py = np.where(fwd, a0y, a1y)
+        qx = np.where(fwd, a1x, a0x)
+        qy = np.where(fwd, a1y, a0y)
+        cnt = np.maximum(qx // s - px // s, 0)
+        tot = int(cnt.sum())
+        if tot == 0:
+            return
+        idx = np.repeat(base, cnt)
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        k = np.arange(tot, dtype=np.int64) - np.repeat(starts, cnt)
+        cb = (px // s)[idx] + 1 + k
+        dx = (qx - px)[idx]
+        dy = (qy - py)[idx]
+        # crossing of boundary x = cb*s:
+        # row = floor((py*dx + dy*(cb*s - px)) / (dx*s))
+        num = py[idx] * dx + dy * (cb * s - px[idx])
+        den = dx * s  # > 0 wherever cnt > 0
+        row = num // den
+        corner = (num % den) == 0
+        a_side = np.concatenate([cb - 1, cb])
+        b_side = np.concatenate([row, row])
+        i_side = np.concatenate([idx, idx])
+        if corner.any():
+            a_side = np.concatenate([a_side, cb[corner] - 1, cb[corner]])
+            b_side = np.concatenate([b_side, row[corner] - 1, row[corner] - 1])
+            i_side = np.concatenate([i_side, idx[corner], idx[corner]])
+        if swap:
+            a_side, b_side = b_side, a_side
+        emit(i_side, a_side, b_side)
+
+    axis(x0, y0, x1, y1, swap=False)
+    axis(y0, x0, y1, x1, swap=True)
+
+    idx = np.concatenate(idx_all)
+    cx = np.concatenate(cx_all)
+    cy = np.concatenate(cy_all)
+    # dedup per segment (lexsort + neighbor-diff mask)
+    order = np.lexsort((cy, cx, idx))
+    idx, cx, cy = idx[order], cx[order], cy[order]
+    keep = np.empty(len(idx), dtype=bool)
+    keep[:1] = True
+    keep[1:] = (
+        (idx[1:] != idx[:-1]) | (cx[1:] != cx[:-1]) | (cy[1:] != cy[:-1])
+    )
+    return idx[keep], cx[keep], cy[keep]
+
+
+def segment_cover_rows(
+    segments: DataFrame, q: int, carry: list[str] | tuple[str, ...]
 ) -> DataFrame:
-    """Cells adjacent to every vertical (``swap=False``, x-boundary) or
-    horizontal (``swap=True``; runs the same math with axes swapped) grid
-    line crossed by each segment. Input columns: key, x0, y0, x1, y1
-    (subcell ints). Output: key, cx, cy."""
-    s = 1 << q
-    a0x, a0y, a1x, a1y = ("x0", "y0", "x1", "y1")
-    if swap:
-        a0x, a0y, a1x, a1y = ("y0", "x0", "y1", "x1")
-    # canonicalize so the crossing axis increases
-    fwd = F.col(a0x) <= F.col(a1x)
-    px = F.when(fwd, F.col(a0x)).otherwise(F.col(a1x))
-    py = F.when(fwd, F.col(a0y)).otherwise(F.col(a1y))
-    qx = F.when(fwd, F.col(a1x)).otherwise(F.col(a0x))
-    qy = F.when(fwd, F.col(a1y)).otherwise(F.col(a0y))
-    d = seg.select(
-        "key",
-        px.alias("px"),
-        py.alias("py"),
-        qx.alias("qx"),
-        qy.alias("qy"),
-    ).where(F.col("px") < F.col("qx"))
-    cp = _fdiv(F.col("px"), F.lit(s)).cast("long")
-    cq = _fdiv(F.col("qx"), F.lit(s)).cast("long")
-    # guard: Spark's sequence(start, stop) DESCENDS when start > stop, so an
-    # in-cell segment (cp == cq) must yield an empty array, not [cp+1, cp]
-    crossed = F.when(
-        cq >= cp + F.lit(1), F.sequence(cp + F.lit(1), cq)
-    ).otherwise(F.array().cast("array<bigint>"))
-    d = d.select("*", F.explode(crossed).alias("cb"))
-    # crossing of boundary x = cb*s: row = floor((py*dx + dy*(cb*s - px)) / (dx*s))
-    dx = F.col("qx") - F.col("px")
-    dy = F.col("qy") - F.col("py")
-    num = F.col("py") * dx + dy * (F.col("cb") * F.lit(s) - F.col("px"))
-    den = dx * F.lit(s)
-    row = _fdiv(num, den).cast("long")
-    corner = (((num % den) + den) % den) == 0
-    d = d.select(
-        "key",
-        F.col("cb").alias("chi"),
-        row.alias("row"),
-        corner.alias("corner"),
+    """Exploded supercover in ONE Arrow pass (mapInPandas + the vectorized
+    int64 kernel): input rows expose BIGINT subcell endpoints
+    ``x0, y0, x1, y1`` plus the ``carry`` columns; output is one row per
+    (input row, covered cell) — ``carry..., cx, cy`` — deduped per input
+    row. Replaces the previous three-branch union (endpoints + vertical +
+    horizontal crossings), which re-ran the upstream scan/window per branch
+    and needed a join-back to recover segment attributes (r06)."""
+    import numpy as np
+
+    carry = list(carry)
+    in_cols = list(dict.fromkeys(carry + ["x0", "y0", "x1", "y1"]))
+    src = segments.select(*in_cols)
+    types = {f.name: f.dataType.simpleString() for f in src.schema.fields}
+    schema = ", ".join(
+        [f"`{c}` {types[c]}" for c in carry] + ["cx long", "cy long"]
     )
-    sides = d.select(
-        "key",
-        F.explode(
-            F.when(
-                F.col("corner"),
-                F.array(
-                    F.struct((F.col("chi") - 1).alias("a"), F.col("row").alias("b")),
-                    F.struct(F.col("chi").alias("a"), F.col("row").alias("b")),
-                    F.struct(
-                        (F.col("chi") - 1).alias("a"), (F.col("row") - 1).alias("b")
-                    ),
-                    F.struct(F.col("chi").alias("a"), (F.col("row") - 1).alias("b")),
-                ),
-            ).otherwise(
-                F.array(
-                    F.struct((F.col("chi") - 1).alias("a"), F.col("row").alias("b")),
-                    F.struct(F.col("chi").alias("a"), F.col("row").alias("b")),
-                )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            idx, cx, cy = _cover_cells_np(
+                pdf["x0"].to_numpy(np.int64),
+                pdf["y0"].to_numpy(np.int64),
+                pdf["x1"].to_numpy(np.int64),
+                pdf["y1"].to_numpy(np.int64),
+                q,
             )
-        ).alias("c"),
-    )
-    cx = F.col("c.a") if not swap else F.col("c.b")
-    cy = F.col("c.b") if not swap else F.col("c.a")
-    return sides.select("key", cx.alias("cx"), cy.alias("cy"))
+            out = {c: pdf[c].to_numpy()[idx] for c in carry}
+            out["cx"] = cx
+            out["cy"] = cy
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(kernel, schema)
 
 
 def segment_cell_cover(
@@ -162,43 +222,11 @@ def segment_cell_cover(
     through a double division that is exact only below 2**53. Both engine
     twins share the bound; the z14+q8 driver tier uses 22 bits.
     """
-    s = 1 << q
     seg = segments.select(
         F.col(key).alias("key"), "x0", "y0", "x1", "y1"
     )
-    pts = seg.select(
-        "key",
-        F.explode(
-            F.array(
-                F.struct(F.col("x0").alias("x"), F.col("y0").alias("y")),
-                F.struct(F.col("x1").alias("x"), F.col("y1").alias("y")),
-            )
-        ).alias("p"),
-    )
-    ex = _fdiv(F.col("p.x"), F.lit(s)).cast("long")
-    ey = _fdiv(F.col("p.y"), F.lit(s)).cast("long")
-    # an endpoint ON a boundary touches the closed boxes on both sides;
-    # off-boundary the "other side" collapses onto the floor cell and the
-    # final dedup removes it
-    ex2 = F.when((F.col("p.x") % F.lit(s)) == 0, ex - 1).otherwise(ex)
-    ey2 = F.when((F.col("p.y") % F.lit(s)) == 0, ey - 1).otherwise(ey)
-    endpoints = pts.select(
-        "key",
-        F.explode(
-            F.array(
-                F.struct(ex.alias("a"), ey.alias("b")),
-                F.struct(ex2.alias("a"), ey.alias("b")),
-                F.struct(ex.alias("a"), ey2.alias("b")),
-                F.struct(ex2.alias("a"), ey2.alias("b")),
-            )
-        ).alias("c"),
-    ).select("key", F.col("c.a").alias("cx"), F.col("c.b").alias("cy"))
-    vert = _axis_crossings(seg, q, swap=False)
-    horiz = _axis_crossings(seg, q, swap=True)
-    return (
-        endpoints.unionByName(vert)
-        .unionByName(horiz)
-        .dropDuplicates(["key", "cx", "cy"])
+    return segment_cover_rows(seg, q, ["key"]).dropDuplicates(
+        ["key", "cx", "cy"]
     )
 
 

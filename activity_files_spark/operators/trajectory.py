@@ -41,7 +41,11 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from activity_files_spark.functions.geo import haversine_m, haversine_sql
+from activity_files_spark.functions.geo import (
+    EARTH_RADIUS_M,
+    haversine_m,
+    haversine_sql,
+)
 from activity_files_spark.functions.quadkey import tile_xy_col, tile_xy_sql
 
 
@@ -479,6 +483,7 @@ def stay_points(
     discipline. At 10^12 points the per-key cost is O(n·w) for window
     width w (points per stay), keys are independent, and no state leaves
     the executor."""
+    import numpy as np
     import pandas as pd
 
     from activity_files_spark.functions.geo import haversine_m_exact
@@ -491,44 +496,105 @@ def stay_points(
     d_max = float(d_max_m)
     t_min = float(t_min_s)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(seq)
-        kval = pdf[key].iloc[0]
+    def _break_index(la, lo, end) -> "np.ndarray":
+        """brk[i] = first absolute j > i inside i's group (j < end[i]) with
+        dist(anchor i, point j) > d_max, else end[i].
+
+        Vectorized by diagonal (r06): one numpy-haversine sweep per lag h
+        over the still-unresolved anchors, ascending h, so the first
+        radius break wins exactly as the scalar scan did. numpy SIMD trig
+        can drift ~1 ulp from scalar libm, so any distance within 1e-6 m
+        of the threshold is recomputed with the scalar-libm twin — the
+        DECISION (a comparison feeding integer outputs) therefore matches
+        the sequential kernel bit-for-bit while the off-threshold bulk
+        (every real fixture: margins are meters, not ulps) vectorizes."""
+        n = len(la)
+        brk = end.copy()
+        d2r = math.pi / 180.0
+        phi = la * d2r
+        for h in range(1, n):
+            # anchors with no break yet whose lag-h partner is in-group
+            open_i = (brk == end) & (np.arange(n) + h < end)
+            if not open_i.any():
+                break
+            i_idx = np.nonzero(open_i)[0]
+            j_idx = i_idx + h
+            sp = np.sin((la[j_idx] - la[i_idx]) * d2r / 2)
+            sl = np.sin((lo[j_idx] - lo[i_idx]) * d2r / 2)
+            a = sp * sp + np.cos(phi[i_idx]) * np.cos(phi[j_idx]) * sl * sl
+            d = 2.0 * EARTH_RADIUS_M * np.arctan2(np.sqrt(a), np.sqrt(1.0 - a))
+            near = np.abs(d - d_max) < 1e-6
+            if near.any():
+                for t in np.nonzero(near)[0]:
+                    d[t] = haversine_m_exact(
+                        la[i_idx[t]], lo[i_idx[t]], la[j_idx[t]], lo[j_idx[t]]
+                    )
+            hit = d > d_max
+            if hit.any():
+                brk[i_idx[hit]] = j_idx[hit]
+        return brk
+
+    def kernel(batches):
+        # Whole-partition kernel (r06): the upstream repartition +
+        # sortWithinPartitions makes each key's rows contiguous and
+        # seq-ordered inside the partition; concatenating the partition's
+        # Arrow batches re-joins keys split across batch boundaries. This
+        # replaces groupBy().applyInPandas, whose per-group pandas/Arrow
+        # overhead (~ms per key) dwarfed the math on many-small-key data.
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        n = len(pdf)
+        if n == 0:
+            return
+        keys = pdf[key].to_numpy()
         seqs = pdf[seq].to_numpy()
         ids = pdf[id_col].to_numpy()
         ts_v = pdf[tss].to_numpy(dtype="float64")
         la = pdf[lat].to_numpy(dtype="float64")
         lo = pdf[lon].to_numpy(dtype="float64")
-        n = len(pdf)
+        # group bounds: starts where the key changes, ends broadcast back
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = keys[1:] != keys[:-1]
+        starts = np.nonzero(change)[0]
+        bounds = np.append(starts, n)
+        end = np.repeat(bounds[1:], np.diff(bounds))
+        brk = _break_index(la, lo, end)
         recs = []
-        i = 0
-        while i < n:
-            jeff = n  # 0-based exclusive end
-            for j in range(i + 1, n):
-                if haversine_m_exact(la[i], lo[i], la[j], lo[j]) > d_max:
-                    jeff = j
-                    break
-            dur = ts_v[jeff - 1] - ts_v[i]
-            if dur >= t_min:
-                recs.append(
-                    {
-                        key: kval,
-                        "start_seq": int(seqs[i]),
-                        "end_seq": int(seqs[jeff - 1]),
-                        "start_id": int(ids[i]),
-                        "end_id": int(ids[jeff - 1]),
-                        "n_points": int(jeff - i),
-                        "dwell_s": float(dur),
-                    }
-                )
-                i = jeff
-            else:
-                i += 1
+        for g, (lo_i, hi_i) in enumerate(zip(bounds[:-1], bounds[1:])):
+            kval = keys[lo_i]
+            i = int(lo_i)
+            while i < hi_i:
+                jeff = int(brk[i])  # absolute exclusive end of the window
+                dur = ts_v[jeff - 1] - ts_v[i]
+                if dur >= t_min:
+                    recs.append(
+                        (kval, int(seqs[i]), int(seqs[jeff - 1]),
+                         int(ids[i]), int(ids[jeff - 1]),
+                         int(jeff - i), float(dur))
+                    )
+                    i = jeff
+                else:
+                    i += 1
         cols = [key, "start_seq", "end_seq", "start_id", "end_id",
                 "n_points", "dwell_s"]
-        return pd.DataFrame(recs, columns=cols)
+        if not recs:
+            return
+        yield pd.DataFrame(recs, columns=cols)
 
-    return pts.groupBy(key).applyInPandas(kernel, out_schema)
+    spark = pts.sparkSession
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001
+        nparts = spark.sparkContext.defaultParallelism
+    src = (
+        pts.select(key, seq, id_col, tss, lat, lon)
+        .repartition(nparts, key)
+        .sortWithinPartitions(key, seq)
+    )
+    return src.mapInPandas(kernel, out_schema)
 
 
 def stay_points_sql(

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 FIXED_COLS = ["timestamp", "latitude", "longitude", "elevation"]
 KNOWN_CHANNELS = ["heart_rate", "cadence", "power", "temperature", "distance", "speed"]
 CSV_HEADER = FIXED_COLS + KNOWN_CHANNELS + ["sport"]
+from activity_files_spark.operators.grouped import grouped_apply
 
 
 def read_csv_activities(
@@ -231,6 +232,8 @@ def csv_encode_text_df(points: DataFrame, channels: DataFrame) -> DataFrame:
         pdf.sort_values("timestamp", kind="stable").to_csv(buf, index=False)
         return pd.DataFrame([{"activity_id": key[0], "text": buf.getvalue()}])
 
-    return wide.groupBy("activity_id").applyInPandas(
-        kernel, "activity_id string, text string"
+    return grouped_apply(
+        wide, "activity_id",
+        lambda g: kernel((g["activity_id"].iloc[0],), g),
+        "activity_id string, text string",
     )

@@ -49,6 +49,7 @@ _CRC_TABLE = [
     0x0000, 0xCC01, 0xD801, 0x1400, 0xF001, 0x3C00, 0x2800, 0xE401,
     0xA001, 0x6C00, 0x7800, 0xB401, 0x5000, 0x9C01, 0x8801, 0x4400,
 ]
+from activity_files_spark.operators.grouped import grouped_apply
 
 
 def _crc16_scalar(data: bytes, crc: int = 0) -> int:
@@ -1978,8 +1979,10 @@ def fit_encode_records(records: DataFrame) -> DataFrame:
             {"activity_id": key[0], "payload": _encode_activity_pdf(key[0], pdf)}
         ])
 
-    return records.groupBy("activity_id").applyInPandas(
-        kernel, "activity_id string, payload binary"
+    return grouped_apply(
+        records, "activity_id",
+        lambda g: kernel((g["activity_id"].iloc[0],), g),
+        "activity_id string, payload binary",
     )
 
 

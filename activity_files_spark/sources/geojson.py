@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 
 from activity_files_spark.sources.gpx import _iso, _parse_time
 from activity_files_spark.sources.records import RECORD_SCHEMA, records_frame
+from activity_files_spark.operators.grouped import grouped_apply
 
 
 def parse_geojson(activity_id: str, text: str) -> list[dict]:
@@ -225,9 +226,11 @@ def geojson_encode_df(points: DataFrame) -> DataFrame:
         pts = fast_records(pdf.sort_values("ts", kind="stable"), cols)
         return pd.DataFrame([{"activity_id": aid, "text": encode_geojson(pts)}])
 
-    return points.select("activity_id", "ts", "lat", "lon", "ele").groupBy(
-        "activity_id"
-    ).applyInPandas(kernel, "activity_id string, text string")
+    return grouped_apply(
+        points.select("activity_id", "ts", "lat", "lon", "ele"), "activity_id",
+        lambda g: kernel((g["activity_id"].iloc[0],), g),
+        "activity_id string, text string",
+    )
 
 
 def encode_geojson_points(
@@ -302,4 +305,8 @@ def geojson_encode_points_df(points: DataFrame, channels: DataFrame | None = Non
         return pd.DataFrame([{"activity_id": aid,
                               "text": encode_geojson_points(pts, chmap)}])
 
-    return u.groupBy("activity_id").applyInPandas(kernel, "activity_id string, text string")
+    return grouped_apply(
+        u, "activity_id",
+        lambda g: kernel((g["activity_id"].iloc[0],), g),
+        "activity_id string, text string",
+    )

@@ -50,6 +50,7 @@ TPX_CHANNELS = {
     "course": "course",
     "depth": "depth",
 }
+from activity_files_spark.operators.grouped import grouped_apply
 
 
 def _local(tag: str) -> str:
@@ -571,7 +572,11 @@ def gpx_encode_df(
                          coord_dp=coord_dp, ele_dp=ele_dp)
         return pd.DataFrame([{"activity_id": aid, "xml": xml}])
 
-    return u.groupBy("activity_id").applyInPandas(kernel, "activity_id string, xml string")
+    return grouped_apply(
+        u, "activity_id",
+        lambda g: kernel((g["activity_id"].iloc[0],), g),
+        "activity_id string, xml string",
+    )
 
 
 def gpx_encode_records(
@@ -624,6 +629,8 @@ def gpx_encode_records(
                          version=version, coord_dp=coord_dp, ele_dp=ele_dp)
         return pd.DataFrame([{"activity_id": aid, "xml": xml}])
 
-    return records.groupBy("activity_id").applyInPandas(
-        kernel, "activity_id string, xml string"
+    return grouped_apply(
+        records, "activity_id",
+        lambda g: kernel((g["activity_id"].iloc[0],), g),
+        "activity_id string, xml string",
     )

@@ -28,6 +28,7 @@ from activity_files_spark.sources.gpx import _local, _parse_time, _xml_escape
 from activity_files_spark.sources.records import RECORD_SCHEMA, records_frame
 
 TPX_TCX_CHANNELS = {"speed": "speed", "watts": "power", "runcadence": "cadence"}
+from activity_files_spark.operators.grouped import grouped_apply
 
 
 def _child_text(el, name: str) -> str | None:
@@ -350,4 +351,8 @@ def tcx_encode_df(
         xml = encode_tcx(pts, chmap, lp, sport=sport, version=version)
         return pd.DataFrame([{"activity_id": aid, "xml": xml}])
 
-    return u.groupBy("activity_id").applyInPandas(kernel, "activity_id string, xml string")
+    return grouped_apply(
+        u, "activity_id",
+        lambda g: kernel((g["activity_id"].iloc[0],), g),
+        "activity_id string, xml string",
+    )

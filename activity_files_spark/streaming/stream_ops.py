@@ -184,10 +184,11 @@ def stream_cell_cover(
     for incremental pipelines where state correctness across chunk
     boundaries is the hard part being proven.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from activity_files_spark.operators.supercover import segment_cell_cover_py
+    from activity_files_spark.operators.supercover import _cover_cells_np
 
     key_type = points.schema[key].dataType.simpleString()
     out_schema = f"{key} {key_type}, cx long, cy long"
@@ -201,27 +202,32 @@ def stream_cell_cover(
             return
         pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(order, kind="stable").reset_index(drop=True)
-        pts = list(zip(pdf[x].astype("int64"), pdf[y].astype("int64")))
-        cells: set[tuple[int, int]] = set()
-        if last is None:
-            prev = (int(pts[0][0]), int(pts[0][1]))
-            rest = pts[1:]
-        else:
-            prev = last
-            rest = pts
-        for px, py in rest:
-            cells |= segment_cell_cover_py(prev[0], prev[1], int(px), int(py), q)
-            prev = (int(px), int(py))
-        state.update((prev[0], prev[1]))
-        if cells:
-            out = sorted(cells)
-            yield pd.DataFrame(
-                {
-                    key: [key_tuple[0]] * len(out),
-                    "cx": [c[0] for c in out],
-                    "cy": [c[1] for c in out],
-                }
-            )
+        xs = pdf[x].to_numpy(np.int64)
+        ys = pdf[y].to_numpy(np.int64)
+        if last is not None:
+            xs = np.concatenate(([last[0]], xs))
+            ys = np.concatenate(([last[1]], ys))
+        state.update((int(xs[-1]), int(ys[-1])))
+        if len(xs) < 2:
+            return
+        # vectorized int64 enumeration (the tested twin of the per-segment
+        # python walk, r06); union across segments = sorted unique cells
+        _, cx, cy = _cover_cells_np(xs[:-1], ys[:-1], xs[1:], ys[1:], q)
+        if len(cx) == 0:
+            return
+        o = np.lexsort((cy, cx))
+        cx, cy = cx[o], cy[o]
+        keep = np.empty(len(cx), dtype=bool)
+        keep[:1] = True
+        keep[1:] = (cx[1:] != cx[:-1]) | (cy[1:] != cy[:-1])
+        cx, cy = cx[keep], cy[keep]
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]] * len(cx),
+                "cx": cx,
+                "cy": cy,
+            }
+        )
 
     return points.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
