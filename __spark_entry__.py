@@ -64,7 +64,11 @@ def _read(
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if spread:
         default = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, default // 4):
+        # file count as the split proxy (r06): df.rdd.getNumPartitions()
+        # materialized the whole RDD conversion pipeline (~100ms per build);
+        # inputFiles() is metadata-only and decides identically for the
+        # single-row-group tables this guard exists for
+        if len(df.inputFiles()) < max(2, default // 4):
             df = df.repartition(default)
     return df
 

@@ -34,7 +34,7 @@ accumulation removes here).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEC = "decimal(38,12)"
@@ -72,8 +72,11 @@ def kmeans_relational(
     assigned = None
     for _ in range(iters):
         term = F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 12)
+        # centroids are k x dim rows — broadcast explicitly (the post-agg
+        # side has no stats, so the planner would otherwise shuffle the
+        # full point table into a sort-merge join every round, r06)
         dist = (
-            pts.join(cent, "d")
+            pts.join(F.broadcast(cent), "d")
             .groupBy("id", "cluster")
             .agg(F.sum(term.cast(DEC)).alias("_dist"))
         )

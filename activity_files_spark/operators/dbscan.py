@@ -148,6 +148,9 @@ def dbscan(
                 "_core"
             ),
         )
+        # four consumers (both core-edge sides, border attach, final roles)
+        # would each re-run the degree join — materialize once (r06)
+        .localCheckpoint(eager=True)
     )
     core_ids = flags.where("_core").select("_id")
     core_edges = (

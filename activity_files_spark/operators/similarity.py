@@ -420,14 +420,21 @@ def cosine_dup_pairs_lsh(
     """
     a_vecs = items.select(F.col(i_id).alias("id_a"), F.col(vec).alias("_va"))
     b_vecs = items.select(F.col(i_id).alias("id_b"), F.col(vec).alias("_vb"))
-    a = lsh_signature(a_vecs, "_va", dim, n_planes, n_tables)
-    b = lsh_signature(b_vecs, "_vb", dim, n_planes, n_tables)
+    # ONE signature kernel pass serves both join sides (r06 — the kernel is
+    # deterministic, so the b-side signatures were an identical recompute);
+    # lazy checkpoint so the two references don't re-run the Arrow matmul
+    sig = (
+        lsh_signature(a_vecs, "_va", dim, n_planes, n_tables)
+        .select("tbl", "bucket", "id_a")
+        .localCheckpoint(eager=False)
+    )
     # bucket self-join + dedup on bare id pairs (vectors stripped from the
     # candidate exchanges — a pair colliding in many tables would otherwise
     # shuffle both vectors once per collision), then re-attach per side
     cand = (
-        a.select("tbl", "bucket", "id_a")
-        .join(b.select("tbl", "bucket", "id_b"), ["tbl", "bucket"])
+        sig
+        .join(sig.select("tbl", "bucket", F.col("id_a").alias("id_b")),
+              ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .join(a_vecs, "id_a")

@@ -137,12 +137,26 @@ def csv_records(
         has_ts = "timestamp" in cols
         if has_ts:
             raw = pdf[cols["timestamp"]]
-            # format="mixed" parses each cell independently (matching the old
-            # per-row parser): a file mixing ISO and locale formats keeps all
-            # rows instead of coercing non-first-format rows to NaT
-            ts = pd.to_datetime(
-                raw, utc=True, errors="coerce", format="mixed"
-            ).dt.tz_localize(None)
+            # fast path (r06): when every non-null cell is ISO-8601, the
+            # vectorized ISO8601 parser gives the identical instants to the
+            # per-cell "mixed" parse at a fraction of the cost (mixed
+            # re-infers the format for every cell); anything else — or any
+            # cell ISO8601 rejects — falls back to the exact old behavior
+            ts = None
+            try:
+                ts = pd.to_datetime(
+                    raw, utc=True, errors="raise", format="ISO8601"
+                ).dt.tz_localize(None)
+            except (ValueError, TypeError):
+                ts = None
+            if ts is None:
+                # format="mixed" parses each cell independently (matching the
+                # old per-row parser): a file mixing ISO and locale formats
+                # keeps all rows instead of coercing non-first-format rows
+                # to NaT
+                ts = pd.to_datetime(
+                    raw, utc=True, errors="coerce", format="mixed"
+                ).dt.tz_localize(None)
             # unparseable (non-empty) timestamp -> row dropped with a diag;
             # an empty cell stays a point with null ts
             bad = (raw.notna() & ts.isna()).to_numpy()
