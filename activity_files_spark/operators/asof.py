@@ -470,8 +470,12 @@ def resample_by_distance(
         ),
         F.lit(0.0),
     )
-    pts = points.withColumn("_d", F.sum(step).over(wc)).withColumn(
-        "_seq", F.row_number().over(w).cast("long")
+    pts = (
+        points.withColumn("_d", F.sum(step).over(wc))
+        .withColumn("_seq", F.row_number().over(w).cast("long"))
+        # the cumdist window feeds both the grid envelope and the union
+        # side — lazy checkpoint so the window pass runs once (r06)
+        .localCheckpoint(eager=False)
     )
     env = pts.groupBy(key).agg(F.max("_d").alias("_total"))
     grid = env.select(

@@ -57,7 +57,9 @@ def grouped_apply(
         if len(pdf) == 0:
             return
         outs = []
-        for _, g in pdf.groupby(keys, sort=False):
+        # dropna=False: Spark's groupBy keeps a null-key group; pandas
+        # would silently drop those rows without it
+        for _, g in pdf.groupby(keys, sort=False, dropna=False):
             out = kernel(g)
             if out is not None and len(out):
                 outs.append(out)

@@ -81,7 +81,15 @@ def mix_chain(df: DataFrame, keep: list[str], id_col: str, out: str) -> DataFram
     several times — CollapseProject keeps the rounds separate, so no
     whole-stage-codegen method inlines the fully-expanded hash tree (one
     fused tree blows past the method-split limit and trips a Janino
-    nested-class IllegalAccessError inside partial hash aggregates)."""
+    nested-class IllegalAccessError inside partial hash aggregates).
+
+    PRECONDITION (ADVICE r5): ``id_col`` must be non-negative and < 2^62.
+    A negative id diverges silently between the engines — Spark's
+    ``bitwiseAND`` masks it non-negative while DuckDB's ``%`` keeps the
+    dividend's sign — breaking every sketch/sampling hash gate built on
+    this chain. Every current call site feeds generated non-negative ids
+    (event_id/doc_id/customer keys); a future negative-keyed table must
+    shift or hash its ids into range first."""
     cur = df.select(*keep, F.col(id_col).cast("long").alias("_h"))
     for (mul_lo, mul_hi), sh in zip(_ROUNDS, _SHIFTS):
         m = (
