@@ -2468,11 +2468,24 @@ def route_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # level stand-in for the production bucketed layout write): the cell
     # sets feed the self-join twice, the count join twice, and the refine
     # product twice — recomputing the scan+distinct for each consumer
-    # multiplies the dominant cost of this query
-    cells = route_cells(ev, RT_Z, key="user_id").localCheckpoint(eager=True)
+    # multiplies the dominant cost of this query. The two zoom tiers are
+    # independent jobs, so materialize them from a 2-thread pool (the
+    # scheduler back-fills one job's straggler tail with the other's
+    # tasks); each checkpoint alone is a blocking driver action
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_c = pool.submit(
+            lambda: route_cells(ev, RT_Z, key="user_id").localCheckpoint(eager=True)
+        )
+        f_r = pool.submit(
+            lambda: route_cells(ev, RT_REFINE_Z, key="user_id").localCheckpoint(
+                eager=True
+            )
+        )
+        cells, cells_r = f_c.result(), f_r.result()
     pairs = route_pair_jaccard(cells, key="user_id")
     top = top_similar_routes(pairs, k=1).drop("rank")
-    cells_r = route_cells(ev, RT_REFINE_Z, key="user_id").localCheckpoint(eager=True)
     ref = hausdorff_refine(top, cells_r, RT_REFINE_Z, key="user_id")
     return ref.select(
         F.col("key").alias("user_id"),

@@ -163,11 +163,21 @@ def shortest_paths(
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    e = edges.select(
+    # the edge table and the source-distance seed are independent inputs;
+    # materialize both from a 2-thread pool so their (blocking) checkpoint
+    # jobs overlap instead of running back to back (guide §2.6 shape —
+    # both typically re-derive from the same upstream scan, and the
+    # scheduler back-fills one job's tail with the other's tasks)
+    from concurrent.futures import ThreadPoolExecutor
+
+    e_plan = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), F.col(w).alias("e_w")
-    ).localCheckpoint(eager=True)
-    dist = sources.select("node").withColumn("dist", F.lit(0).cast("long"))
-    dist = dist.localCheckpoint(eager=True)
+    )
+    d_plan = sources.select("node").withColumn("dist", F.lit(0).cast("long"))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_e = pool.submit(lambda: e_plan.localCheckpoint(eager=True))
+        f_d = pool.submit(lambda: d_plan.localCheckpoint(eager=True))
+        e, dist = f_e.result(), f_d.result()
     prev = dist
     for _ in range(rounds):
         relax = e.join(dist, e["e_src"] == dist["node"]).select(
