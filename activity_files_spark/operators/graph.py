@@ -64,7 +64,12 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
     labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # no initial label-sum action: round 1 always lowers the sum for any
+    # nonempty edge set (each edge's larger endpoint takes a smaller
+    # label), so an initial-sum early exit can never fire — a sentinel
+    # saves one blocking driver job per call (empty graphs just run one
+    # extra empty round before the None == None fixpoint hits)
+    prev_sum: object = object()
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym["a"] == labels["node"])
