@@ -94,7 +94,11 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))).alias("label"),
             )
         )
-        labels = jumped.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence-sum action on the next line is
+        # the round's single job and materializes the checkpoint as it
+        # runs — an eager checkpoint here would spend a second blocking
+        # job per round on the same rows
+        labels = jumped.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break
