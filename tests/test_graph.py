@@ -84,6 +84,16 @@ def test_cc_empty_and_self_loop(spark):
     assert connected_components(empty).count() == 0
 
 
+def test_cc_two_round_budget_single_edge(spark):
+    # r06 second pass removed the initial label-sum action (round 1 always
+    # changes the sum for a nonempty edge set): one change round plus one
+    # confirm round must still satisfy the fixpoint detector, so a single
+    # edge converges within max_iter=2 instead of raising
+    df = spark.createDataFrame([(3, 9)], "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(df, max_iter=2).collect()}
+    assert got == {3: 3, 9: 3}
+
+
 # --------------------------------------------------------- shortest paths
 def _dijkstra(edges, source):
     """Reference shortest paths: heap Dijkstra over directed (s, d, w)."""
