@@ -41,10 +41,27 @@ DEC = "decimal(38,12)"
 
 
 def _explode_dims(emb: DataFrame, dim: int, id_col: str, vec_col: str) -> DataFrame:
-    return emb.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.col(vec_col)).alias("d", "x"),
-    ).withColumn("x", F.col("x").cast("double"))
+    # hash-partition the exploded rows by id ONCE: every round's
+    # groupBy(id, cluster) and groupBy(id) aggregation and the
+    # assigned-to-points join then satisfy their ClusteredDistribution via
+    # the subset rule (hash(id) co-locates all of an id's rows), so the
+    # unrolled plan stops re-exchanging the point table each round — the
+    # sequential AQE stage chain was the query's measured floor (r06;
+    # 3.6 -> 2.1 s at sf0.1, bit-identical output). Width is the session
+    # shuffle knob, the same scale-parameterised value any groupBy used.
+    spark = emb.sparkSession
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001
+        nparts = spark.sparkContext.defaultParallelism
+    return (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.col(vec_col)).alias("d", "x"),
+        )
+        .withColumn("x", F.col("x").cast("double"))
+        .repartition(nparts, "id")
+    )
 
 
 def kmeans_relational(
