@@ -1397,7 +1397,9 @@ def emerging_hotspots_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = getis_ord_gi_star(cells, by=("bucket",)).where(
         ~F.isnan("z")  # single-cell months have an undefined z (0/0)
-    )
+    ).localCheckpoint(eager=False)  # feeds the MK pair self-join (x2), the
+    # bucket counts, and zsum — lazily materialized once by the job instead
+    # of re-running the whole Gi* subtree four times (16-scan plan; r06)
     mk = mann_kendall_trend(scored, by=("cx", "cy"), t="bucket", v="z")
     zsum = scored.groupBy("cx", "cy").agg(
         F.sum(F.floor(F.col("z") * F.lit(1000000.0)).cast("long")).alias(
@@ -2485,7 +2487,17 @@ def route_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cells, cells_r = f_c.result(), f_r.result()
     pairs = route_pair_jaccard(cells, key="user_id")
-    top = top_similar_routes(pairs, k=1).drop("rank")
+    # the winner-pair table (1 row/route) feeds BOTH Hausdorff direction
+    # products and the final join — without a checkpoint the whole
+    # pair-mining subtree (cell self-join + count joins + ranking window)
+    # executes three times in the one job (92-Exchange plan). Lazy
+    # localCheckpoint: materialized by the job itself (no extra blocking
+    # action), locally neutral (parallel stages absorbed the recompute on
+    # an idle box) but a 3x -> 1x algorithmic-work cut that holds on a
+    # busy cluster at scale (r06 third pass).
+    top = (
+        top_similar_routes(pairs, k=1).drop("rank").localCheckpoint(eager=False)
+    )
     ref = hausdorff_refine(top, cells_r, RT_REFINE_Z, key="user_id")
     return ref.select(
         F.col("key").alias("user_id"),

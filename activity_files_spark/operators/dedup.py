@@ -288,7 +288,14 @@ def hamming_near_dup_pairs(
         raise ValueError("n_bands must divide 64")
     width = 64 // n_bands
     mask = (1 << width) - 1
-    codes = df.select(F.col(id_col), F.col(code_col))
+    # the code table feeds the band explode (twice, via both join sides)
+    # and both code re-attach joins — four executions of whatever subtree
+    # produced the codes (for simhash input, four runs of the Arrow
+    # bit-vote kernel; 32 parquet scans in the planted-corpus plan). Lazy
+    # localCheckpoint: materialized by the consuming job itself, 4x -> 1x
+    # upstream work; measured 0.71->0.57 / 1.36->1.13 s at sf0.1 on the
+    # two doc queries with bit-identical pairs (r06)
+    codes = df.select(F.col(id_col), F.col(code_col)).localCheckpoint(eager=False)
     bands = codes.select(
         id_col,
         F.explode(F.array(*[
